@@ -1,0 +1,79 @@
+"""Keyword-overlap retrieval — the reference's core query capability.
+
+Re-expresses ``simple_rag`` (reference ``utils.py:326-330``) and its parts
+(``get_keywords`` :291-316, ``count_words_in_string`` :254-259,
+``get_top_k_records`` :318-324) as one declarative DataFrame plan:
+
+    clean(query) → keywords                          (driver-side constant)
+    clean(corpus.text)                               (projection, codegen)
+    score = |{kw : kw substring-of cleaned}|         (higher-order filter)
+    top-k by (score desc, doc_id asc)                (TakeOrderedAndProject)
+
+Semantics kept faithful on purpose:
+
+* scoring is SUBSTRING containment, not token match — keyword "wo"
+  scores against "word" (utils.py:254-259; pinned by the reference's own
+  test, tests/test_simple_rag.py);
+* ties resolve by original record order — Python's stable sort — which is
+  the ``doc_id asc`` tiebreak here (utils.py:322; SURVEY.md §7.2).
+
+Scale shape: the scan is embarrassingly parallel (no shuffle — score is a
+per-row projection); the global top-k is Spark's TakeOrderedAndProject,
+i.e. a per-partition heap of k followed by a k·partitions merge on the
+driver — no full sort, no full shuffle, holds at any corpus size for
+small k. Keywords ride along as a literal array (a broadcast of a
+handful of strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.functions.text import (
+    COMMON_ENGLISH_WORDS,
+    clean_string,
+)
+
+
+def extract_query_keywords(query: str) -> list[str]:
+    """Driver-side constant-folding of the reference's query pipeline:
+    clean_string → tokenize → stopword drop (utils.py:326-329). The query
+    is a scalar, so this runs once, not per row — the per-row work stays
+    JVM-side."""
+    import re
+
+    cleaned = re.sub(r"[^\w\s]", "", query.lower())
+    return [t for t in cleaned.split() if t and t not in COMMON_ENGLISH_WORDS]
+
+
+def keyword_score(text_col: Column | str, kws: list[str]) -> Column:
+    """Substring-containment score (utils.py:254-259): number of keywords
+    contained in clean_string(text). Pure built-ins → codegen'd."""
+    cleaned = clean_string(text_col)
+    if not kws:
+        return F.lit(0)
+    kw_arr = F.array(*[F.lit(k) for k in kws])
+    return F.size(F.filter(kw_arr, lambda kw: F.contains(cleaned, kw)))
+
+
+def score_corpus(corpus: DataFrame, query: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Full scored relation: every row with its keyword-overlap score."""
+    kws = extract_query_keywords(query)
+    return corpus.select(
+        F.col(id_col),
+        keyword_score(F.col(text_col), kws).alias("score"),
+    )
+
+
+def simple_rag(corpus: DataFrame, query: str, top_k: int = 5,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flagship: top-k records by keyword-overlap (utils.py:326-330).
+
+    top_k default 5 = the reference's function default (utils.py:326).
+    Returns (doc_id, score) ordered (score desc, doc_id asc) — the stable
+    tiebreak REQUIRED for parity with Python's list.sort (utils.py:322).
+    """
+    scored = score_corpus(corpus, query, id_col=id_col, text_col=text_col)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
