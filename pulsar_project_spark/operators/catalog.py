@@ -1,0 +1,59 @@
+"""Catalog operators — the reference's tool/op catalog joins.
+
+The reference keeps tool and memory-op catalogs as dicts and resolves
+every call with a dict lookup or a linear scan across servers
+(``manager.py:216-250``, ``memory.py:210-217``). All of them are
+single-key equi-joins against catalog-sized relations → broadcast hash
+joins in Spark: the fact side streams, the catalog ships to every
+executor, no shuffle of the big side. That is exactly the join shape that
+survives 100 TB (the catalog stays KBs regardless of data scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reference extension map (task.py:140-155) with its default 'txt'
+# (task.py:156). Behavioral data, kept verbatim for parity.
+EXTENSION_MAP: dict[str, str] = {
+    "plan": "md", "guide": "md", "tutorial": "md", "recipe": "md",
+    "article": "md", "report": "md", "manual": "md",
+    "novel": "txt", "note": "txt", "journal": "txt", "poem": "txt",
+    "story": "txt", "dialogue": "txt",
+}
+EXTENSION_DEFAULT = "txt"
+
+
+def extension_lookup(spark: SparkSession, df: DataFrame, type_col: str,
+                     mapping: dict[str, str] | None = None,
+                     default: str = EXTENSION_DEFAULT) -> DataFrame:
+    """content_type → extension via broadcast lookup with default
+    (task.py:138-156). The literal map becomes a broadcast side; misses
+    coalesce to the default, reproducing ``dict.get(key, 'txt')``."""
+    mapping = EXTENSION_MAP if mapping is None else mapping
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in sorted(mapping.items())], ["__type", "ext"]
+    )
+    joined = df.join(
+        F.broadcast(lookup),
+        F.lower(F.col(type_col)) == F.col("__type"),
+        "left",
+    )
+    return joined.withColumn("ext", F.coalesce(F.col("ext"), F.lit(default))).drop("__type")
+
+
+def kv_lookup(kv: DataFrame, keys: DataFrame, key_col: str = "key",
+              value_col: str = "value") -> DataFrame:
+    """Point lookup with miss message (memory.py:257-261): broadcast the
+    probe keys (always tiny) against the store — a right-outer broadcast
+    join, so the STORE side streams even when it is the 100 TB relation —
+    and materialize the reference's "Cannot find any value associated to
+    key '<k>' in memory data." text on misses."""
+    joined = kv.join(F.broadcast(keys), key_col, "right")
+    miss = F.concat(
+        F.lit("Cannot find any value associated to key '"),
+        F.col(key_col),
+        F.lit("' in memory data."),
+    )
+    return joined.withColumn("result", F.coalesce(F.col(value_col), miss)).drop(value_col)

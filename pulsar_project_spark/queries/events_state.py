@@ -1,0 +1,140 @@
+"""Declared queries: retention / eviction / argmax over the events stream
+(SURVEY.md §2.4, §2.5, §2.9 batch forms).
+
+``events`` plays the reference's message/record stream; ``user_id`` is the
+session key. Canonical event time is ``ts_us`` (BIGINT epoch micros, see
+sources.tables.load_events for why not nanos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.operators.retention import (
+    evict_candidates,
+    keep_last_n,
+    latest_per_group,
+)
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events
+
+KEEP_LAST = 10  # web memory view tail, app.py:341,388
+
+
+@declare(
+    "keep_last_n_per_user",
+    oracle=f"""
+SELECT user_id, event_id, ts_us, event_type
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn <= {KEEP_LAST}
+""",
+)
+def q_keep_last_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """records[-N:] per session (memory.py:125; task.py:620-623)."""
+    ev = load_events(spark, sf_dir)
+    return keep_last_n(
+        ev.select("user_id", "event_id", "ts_us", "event_type"),
+        ["user_id"],
+        [F.desc("ts_us"), F.desc("event_id")],
+        KEEP_LAST,
+    )
+
+
+@declare(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, ts_us, event_type, value
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax over sortable time label (latest summary, memory.py:119-121)."""
+    ev = load_events(spark, sf_dir)
+    return latest_per_group(
+        ev.select("user_id", "event_id", "ts_us", "event_type", "value"),
+        ["user_id"],
+        [F.desc("ts_us"), F.desc("event_id")],
+    )
+
+
+@declare(
+    "evict_min_per_type",
+    oracle="""
+SELECT event_type, event_id, user_id, value
+FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, epoch_us(ts) ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_evict_min_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin by composite key = eviction pick (memory.py:326-335: ascending
+    (frequency, last_updated), delete head)."""
+    ev = load_events(spark, sf_dir)
+    return evict_candidates(
+        ev.select("event_type", "event_id", "user_id", "value", "ts_us"),
+        ["event_type"],
+        [F.asc("value"), F.asc("ts_us"), F.asc("event_id")],
+    ).drop("ts_us")
+
+
+@declare(
+    "microbatch_rollup",
+    oracle="""
+SELECT event_id // 5 AS batch_id,
+       count(*) AS n_events,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_value
+FROM events
+GROUP BY event_id // 5
+""",
+)
+def q_microbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's update-batch grouping (memory.py:272: last
+    update_batch_size=5 records per maintenance pass) as a batch rollup:
+    one row per batch of 5 by arrival order. Sum in DECIMAL then cast —
+    float summation order (Spark partial aggs vs DuckDB) must not leak
+    into the hash."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.expr("event_id div 5").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("batch_value"),
+        )
+    )
+
+
+@declare(
+    "json_props_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy JSON payload parse (the reference parses JSON payloads on
+    demand, utils.py:134-163) — ``get_json_object`` stays JVM-side."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )

@@ -38,8 +38,30 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet scan → Catalyst gets pushdown,
-    pruning and the vectorized reader for free."""
+    pruning and the vectorized reader for free.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark rejects
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on — we set it on
+    the caller's session (runtime-settable, idempotent) and expose nanos
+    as BIGINT. Use :func:`load_events` for the normalized shape.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the canonical time column ``ts_us`` (BIGINT epoch
+    microseconds). Micros, not nanos, because the DuckDB correctness
+    oracle reads parquet nano timestamps at microsecond precision
+    (truncating) — ``ts div 1000`` reproduces that truncation exactly.
+    BIGINT event time is also timezone-proof: parity cannot depend on the
+    driver session's timezone."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # integer `div`, not float `/`: nanos exceed double's 52-bit mantissa
+    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
