@@ -1,0 +1,273 @@
+"""Declared queries: full analytic plans over the star schema.
+
+These are the engine's headline reporting queries (bench.py runs them at
+sf0.1). Each is written the way it should execute on a 1000-executor
+cluster over 100 TB:
+
+* dimension joins are BROADCAST (region/nation/customer/supplier/part
+  stay catalog-sized at any fact scale);
+* fact-side filters sit directly on the scan (pushed into parquet);
+* measure sums run in DECIMAL — exact and associative, so Spark's
+  map-side partial aggregation is bit-identical to any single-node
+  ordering (and to the DuckDB oracle);
+* every top-k carries a unique tiebreak and executes as
+  TakeOrderedAndProject (per-partition heap), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events, load_table
+
+# Exact decimal building blocks: prices have 2 decimals, rates 2 decimals.
+_PRICE = 'CAST(l_extendedprice AS DECIMAL(18,2))'
+_DISC = '(1 - CAST(l_discount AS DECIMAL(4,2)))'
+_TAXF = '(1 + CAST(l_tax AS DECIMAL(4,2)))'
+
+
+def _price(col: str = "l_extendedprice") -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_factor() -> Column:
+    return F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+
+
+def _tax_factor() -> Column:
+    return F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+
+
+@declare(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum({_PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_PRICE} * {_DISC} * {_TAXF}) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-side filter + one hash agg.
+    The filter reaches the parquet scan (PushedFilters); everything else
+    is map-side partial agg + a 9-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-06-30").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.sum(_price() * _disc_factor()).cast("double").alias("sum_disc_price"),
+            F.sum(_price() * _disc_factor() * _tax_factor()).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@declare(
+    "top_revenue_orders",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: broadcast the filtered customer dim into orders,
+    shuffle-join lineitem on orderkey, aggregate, global top-10 heap."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_price() * _disc_factor()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@declare(
+    "national_revenue",
+    oracle=f"""
+SELECT n_name, r_name,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def q_national_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: the fact table streams once through a chain of
+    broadcast joins (supplier → nation → region snowflake), then one agg.
+    Zero fact-side shuffles before the 25-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(_price() * _disc_factor()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "orders_by_month",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_value
+FROM orders
+GROUP BY order_month, o_orderstatus
+""",
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup on the ntz order date — date_format is tz-free on
+    TIMESTAMP_NTZ, so parity holds under any driver session timezone."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("month_value"),
+        )
+    )
+
+
+@declare(
+    "user_event_windows",
+    oracle="""
+SELECT event_id, user_id, value,
+       row_number() OVER w AS seq_in_user,
+       lag(value) OVER w AS prev_value,
+       value - coalesce(lag(value) OVER w, 0.0) AS value_delta
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+""",
+)
+def q_user_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over the event stream: per-user ordinal,
+    lag, delta. One shuffle on user_id, sorted once, all three window
+    functions share the frame."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("seq_in_user"),
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("value_delta"),
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@declare(
+    "sessionization",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → cumulative sum
+    of session-start flags → per-session rollup. The standard batch
+    sessionizer; the streaming twin uses session windows (streaming/)."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "event_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_seq"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@declare(
+    "conversion_funnel",
+    oracle="""
+SELECT user_id,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation funnel — one pass, no joins, no pivot
+    shuffle: the per-type counters are map-side partial aggregates."""
+    ev = load_events(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")).otherwise(zero)
+        ).cast("double").alias("purchase_value"),
+    )
