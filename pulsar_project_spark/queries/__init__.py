@@ -8,6 +8,7 @@ from pulsar_project_spark.queries import agg_ops  # noqa: F401
 from pulsar_project_spark.queries import analytics  # noqa: F401
 from pulsar_project_spark.queries import catalog_ops  # noqa: F401
 from pulsar_project_spark.queries import coercion_ops  # noqa: F401
+from pulsar_project_spark.queries import dedup_ops  # noqa: F401
 from pulsar_project_spark.queries import events_state  # noqa: F401
 from pulsar_project_spark.queries import extraction  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401

@@ -1,0 +1,190 @@
+"""Declared queries: deduplication family (SURVEY.md §2.11).
+
+Every hash is md5-derived so DuckDB recomputes signatures bit-for-bit:
+``H(s) = ('0x' || substr(md5(s),1,8))::BIGINT`` ⇔ Spark
+``conv(substr(md5(s),1,8),16,10)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_project_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_NUM,
+    MINHASH_P,
+    MINHASH_ROWS,
+    exact_dedup,
+    minhash_bands,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    rolling_fingerprint,
+    simhash,
+)
+from pulsar_project_spark.functions.text import clean_string, tokenize
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_H = "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+_TOKS = (
+    r"list_filter(string_split_regex(regexp_replace(lower(text), '[^\w\s]', '', 'g'), "
+    r"'\s+'), t -> t <> '')"
+)
+
+# 5-gram distinct shingles, 1-based inclusive list slicing.
+_SHINGLES = (
+    "CASE WHEN len(tk) >= 5 THEN list_distinct(list_transform("
+    "generate_series(1, len(tk) - 4), i -> array_to_string(tk[i:i+4], ' '))) "
+    "ELSE [] END"
+)
+
+
+@declare(
+    "exact_dedup_fingerprint",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM fp
+GROUP BY fingerprint
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, first-seen keeper.
+    One shuffle on the fingerprint — the 100 TB exact-dedup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@declare(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS shl FROM toks)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b,
+       CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram Jaccard near-dup pairs via the shingle self-join (exact
+    verifier; the scale path feeds LSH candidates into this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
+
+
+def _sig_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        f" AS s{j}"
+        for j in range(MINHASH_NUM)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, list_transform(shl, s -> {_H.format(expr='s')}) AS hs
+    FROM (SELECT doc_id, {_SHINGLES} AS shl
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents))
+    WHERE len(shl) > 0
+  )
+)
+"""
+
+
+def _bands_sql() -> str:
+    selects = []
+    for band in range(MINHASH_BANDS):
+        lo = band * MINHASH_ROWS
+        key = " || '_' || ".join(f"CAST(s{lo + r} AS VARCHAR)" for r in range(MINHASH_ROWS))
+        selects.append(
+            f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM sigs"
+        )
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@declare(
+    "minhash_lsh_bands",
+    oracle=f"WITH {_sig_sql().strip()}, {_bands_sql()}\n"
+           "SELECT doc_id, band_id, band_key FROM bands",
+)
+def q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding relation: 16 md5-derived universal hashes, 4
+    bands × 4 rows. Pure projection + array ops — no explode, no shuffle;
+    the bucket table that LSH candidate joins run on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_bands(docs)
+
+
+@declare(
+    "minhash_candidate_pairs",
+    oracle=f"WITH {_sig_sql().strip()}, {_bands_sql()}\n"
+           """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: share any band bucket. The equi-join that
+    replaces the quadratic all-pairs comparison at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs)
+
+
+@declare(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), th AS (
+  SELECT doc_id, {_H.format(expr='token')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s
+  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes
+GROUP BY doc_id
+""",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc: token-hash bits vote ±1 with multiplicity;
+    sign of each bit-sum sets the fingerprint bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@declare(
+    "rolling_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) > 0
+            THEN list_reduce(list_prepend(0::BIGINT, list_transform(tk, t -> {_H.format(expr='t')})),
+                             (acc, h) -> (acc * 31 + h) % 2147483647)
+            ELSE 0 END AS fingerprint
+FROM toks
+""",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (document fingerprinting for the text-analysis suite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_string("text"))
+    return docs.select("doc_id", rolling_fingerprint(toks).alias("fingerprint"))
