@@ -7,13 +7,13 @@ needs:
 * **exact** — hash-groupBy on a content fingerprint (md5 of normalized
   text): one shuffle on the fingerprint, keep min-id. The canonical
   "remove exact copies" pass.
-* **n-gram Jaccard** — shingle → explode → self-join on shingle →
+* **n-gram Jaccard** — shingle → explode → bucket-by-shingle →
   per-pair intersection counts → Jaccard. Exact but quadratic in
   co-bucketed docs; used as the verifier behind LSH candidates.
 * **MinHash + LSH banding** — k deterministic hash functions over
   shingles; signatures cut into bands; docs sharing a band bucket are
-  candidates. Turns the quadratic all-pairs into |bands| equi-joins —
-  THE scale path: shuffle is on (band_id, band_hash), candidate count is
+  candidates. Turns the quadratic all-pairs into a bucket grouping —
+  THE scale path: shuffle is on (band_id, band_key), candidate count is
   data-dependent not n².
 * **SimHash** — 32-bit sign-aggregated token-hash fingerprint; equal
   fingerprints (or small Hamming distance) → near-dup candidates.
@@ -22,6 +22,24 @@ Portability: every hash is derived from md5 (identical in Spark, DuckDB,
 Python) — `H(s) = int(md5(s)[:8], 16)` — so the correctness oracle can
 recompute signatures bit-for-bit. No engine-private hash (xxhash64,
 hash()) appears in any declared query.
+
+Performance notes (measured at sf0.1, local[32]):
+
+* Token/shingle arrays are ALWAYS materialized as real columns before a
+  higher-order lambda touches them. Referencing the tokenizer expression
+  from inside ``transform``/``element_at`` lambdas re-inlines the regex
+  per array element (HOFs run interpreted, outside codegen CSE) — the
+  naive form re-tokenized every doc once per shingle, 12× slower.
+* MinHash signatures run as explode → ONE codegen'd groupBy with 16
+  ``min()`` aggregates — not 16 interpreted ``array_min(transform(...))``
+  lambdas — and the aggregation barrier stops Catalyst from duplicating
+  the hash subtree into downstream band expressions.
+* Pair generation is bucket-collect (``collect_list`` per bucket → local
+  pair expansion), not a self-join: the expensive shingle/signature
+  subtree executes once, and the only shuffle is the bucket groupBy.
+  At 100 TB a pathological mega-bucket (stop-shingle) would skew this;
+  AQE skew handling plus a bucket-size cap (drop buckets over ~10k docs,
+  they are non-discriminative anyway) is the production guard.
 """
 
 from __future__ import annotations
@@ -55,27 +73,36 @@ def fingerprint_md5(text_col: Column | str) -> Column:
 
 
 def shingles(tokens: Column, n: int = 5) -> Column:
-    """Distinct n-gram shingles (space-joined token windows). 1-based
-    element_at so the oracle's 1-based list slicing matches exactly."""
+    """Distinct n-gram shingles (space-joined token windows) over a
+    MATERIALIZED token-array column (pass an attribute, not the tokenizer
+    expression — see module perf notes). ``slice`` is 1-based so the
+    oracle's 1-based list slicing matches exactly."""
     # guard: Spark sequence(1, 0) counts DOWN ([1,0]); short docs must
-    # yield an empty shingle set, matching DuckDB's empty generate_series
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    # yield an empty shingle set, matching DuckDB's empty generate_series.
+    # The when() keeps the sequence branch unevaluated for them.
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + off) for off in range(n)])
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
     )
     return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
 
+def token_table(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, tk ARRAY<STRING>) with the token array materialized once."""
+    return docs.select(F.col(id_col), tokenize(clean_string(text_col)).alias("tk"))
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded relation + per-doc shingle counts ride
     along for Jaccard."""
-    toks = docs.select(
-        F.col(id_col), shingles(tokenize(clean_string(text_col)), n).alias("sh")
+    sh = token_table(docs, id_col, text_col).select(
+        F.col(id_col), shingles(F.col("tk"), n).alias("sh")
     )
-    return toks.select(
+    return sh.select(
         id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
 
@@ -91,81 +118,107 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _bucket_pairs(buckets: DataFrame, elem: str = "ds") -> Column:
+    """All ordered pairs (i < j) within a sorted collect_list column —
+    local array expansion, no self-join."""
+    ids = F.col(elem)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         threshold: float = 0.0) -> DataFrame:
-    """All-pairs n-gram Jaccard via the shingle self-join. Intersection
-    and set sizes are exact ints; Jaccard is one double division →
-    bit-identical across engines. Quadratic in per-shingle bucket size —
-    at scale, run on LSH candidates (minhash_candidates) instead."""
-    sh = shingle_table(docs, id_col, text_col, n)
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+    """All-pairs n-gram Jaccard via shingle bucketing: group docs per
+    shingle, expand pairs locally, count shared shingles per pair.
+    Intersection and set sizes are exact ints; Jaccard is one double
+    division → bit-identical across engines. Quadratic in per-shingle
+    bucket size — at scale, run on LSH candidates (minhash_candidates)
+    instead, or cap bucket size (a shingle shared by >10k docs separates
+    nothing)."""
+    st = shingle_table(docs, id_col, text_col, n)
+    buckets = (
+        st.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                                  F.col("n_sh")))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(F.explode(_bucket_pairs(buckets)).alias("p")).select(
+        F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("n_a"), F.col("p.b.n_sh").alias("n_b"),
+    )
+    agg = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count("*").alias("inter")
     )
     jac = (F.col("inter").cast("double")
            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
-    out = pairs.select("doc_a", "doc_b", "inter", "n_a", "n_b", jac.alias("jaccard"))
+    out = agg.select("doc_a", "doc_b", "inter", "n_a", "n_b", jac.alias("jaccard"))
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 5) -> DataFrame:
     """Per-doc MinHash signature: sig_j = min over shingles of
-    (a_j·H(s) + b_j) mod p. Computed as array ops over the shingle array —
-    no explode, no shuffle: one projection."""
-    toks = docs.select(
-        F.col(id_col), shingles(tokenize(clean_string(text_col)), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    hashes = F.transform(F.col("sh"), lambda s: portable_hash(s))
-    sig = F.array(*[
-        F.array_min(F.transform(hashes, lambda h: (h * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P))
+    (a_j·H(s) + b_j) mod p. Explode → hash once per shingle → ONE
+    groupBy(doc) with 16 codegen'd min() aggregates. The shuffle is on
+    doc_id (uniform — no skew); map-side partial mins shrink it to one
+    row per doc per partition."""
+    hashed = shingle_table(docs, id_col, text_col, n).select(
+        id_col, portable_hash(F.col("shingle")).alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"s{j}")
         for j in range(MINHASH_NUM)
-    ])
-    return toks.select(id_col, sig.alias("sig"))
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"s{j}") for j in range(MINHASH_NUM)]).alias("sig")
+    )
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 5) -> DataFrame:
     """LSH banding: signature cut into bands, each band rendered as a
-    join-able bucket key string."""
+    join-able bucket key string. ONE explode over the signature row —
+    the signature subtree executes once (not once per band)."""
     sigs = minhash_signatures(docs, id_col, text_col, n)
-    rows = []
-    for band in range(MINHASH_BANDS):
-        lo = band * MINHASH_ROWS
-        key = F.concat_ws(
-            "_", *[F.element_at("sig", lo + r + 1).cast("string") for r in range(MINHASH_ROWS)]
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.concat_ws("_", *[
+                F.element_at("sig", band * MINHASH_ROWS + r + 1).cast("string")
+                for r in range(MINHASH_ROWS)
+            ]).alias("band_key"),
         )
-        rows.append(sigs.select(
-            id_col, F.lit(band).alias("band_id"), key.alias("band_key")
-        ))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        for band in range(MINHASH_BANDS)
+    ])
+    return sigs.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 5) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any band bucket. One
-    equi-join per the banding relation — the scale path that replaces the
-    all-pairs join. Feed into ngram_jaccard on the candidate subset (or
-    trust signature similarity) to confirm."""
+    """Candidate near-dup pairs: docs sharing any band bucket. Bucket
+    groupBy + local pair expansion — one shuffle on (band_id, band_key),
+    signature pipeline runs once. Feed into ngram_jaccard on the
+    candidate subset (or trust signature similarity) to confirm."""
     bands = minhash_bands(docs, id_col, text_col, n)
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        buckets.select(F.explode(_bucket_pairs(buckets)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -176,9 +229,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     ``bits`` bit positions votes ±1 by the token hash's bit; the sign of
     the per-bit sum sets the fingerprint bit. Two grouped aggregations:
     (doc, bit) votes → doc fingerprint."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(tokenize(clean_string(text_col))).alias("token"),
+    toks = token_table(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("tk").alias("token")
     ).select(id_col, portable_hash(F.col("token")).alias("h"))
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     # shiftright/shiftleft builders take only literal shift amounts — the
@@ -199,7 +251,7 @@ def rolling_fingerprint(tokens: Column) -> Column:
     """Polynomial rolling hash over the token stream:
     fold(acc·31 + H(token) mod p). Order-sensitive — two docs with the
     same bag but different order fingerprint differently (unlike minhash).
-    Empty docs fingerprint to 0."""
+    Empty docs fingerprint to 0. Pass a MATERIALIZED token column."""
     folded = F.aggregate(
         tokens,
         F.lit(0).cast("bigint"),

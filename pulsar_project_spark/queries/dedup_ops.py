@@ -8,6 +8,7 @@ Every hash is md5-derived so DuckDB recomputes signatures bit-for-bit:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pulsar_project_spark.operators.dedup import (
     MINHASH_A,
@@ -22,8 +23,8 @@ from pulsar_project_spark.operators.dedup import (
     ngram_jaccard_pairs,
     rolling_fingerprint,
     simhash,
+    token_table,
 )
-from pulsar_project_spark.functions.text import clean_string, tokenize
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_table
 
@@ -186,5 +187,5 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream
     (document fingerprinting for the text-analysis suite)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(clean_string("text"))
-    return docs.select("doc_id", rolling_fingerprint(toks).alias("fingerprint"))
+    toks = token_table(docs)
+    return toks.select("doc_id", rolling_fingerprint(F.col("tk")).alias("fingerprint"))
