@@ -1,0 +1,144 @@
+"""Declared queries: similarity-search family (SURVEY.md §2.11 —
+vector-space generalization of ``simple_rag``, reference
+``utils.py:326-330``).
+
+The DuckDB oracles replay the exact same math: sequential-fold dot
+products (``list_reduce`` ≡ Spark ``aggregate``), the same md5-derived
+±1 hyperplanes inlined as literals on both sides, and integer-quantized
+centroid sums — every float in the output is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_project_spark.operators.similarity import (
+    HYPERPLANES,
+    QUANT_SCALE,
+    SRP_BITS,
+    SRP_DIM,
+    SRP_TABLES,
+    knn_cosine,
+    label_centroid_qsums,
+    srp_buckets,
+    srp_near_pairs,
+)
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_KNN_QUERIES = 10
+_KNN_K = 5
+_NEAR_THRESHOLD = 0.2
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(dim=SRP_DIM, a=a, b=b)
+
+
+def _norm_base_sql() -> str:
+    return (
+        "base AS (SELECT vec_id, embedding, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings)"
+    )
+
+
+def _bucket_expr(t: int) -> str:
+    terms = []
+    for j in range(SRP_BITS):
+        lits = ", ".join(f"{s}.0" for s in HYPERPLANES[t][j])
+        d = (
+            f"list_reduce(list_transform(generate_series(1, {SRP_DIM}), "
+            f"i -> embedding[i]::DOUBLE * ([{lits}])[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _buckets_sql() -> str:
+    parts = [
+        f"SELECT vec_id, {t} AS table_id, {_bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(SRP_TABLES)
+    ]
+    return "buckets AS (" + " UNION ALL ".join(parts) + ")"
+
+
+@declare(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH {_norm_base_sql()},
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      FROM base WHERE vec_id < {_KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         {_dot_sql('q.qe', 'b.embedding')} / (q.qn * b.nrm) AS cosine
+  FROM base b, q WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_KNN_K}
+""",
+)
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × one table scan →
+    per-query window top-k. The exact-ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine(emb, n_queries=_KNN_QUERIES, k=_KNN_K)
+
+
+@declare(
+    "srp_lsh_buckets",
+    oracle=f"WITH {_buckets_sql()}\nSELECT vec_id, table_id, bucket FROM buckets",
+)
+def q_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucket relation: 4 tables × 8 md5-derived hyperplane sign
+    bits. Pure projection — the scale path's index structure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_buckets(emb)
+
+
+@declare(
+    "srp_near_pairs",
+    oracle=f"""
+WITH {_buckets_sql()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+{_norm_base_sql()}
+SELECT c.vec_a, c.vec_b,
+       {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM cand c JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_THRESHOLD}
+""",
+)
+def q_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: LSH-bucketed candidates + exact cosine
+    confirm — the embedding analog of minhash_candidate_pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_near_pairs(emb, threshold=_NEAR_THRESHOLD)
+
+
+@declare(
+    "label_centroid_qsums",
+    oracle=f"""
+SELECT label, i AS pos,
+       sum(CAST(floor(embedding[i]::DOUBLE * {QUANT_SCALE}) AS BIGINT)) AS qsum,
+       count(*) AS n_vecs
+FROM embeddings, generate_series(1, {SRP_DIM}) AS t(i)
+GROUP BY label, i
+""",
+)
+def q_label_centroid_qsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sums, integer-quantized so the cross-row sum
+    is order-independent (safe under partial aggregation) — the k-means
+    update step primitive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_qsums(emb)
