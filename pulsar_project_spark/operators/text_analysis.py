@@ -1,0 +1,124 @@
+"""Text-analysis operators — north-star extension (SURVEY.md §2.11,
+generalizing the reference's tokenizer/stopword machinery
+``utils.py:291-316`` into the per-document scoring passes a training-data
+pipeline runs at 100 TB).
+
+All of these are single-projection, whole-stage-codegen column
+expressions over a materialized token array — no shuffle, no UDF: the
+ideal shape for a full-corpus scan (narrow, embarrassingly parallel,
+column-pruned to ``doc_id, text``).
+
+Determinism: every score is per-row arithmetic over integer counts
+(one division at the end) — bit-exact across engines; language argmax
+uses a fixed CASE preference order, never a float tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.functions.text import (
+    COMMON_ENGLISH_WORDS,
+    clean_string,
+    tokenize,
+)
+
+# Function-word profiles (public linguistic common knowledge). Scoring =
+# how many profile words occur in the doc's token set; predicted language
+# = argmax with fixed en>de>fr>es preference on ties, 'und' (undetermined)
+# when no profile hits at all.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "pour", "que", "dans"),
+    "es": ("el", "los", "las", "es", "en", "que", "por", "para", "con", "una"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+# BPE-ish pretokenizer (GPT-2-style, minus contractions): letter runs,
+# digit runs, punctuation runs — each optionally space-prefixed — plus
+# whitespace runs. RE2-safe (no lookaround) so DuckDB scores identically.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def profile_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    """How many profile words appear in the token array. Iterates the
+    LITERAL profile (tiny) against the doc's tokens — O(|profile|)
+    array_contains probes per row, not an explode."""
+    markers = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(markers, lambda m: F.array_contains(tokens, m)))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-doc language scores + argmax prediction."""
+    toks = docs.select(
+        F.col(id_col), tokenize(clean_string(text_col)).alias("tk")
+    )
+    scored = toks.select(
+        id_col,
+        *[profile_hits(F.col("tk"), LANG_PROFILES[lang]).alias(f"s_{lang}")
+          for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # fixed preference order breaks ties
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col, *[f"s_{lang}" for lang in LANG_ORDER], pred.alias("pred_lang")
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals (the C4/Gopher-style filter features):
+    token count, stopword ratio, alpha ratio, punctuation ratio, mean
+    token length, and a fixed-weight composite. One projection."""
+    stops = F.array(*[F.lit(w) for w in sorted(COMMON_ENGLISH_WORDS)])
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias("n_punct"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("n_alpha"),
+        tokenize(clean_string(t)).alias("tk"),
+    )
+    counted = base.select(
+        id_col, "n_chars", "n_punct", "n_alpha",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stops, x))).alias("n_stop"),
+        F.aggregate(F.col("tk"), F.lit(0), lambda acc, x: acc + F.length(x)).alias("tok_chars"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    nc = F.col("n_chars").cast("double")
+    stop_ratio = F.when(F.col("n_tokens") > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(F.col("n_chars") > 0, F.col("n_alpha") / nc).otherwise(F.lit(0.0))
+    punct_ratio = F.when(F.col("n_chars") > 0, F.col("n_punct") / nc).otherwise(F.lit(0.0))
+    mean_tok = F.when(F.col("n_tokens") > 0, F.col("tok_chars") / nt).otherwise(F.lit(0.0))
+    length_term = F.when(F.col("n_tokens") >= 20, F.lit(1.0)).otherwise(nt / 20.0)
+    # fixed parenthesization — the oracle states the identical expression
+    quality = ((F.lit(0.4) * stop_ratio) + (F.lit(0.3) * alpha_ratio)
+               + (F.lit(0.2) * length_term)) - (F.lit(0.1) * punct_ratio)
+    return counted.select(
+        id_col, "n_chars", "n_tokens", "n_stop",
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token-count pass: whitespace tokens vs BPE-ish pretokenizer
+    pieces (the 'how many tokens is this corpus' budgeting scan)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    bpe = F.regexp_count(t, F.lit(BPE_PATTERN)) - F.regexp_count(t, F.lit(r"\s+"))
+    return docs.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )

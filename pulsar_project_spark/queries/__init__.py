@@ -13,4 +13,5 @@ from pulsar_project_spark.queries import events_state  # noqa: F401
 from pulsar_project_spark.queries import extraction  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
+from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401
 from pulsar_project_spark.queries import text_ops  # noqa: F401

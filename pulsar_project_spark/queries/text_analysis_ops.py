@@ -1,0 +1,108 @@
+"""Declared queries: text-analysis family (SURVEY.md §2.11 — langid,
+quality scoring, token budgeting over ``documents``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_project_spark.functions.text import COMMON_ENGLISH_WORDS
+from pulsar_project_spark.operators.text_analysis import (
+    BPE_PATTERN,
+    LANG_ORDER,
+    LANG_PROFILES,
+    bpe_token_counts,
+    language_id,
+    quality_scores,
+)
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_TOKS = (
+    r"list_filter(string_split_regex(regexp_replace(lower(text), '[^\w\s]', '', 'g'), "
+    r"'\s+'), t -> t <> '')"
+)
+
+
+def _lits(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _hits(profile: str) -> str:
+    return f"len(list_filter({profile}, m -> list_contains(tk, m)))"
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        f"{_hits(_lits(LANG_PROFILES[lang]))} AS s_{lang}" for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    arms = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+scored AS (SELECT doc_id, {scores} FROM toks)
+SELECT doc_id, {', '.join(f's_{lang}' for lang in LANG_ORDER)},
+       CASE WHEN {best} <= 0 THEN 'und' {arms} END AS pred_lang
+FROM scored
+"""
+
+
+@declare("langid_profile_scores", oracle=_langid_sql())
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word profile hit counts + fixed-
+    preference argmax. One codegen projection over the corpus."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+_STOPS = _lits(sorted(COMMON_ENGLISH_WORDS))
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         {_TOKS} AS tk
+  FROM documents
+), counted AS (
+  SELECT doc_id, n_chars, n_punct, n_alpha,
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> list_contains({_STOPS}, x))) AS n_stop,
+         list_reduce(list_prepend(0, list_transform(tk, x -> length(x))),
+                     (a, b) -> a + b) AS tok_chars
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_stop,
+       CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+       CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN tok_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+       ((0.4 * (CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END))
+        + (0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END))
+        + (0.2 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20.0 END)))
+       - (0.1 * (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) AS quality_score
+FROM counted
+"""
+
+
+@declare("quality_scores", oracle=_QUALITY_SQL)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality signals + fixed-weight composite. All
+    per-row integer counts with one final division — bit-exact floats."""
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))
+         - len(regexp_extract_all(text, '\\s+')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting: whitespace tokens vs BPE-ish pretokenizer
+    pieces (leftmost-first alternation — identical in Java regex and
+    RE2, verified by the oracle)."""
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"))
