@@ -1,0 +1,170 @@
+"""Multimodal column operators — north-star extension (SURVEY.md §2.11,
+generalizing the reference's ``ExtractedFile{type, format, metadata}``
+record, ``task.py:10-24``, to binary media columns at 100 TB).
+
+Design: media are opaque ``BINARY`` columns with a typed metadata struct
+riding alongside — parquet stores both natively, column pruning means a
+metadata-only query never reads the bytes. All per-asset compute runs as
+Arrow-batched ``mapInPandas`` (one Python roundtrip per batch, zero
+driver involvement, embarrassingly parallel across partitions — the
+only sane shape for per-image work on a 1000-executor cluster).
+
+The image/audio codec libraries are not in this container, so the codec
+call itself is STUBBED: ``decode_image_meta`` ships a deterministic
+fake decoder (byte-length-derived dimensions + md5 checksum) and the
+real-codec hook raises ``NotImplementedError`` behind an import-try.
+Everything AROUND the codec — schemas, binary handling, Arrow batch
+shapes, partition parallelism, the byte-level numpy feature pass — is
+real and oracle-tested (``byte_histogram_features`` recomputes the
+numpy histogram in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+# Typed metadata carried next to every binary payload.
+ASSET_META_SCHEMA = StructType([
+    StructField("modality", StringType()),      # image | audio | video | text
+    StructField("fmt", StringType()),           # png | jpeg | wav | mp4 | txt
+    StructField("width", IntegerType()),        # images/video, else null
+    StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),  # audio, else null
+    StructField("duration_ms", IntegerType()),  # audio/video, else null
+])
+
+_MODS = ("image", "audio", "video", "text")
+_FMTS = {"image": "png", "audio": "wav", "video": "mp4", "text": "txt"}
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", StringType()),
+    StructField("dec_width", IntegerType()),
+    StructField("dec_height", IntegerType()),
+])
+
+HISTOGRAM_BINS = 16
+HIST_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("bin", IntegerType()),
+    StructField("n", LongType()),
+])
+
+
+def as_assets(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Deterministic asset table from ``documents``: the text bytes act
+    as the opaque payload, modality assigned round-robin by id. This is
+    the fixture builder — a real pipeline reads parquet with the same
+    schema directly."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODS]), (F.col(id_col) % 4 + 1).cast("int")
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(_FMTS[m]) for m in _MODS]), (F.col(id_col) % 4 + 1).cast("int")
+    )
+    content = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        modality.alias("modality"),
+        fmt.alias("fmt"),
+        F.when(modality == "image", (F.octet_length(content) % 640 + 1).cast("int"))
+         .alias("width"),
+        F.when(modality == "image", (F.octet_length(content) % 480 + 1).cast("int"))
+         .alias("height"),
+        F.when(modality == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(modality != "image", (F.octet_length(content) * 10).cast("int"))
+         .alias("duration_ms"),
+    )
+    return docs.select(
+        F.col(id_col), content.alias("content"), meta.alias("meta")
+    )
+
+
+def _real_decode(content: bytes, fmt: str):  # pragma: no cover - codec stub
+    """Real codec hook. The container ships no PIL/libav — gate it."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image/audio codecs unavailable in this environment; "
+            "deterministic fake decode is the supported path"
+        ) from exc
+    raise NotImplementedError("real decode wired when codecs are present")
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode pass: one ``mapInPandas`` over (id, content,
+    meta). Fake-decodes dimensions from the payload deterministically;
+    md5 checksum is real byte-level work the oracle can verify."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = pdf["content"]
+            n_bytes = content.map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": n_bytes.astype("int64"),
+                "checksum": content.map(lambda b: hashlib.md5(b).hexdigest()),
+                "dec_width": (n_bytes % 640 + 1).astype("int32"),
+                "dec_height": (n_bytes % 480 + 1).astype("int32"),
+            })
+
+    flat = assets.select("doc_id", "content", F.col("meta.modality").alias("modality"))
+    return flat.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def byte_histogram(assets: DataFrame, bins: int = HISTOGRAM_BINS) -> DataFrame:
+    """Byte-level feature extraction: 16-bin histogram of payload bytes
+    via numpy inside ``mapInPandas`` (the feature-extract stage of an
+    image pipeline, minus the codec). Long-format output so the result
+    is a relation, not a nested array — joins/aggregations downstream
+    stay relational."""
+    import numpy as np
+
+    width = 256 // bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bs, ns = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                counts = np.bincount(arr // width, minlength=bins)
+                nz = np.nonzero(counts)[0]
+                ids.extend([doc_id] * len(nz))
+                bs.extend(nz.tolist())
+                ns.extend(counts[nz].tolist())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bin": pd.Series(bs, dtype="int32"),
+                "n": pd.Series(ns, dtype="int64"),
+            })
+
+    return assets.select("doc_id", "content").mapInPandas(batches, HIST_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: which timestamps to decode per asset
+    (the planning half is pure SQL — the codec half is the stub). One
+    row per planned frame via explode over a sequence — no UDF."""
+    video = assets.filter(F.col("meta.modality") == "video")
+    ts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return video.select(
+        "doc_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.explode(ts).alias("frame_ts_ms"),
+    )

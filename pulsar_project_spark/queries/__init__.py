@@ -11,6 +11,7 @@ from pulsar_project_spark.queries import coercion_ops  # noqa: F401
 from pulsar_project_spark.queries import dedup_ops  # noqa: F401
 from pulsar_project_spark.queries import events_state  # noqa: F401
 from pulsar_project_spark.queries import extraction  # noqa: F401
+from pulsar_project_spark.queries import multimodal_ops  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
 from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401

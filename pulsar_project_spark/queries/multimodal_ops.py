@@ -1,0 +1,110 @@
+"""Declared queries: multimodal-column family (SURVEY.md §2.11).
+
+The decode/feature passes run as Arrow-batched ``mapInPandas`` in Spark;
+the oracles recompute the same deterministic results in SQL (the corpus
+is ASCII, so byte == character code), proving the Pandas-UDF plumbing
+end-to-end — batch shapes, binary transport, typed output schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.operators.multimodal import (
+    as_assets,
+    byte_histogram,
+    decode_image_meta,
+    frame_sample_plan,
+)
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_MOD_SQL = "(['image', 'audio', 'video', 'text'])[(doc_id % 4) + 1]"
+_FMT_SQL = "(['png', 'wav', 'mp4', 'txt'])[(doc_id % 4) + 1]"
+_NB = "octet_length(encode(text))"
+
+
+@declare(
+    "multimodal_asset_catalog",
+    oracle=f"""
+SELECT doc_id,
+       {_MOD_SQL} AS modality,
+       {_FMT_SQL} AS fmt,
+       {_NB} AS n_bytes,
+       md5(text) AS content_md5,
+       CASE WHEN {_MOD_SQL} = 'image' THEN ({_NB} % 640 + 1) END AS width,
+       CASE WHEN {_MOD_SQL} = 'image' THEN ({_NB} % 480 + 1) END AS height,
+       CASE WHEN {_MOD_SQL} = 'audio' THEN 16000 END AS sample_rate,
+       CASE WHEN {_MOD_SQL} <> 'image' THEN {_NB} * 10 END AS duration_ms
+FROM documents
+""",
+)
+def q_asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection over the asset table — column pruning
+    means the binary payload is never read (check ReadSchema)."""
+    assets = as_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.fmt").alias("fmt"),
+        F.octet_length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@declare(
+    "image_decode_stub",
+    oracle=f"""
+SELECT doc_id,
+       {_MOD_SQL} AS modality,
+       {_NB} AS n_bytes,
+       md5(text) AS checksum,
+       {_NB} % 640 + 1 AS dec_width,
+       {_NB} % 480 + 1 AS dec_height
+FROM documents
+""",
+)
+def q_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pass through real mapInPandas plumbing (Arrow batches
+    of binary payloads → typed rows); the codec itself is the
+    deterministic stub, so the oracle can replay it."""
+    assets = as_assets(load_table(spark, sf_dir, "documents"))
+    return decode_image_meta(assets)
+
+
+@declare(
+    "byte_histogram_features",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+)
+SELECT doc_id, ascii(substring(text, i, 1)) // 16 AS bin, count(*) AS n
+FROM pos GROUP BY doc_id, bin
+""",
+)
+def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy feature extraction over binary payloads inside mapInPandas —
+    real byte-level work, verified against a pure-SQL replay (ASCII
+    corpus ⇒ byte == character code)."""
+    assets = as_assets(load_table(spark, sf_dir, "documents"))
+    return byte_histogram(assets)
+
+
+@declare(
+    "video_frame_sample_plan",
+    oracle=f"""
+SELECT doc_id, dur AS duration_ms,
+       unnest(generate_series(0, greatest(dur - 1, 0), 1000)) AS frame_ts_ms
+FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE doc_id % 4 = 2)
+""",
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: pure-SQL half of video sampling (explode a
+    timestamp sequence per asset); the codec half is the stub."""
+    assets = as_assets(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(assets, every_ms=1000)
