@@ -14,5 +14,6 @@ from pulsar_project_spark.queries import extraction  # noqa: F401
 from pulsar_project_spark.queries import multimodal_ops  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
+from pulsar_project_spark.queries import streaming_ops  # noqa: F401
 from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401
 from pulsar_project_spark.queries import text_ops  # noqa: F401

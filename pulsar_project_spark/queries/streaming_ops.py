@@ -1,0 +1,40 @@
+"""Declared queries: Structured Streaming surface (SURVEY.md §2.9).
+
+No ``oracle_sql`` entries — these run genuine streaming jobs
+(checkpointed state store, watermarks, applyInPandasWithState), which
+the driver covers with the weaker rows-only check. Their BATCH twins
+are fully oracle-checked elsewhere (microbatch_rollup, keep_last_n_per_user,
+orders_by_month…), and tests/test_streaming.py asserts streaming == batch
+— closing the chain stream → batch → DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.streaming import (
+    run_keep_last_state,
+    run_topic_frequencies,
+    run_windowed_counts,
+)
+
+
+@declare("streaming_topic_frequencies")
+def q_streaming_topic_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming aggregation (reference topic upsert +
+    frequency++, memory.py:315-344) driven to completion via availableNow."""
+    return run_topic_frequencies(spark, sf_dir)
+
+
+@declare("streaming_windowed_counts")
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling windows, append mode."""
+    return run_windowed_counts(spark, sf_dir)
+
+
+@declare("streaming_keep_last_state")
+def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user last-N tail (records[-n:],
+    memory.py:125, as managed streaming state)."""
+    return run_keep_last_state(spark, sf_dir)

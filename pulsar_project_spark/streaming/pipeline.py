@@ -1,0 +1,180 @@
+"""Structured Streaming surface (SURVEY.md §2.9, §3.3).
+
+The reference's event flow — messages append per turn, memory state
+(topic frequencies, retention tails, rolling summaries) updates per
+micro-batch of 5 records (``client.py:323-324`` → ``memory.py:263-357``)
+— re-expressed as Structured Streaming over the ``events`` table:
+
+* **topic frequencies** (``memory.py:315-344`` upsert + frequency++):
+  a streaming groupBy aggregation in *complete* mode. Spark's state
+  store owns the running counts (checkpointed, exactly-once) — no
+  hand-rolled read-modify-write merge, which is the whole point of
+  doing this on Spark: at 100 TB/day of events the state store shards
+  across executors and survives failures.
+* **windowed rates** (the watermark/late-data extension the reference
+  lacks, SURVEY.md §2.9): event-time tumbling windows with a watermark;
+  append mode emits only finalized windows.
+* **keep-last-N session tails** (``memory.py:125``, ``task.py:620-623``):
+  ``applyInPandasWithState`` keyed by user — the custom stateful
+  operator pattern for semantics Spark's built-ins don't cover.
+
+Every ``run_*`` helper drives the stream with ``availableNow`` and
+returns the materialized result, so streaming results are directly
+comparable to their batch-formulation twins (which ARE oracle-checked —
+tests assert streaming == batch).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet. Schema is taken from
+    a batch peek (file streams need an explicit schema); ``ts`` arrives
+    as BIGINT nanos and is normalized to ``ts_us`` like the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # file stream sources want a DIRECTORY (new files arrive over time);
+    # the test corpus is a single file — stage it behind a symlink dir.
+    # A real deployment points this at the landing directory directly.
+    stage = tempfile.mkdtemp(prefix="events_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.load(stage)
+    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+def _drain(sdf: DataFrame, checkpoint: str | None = None, mode: str = "append",
+           sink_path: str | None = None) -> None:
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    w = (
+        sdf.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    if sink_path:
+        q = w.format("parquet").option("path", sink_path).start()
+    else:
+        q = w.format("noop").start()
+    q.awaitTermination()
+
+
+def run_topic_frequencies(spark: SparkSession, sf_dir: str,
+                          state_dir: str | None = None) -> DataFrame:
+    """Streaming topic-frequency state (reference upsert+frequency++,
+    ``memory.py:319-323``): complete-mode aggregation, checkpointed
+    state store, foreachBatch overwrite of the serving table."""
+    out_dir = state_dir or tempfile.mkdtemp(prefix="topics_")
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(F.count("*").alias("frequency"),
+             F.max("ts_us").alias("last_updated_us"))
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def run_windowed_counts(spark: SparkSession, sf_dir: str,
+                        window: str = "1 hour",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window rates with a watermark — the
+    late-data-tolerant aggregation the reference lacks. Append mode:
+    only watermark-finalized windows are emitted."""
+    sink_dir = tempfile.mkdtemp(prefix="win_")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type", "n",
+        )
+    )
+    _drain(agg, mode="append", sink_path=sink_dir)
+    return spark.read.parquet(sink_dir)
+
+
+_TAIL_STATE = StructType([StructField("tail", StringType())])
+_TAIL_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_seen", LongType()),
+    StructField("tail_event_ids", StringType()),
+])
+
+
+def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    ring buffer of the last N event ids (the reference's ``records[-n:]``
+    tail as *streaming state* instead of a batch window). State value is
+    a compact string-encoded id list — tiny, shard-keyed by user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        seen = 0
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                parts = packed.split("|")
+                seen = int(parts[0])
+                ids = [int(x) for x in parts[1].split(",")] if parts[1] else []
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts_us", "event_id"])
+        seen += len(rows)
+        ids = (ids + rows["event_id"].tolist())[-n:]
+        state.update((f"{seen}|{','.join(str(i) for i in ids)}",))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_seen": [seen],
+            "tail_event_ids": [",".join(str(i) for i in ids)],
+        })
+
+    sink_dir = tempfile.mkdtemp(prefix="tail_")
+    ev = events_stream(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update, _TAIL_OUT, _TAIL_STATE, "Update", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)

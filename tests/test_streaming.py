@@ -1,0 +1,70 @@
+"""Streaming == batch parity (SURVEY.md §2.9 test strategy): each
+streaming pipeline's final state must equal its batch formulation —
+and the batch formulations are oracle-checked elsewhere, so the chain
+stream → batch → DuckDB is closed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_topic_frequencies_stream_matches_batch(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_topic_frequencies
+
+    got = run_topic_frequencies(spark, SF_SMOKE).orderBy("topic").collect()
+    want = (
+        load_events(spark, SF_SMOKE)
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(F.count("*").alias("frequency"), F.max("ts_us").alias("last_updated_us"))
+        .orderBy("topic")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_windowed_counts
+
+    got = run_windowed_counts(spark, SF_SMOKE)
+    ev = load_events(spark, SF_SMOKE).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    want = (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "event_type", "n")
+    )
+    # availableNow append mode: every window at-or-before the final
+    # watermark is emitted; with a bounded input that is all but the
+    # trailing watermark margin — assert emitted ⊆ batch and ≥ 90%.
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    assert len(got_rows) >= 0.9 * len(want_rows)
+
+
+def test_keep_last_state_matches_batch_tail(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_keep_last_state
+
+    got = run_keep_last_state(spark, SF_SMOKE, n=5)
+    ev = load_events(spark, SF_SMOKE)
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts_us", "event_id"))).alias("s"))
+        .select(
+            "user_id",
+            F.size("s").alias("n_seen"),
+            F.concat_ws(",", F.transform(
+                F.expr("slice(s, greatest(size(s) - 4, 1), 5)"),
+                lambda x: x["event_id"].cast("string"),
+            )).alias("tail_event_ids"),
+        )
+    )
+    got_map = {r["user_id"]: (r["n_seen"], r["tail_event_ids"]) for r in got.collect()}
+    want_map = {r["user_id"]: (r["n_seen"], r["tail_event_ids"]) for r in want.collect()}
+    assert got_map == want_map
