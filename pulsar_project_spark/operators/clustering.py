@@ -1,0 +1,71 @@
+"""Connected components over near-dup candidate pairs — the clustering
+step that turns pairwise dedup verdicts (SURVEY.md §2.11) into "keep one
+document per duplicate cluster".
+
+Iterative min-label propagation on DataFrames:
+
+    label(n) ← min(label(n), min over neighbors label(nb))
+
+repeated to fixpoint. Each round is one join + one groupBy (both
+shuffles keyed by node id — uniform, no skew beyond the graph's own
+degree skew), and ``localCheckpoint`` truncates the lineage so round
+N's plan doesn't embed rounds 1..N-1 (without it the plan doubles per
+iteration and the optimizer chokes by round ~15). Diameter bounds the
+round count: near-dup clusters are short chains, so convergence is
+typically ≤ 5 rounds; the cap is a safety rail.
+
+This is the canonical Spark shape for iterative graph algorithms when
+GraphFrames isn't available — same structure as Pregel-style label
+propagation, one superstep per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str = "id",
+                         src: str = "a", dst: str = "b",
+                         max_rounds: int = 25) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+    ``nodes``: one column ``node_col`` (isolated nodes allowed — they
+    become singleton components). ``edges``: undirected pairs."""
+    both = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            both.join(labels, both["m"] == labels["n"], "inner")
+            .select(both["n"].alias("n"), F.col("label"))
+            .groupBy("n")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "n")
+            .filter(F.col("u.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(node_col), F.col("label").alias("component"))

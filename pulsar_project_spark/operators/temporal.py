@@ -1,0 +1,91 @@
+"""Temporal join operators: as-of and range/attribution joins.
+
+The reference has no general join operator at all (SURVEY.md §2.3 —
+every lookup is a dict probe), but its data model is event-ordered
+(messages, logs, records), and the canonical event-stream questions —
+"state as of this moment", "activity within this window" — need the
+two join shapes Spark lacks as built-ins:
+
+* **as-of join** — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as the UNION + WINDOW
+  sort-merge: tag sides, union, one window pass per key ordered by
+  (ts, side, tiebreak) carrying ``last(right_payload, ignorenulls)``
+  forward, keep left rows. ONE shuffle+sort on (key, ts) — no join
+  node, no per-row probe, scales as a sort. (A broadcast-range or
+  bucketed implementation only wins when one side is tiny; this form
+  is the 100 TB default.)
+* **range join** — left rows matched to right rows within a time
+  interval, equi-keyed: expressed as an equi-join on the key with the
+  range as a residual condition — Catalyst executes the equi hash/sort
+  join and applies the band filter on matches; skew on hot keys is
+  AQE's problem (skewJoin enabled in our session factory).
+
+Determinism: ties at equal ts resolve by a caller-named tiebreak
+column on the right side (max wins), matching the deduped-right ASOF
+semantics the DuckDB oracle replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              payload: list[str], tiebreak: str) -> DataFrame:
+    """Left as-of join: latest right row (by ``ts``, ties → max
+    ``tiebreak``) at-or-before each left row's ``ts``, per ``key``.
+
+    Right is deduped to one row per (key, ts) first — max tiebreak wins
+    — so the match is uniquely defined (the oracle's ASOF JOIN needs
+    the same dedup to be deterministic)."""
+    dedup_w = Window.partitionBy(key, ts).orderBy(F.desc(tiebreak))
+    r = (
+        right.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    l_tagged = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+    )
+    r_tagged = r.select(
+        F.col(key), F.col(ts), F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "__side", "__l",
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}") for c in payload],
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    return carried.filter(F.col("__side") == 1).select(
+        *out_cols, *[F.col(f"__p_{c}").alias(f"asof_{c}") for c in payload]
+    )
+
+
+def range_attribution(left: DataFrame, right: DataFrame, key: str, ts: str,
+                      lookback: int, agg_cols: list[Column]) -> DataFrame:
+    """Per left row, aggregate right rows with
+    ``left.ts - lookback <= right.ts <= left.ts`` on the same key
+    (e.g., clicks attributed to a purchase within the window). Left
+    rows with no matches survive with zero/null aggregates."""
+    lt, rt = F.col(f"l.{ts}"), F.col(f"r.{ts}")
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt - lookback) & (rt <= lt),
+        "left",
+    )
+    return joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in left.columns]).agg(*agg_cols)

@@ -7,13 +7,16 @@ Importing this package registers every declared query into
 from pulsar_project_spark.queries import agg_ops  # noqa: F401
 from pulsar_project_spark.queries import analytics  # noqa: F401
 from pulsar_project_spark.queries import catalog_ops  # noqa: F401
+from pulsar_project_spark.queries import clustering_ops  # noqa: F401
 from pulsar_project_spark.queries import coercion_ops  # noqa: F401
 from pulsar_project_spark.queries import dedup_ops  # noqa: F401
 from pulsar_project_spark.queries import events_state  # noqa: F401
 from pulsar_project_spark.queries import extraction  # noqa: F401
+from pulsar_project_spark.queries import grouping_ops  # noqa: F401
 from pulsar_project_spark.queries import multimodal_ops  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
 from pulsar_project_spark.queries import streaming_ops  # noqa: F401
+from pulsar_project_spark.queries import temporal_ops  # noqa: F401
 from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401
 from pulsar_project_spark.queries import text_ops  # noqa: F401

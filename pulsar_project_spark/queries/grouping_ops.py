@@ -1,0 +1,61 @@
+"""Declared queries: multi-level aggregation (ROLLUP / grouping sets).
+
+Absent from the reference (SURVEY.md §2.4 "no grouping sets") but part
+of a complete analytic surface; revenue runs in DECIMAL so subtotal
+sums are order-independent under partial aggregation. NULL group keys
+from rollup levels are coalesced to 'ALL' on both sides — unambiguous
+here because r_name/n_name are never null in the data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+@declare(
+    "revenue_rollup_region_nation",
+    oracle=f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → grand-total revenue rollup. The fact table
+    joins only broadcast dimensions (customer/nation/region), then ONE
+    shuffle computes every rollup level (Spark Expand + partial agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue", "n_items",
+        )
+    )
