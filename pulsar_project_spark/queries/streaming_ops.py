@@ -38,3 +38,14 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user last-N tail (records[-n:],
     memory.py:125, as managed streaming state)."""
     return run_keep_last_state(spark, sf_dir)
+
+
+@declare("mq_pipeline_roundtrip")
+def q_mq_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pulsar-shaped MQ pipeline: produce events as keyed binary
+    messages → stream-consume → decode → aggregate → publish to an
+    output topic → read it back (sources.mq; BASELINE.json north star
+    'Structured Streaming + Pulsar source/sink')."""
+    from pulsar_project_spark.sources.mq import roundtrip_pipeline
+
+    return roundtrip_pipeline(spark, sf_dir)
