@@ -37,32 +37,33 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     """Left as-of join: latest right row (by ``ts``, ties → max
     ``tiebreak``) at-or-before each left row's ``ts``, per ``key``.
 
-    Right is deduped to one row per (key, ts) first — max tiebreak wins
-    — so the match is uniquely defined (the oracle's ASOF JOIN needs
-    the same dedup to be deterministic)."""
-    dedup_w = Window.partitionBy(key, ts).orderBy(F.desc(tiebreak))
-    r = (
-        right.withColumn("__rn", F.row_number().over(dedup_w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    Ties (several right rows at one (key, ts)) resolve to max
+    ``tiebreak`` WITHOUT a pre-dedup pass: the merge window orders by
+    (ts, side, tiebreak), so among equal-ts right rows the max-tiebreak
+    one sorts last and ``last(...)`` carries it — equivalent to the
+    oracle's ASOF JOIN against a max-tiebreak-deduped right side, in
+    ONE shuffle+sort instead of two."""
     l_tagged = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("__side"),
+        F.col(tiebreak).alias("__tb") if tiebreak in left.columns
+        else F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
     )
-    r_tagged = r.select(
+    r_tagged = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
         F.lit(None).cast(
             l_tagged.schema["__l"].dataType
         ).alias("__l"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
     merged = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → "<=" semantics;
+    # tiebreak asc → max tiebreak is the carried (last) right row
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

@@ -1,0 +1,86 @@
+"""Physical-plan audit: .explain('formatted') every declared query and
+flag scale red-flags. The '100 TB question' as a script:
+
+* CartesianProduct / BroadcastNestedLoopJoin — quadratic or broadcast-
+  the-world joins (unless the query is an intentional small-×-scan).
+* SortMergeJoin against a dimension table that should broadcast.
+* Parquet scans with no PushedFilters where the query filters a scan
+  column (pushdown lost).
+* Exchange (shuffle) count — not a failure, but the number to justify.
+
+Usage: python tools/explain_audit.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+# queries where a nested-loop/cartesian shape is the algorithm (tiny
+# broadcast side by construction), not an accident
+ALLOWED_NESTED_LOOP = {
+    "knn_cosine_topk",          # |queries| = 10, broadcast by design
+    "simple_rag_topk",          # constant query row
+    "keyword_score_scan",
+    "kv_lookup_miss_message",   # 5-row probe side
+}
+
+
+def audit(name: str, df) -> list[str]:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    flags = []
+    if name not in ALLOWED_NESTED_LOOP:
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append("BroadcastNestedLoopJoin")
+    n_shuffles = len(re.findall(r"\bExchange\b", plan))
+    n_smj = len(re.findall(r"\bSortMergeJoin\b", plan))
+    scans = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    empty_pushed = sum(1 for s in scans if not s.strip())
+    summary = f"shuffles={n_shuffles} smj={n_smj} scans={len(scans)} scans_nofilter={empty_pushed}"
+    return flags, summary, plan
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from pulsar_project_spark.session import get_spark
+
+    spark = get_spark("explain_audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_flagged = 0
+    for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
+        if name.startswith("streaming_") or name == "mq_pipeline_roundtrip":
+            continue  # streaming plans are per-microbatch; audited separately
+        try:
+            df = fn(spark, sf_dir)
+            flags, summary, plan = audit(name, df)
+        except Exception as ex:
+            print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            n_flagged += 1
+            continue
+        tag = "FLAG" if flags else "ok  "
+        if flags:
+            n_flagged += 1
+        print(f"{tag} {name}: {summary}{(' ' + ','.join(flags)) if flags else ''}")
+        if flags and "-v" in sys.argv:
+            print(plan)
+    print(f"\n{n_flagged} flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
