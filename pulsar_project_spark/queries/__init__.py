@@ -6,6 +6,7 @@ Importing this package registers every declared query into
 
 from pulsar_project_spark.queries import agg_ops  # noqa: F401
 from pulsar_project_spark.queries import analytics  # noqa: F401
+from pulsar_project_spark.queries import analytics2  # noqa: F401
 from pulsar_project_spark.queries import args_ops  # noqa: F401
 from pulsar_project_spark.queries import catalog_ops  # noqa: F401
 from pulsar_project_spark.queries import clustering_ops  # noqa: F401

@@ -1,0 +1,99 @@
+"""Declared queries: additional star-schema analytics (TPC-H Q3-shaped
+shipping priority, customer-LTV segmentation) — widening the analytic
+surface with filter-pushdown-heavy multi-join plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _rev():
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+
+
+@declare(
+    "shipping_priority_top10",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O' AND l_shipdate > o_orderdate
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: both scans carry pushed-down predicates
+    (o_orderstatus to the orders scan; the ship-after-order band is a
+    join residual), one agg, global top-10 with tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey)
+                & (li.l_shipdate > orders.o_orderdate))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@declare(
+    "customer_ltv_segments",
+    oracle="""
+WITH ltv AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+         count(*) AS n_orders
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, lifetime_value, n_orders,
+       CASE WHEN lifetime_value >= 1000000 THEN 'platinum'
+            WHEN lifetime_value >= 500000 THEN 'gold'
+            WHEN lifetime_value >= 100000 THEN 'silver'
+            ELSE 'bronze' END AS segment
+FROM ltv
+""",
+)
+def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value + fixed-threshold segmentation: orders
+    fact shuffles once on custkey; customer/nation broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    ltv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+             .alias("lifetime_value"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    seg = (
+        F.when(F.col("lifetime_value") >= 1_000_000, "platinum")
+        .when(F.col("lifetime_value") >= 500_000, "gold")
+        .when(F.col("lifetime_value") >= 100_000, "silver")
+        .otherwise("bronze")
+    )
+    return ltv.select(
+        "c_custkey", "c_name", "n_name", "lifetime_value", "n_orders",
+        seg.alias("segment"),
+    )
