@@ -35,11 +35,15 @@ _TOKS = (
     r"'\s+'), t -> t <> '')"
 )
 
-# 5-gram distinct shingles, 1-based inclusive list slicing.
+# 5-gram distinct shingles as polynomial hashes of the md5 token hashes
+# (fold h·31 + h_next, < 2^52 — no overflow): matches the engine's
+# codegen'd lead-window combine bit-for-bit. 1-based inclusive slicing.
+_TOKHASH = _H.format(expr="t")
 _SHINGLES = (
     "CASE WHEN len(tk) >= 5 THEN list_distinct(list_transform("
-    "generate_series(1, len(tk) - 4), i -> array_to_string(tk[i:i+4], ' '))) "
-    "ELSE [] END"
+    "generate_series(1, len(tk) - 4), i -> "
+    f"list_reduce(list_transform(tk[i:i+4], t -> {_TOKHASH}), (a, b) -> a * 31 + b)"
+    ")) ELSE [] END"
 )
 
 
@@ -79,7 +83,7 @@ GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-gram Jaccard near-dup pairs via the shingle self-join (exact
+    """5-gram Jaccard near-dup pairs via shingle bucketing (exact
     verifier; the scale path feeds LSH candidates into this)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs)
@@ -87,19 +91,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sig_sql() -> str:
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}))"
-        f" AS s{j}"
+        f"min((sh * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}) AS s{j}"
         for j in range(MINHASH_NUM)
     )
     return f"""
 sigs AS (
   SELECT doc_id, {mins}
   FROM (
-    SELECT doc_id, list_transform(shl, s -> {_H.format(expr='s')}) AS hs
+    SELECT doc_id, unnest(shl) AS sh
     FROM (SELECT doc_id, {_SHINGLES} AS shl
           FROM (SELECT doc_id, {_TOKS} AS tk FROM documents))
-    WHERE len(shl) > 0
   )
+  GROUP BY doc_id
 )
 """
 
@@ -121,9 +124,10 @@ def _bands_sql() -> str:
            "SELECT doc_id, band_id, band_key FROM bands",
 )
 def q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH banding relation: 16 md5-derived universal hashes, 4
-    bands × 4 rows. Pure projection + array ops — no explode, no shuffle;
-    the bucket table that LSH candidate joins run on."""
+    """MinHash LSH banding relation: 16 universal hashes over polynomial
+    shingle hashes, 4 bands × 4 rows — one codegen'd groupBy(doc) for
+    the signatures, one explode for the bands; the bucket table that
+    LSH candidate grouping runs on."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_bands(docs)
 
