@@ -1,0 +1,76 @@
+"""Lloyd's k-means over the embedding table — iterative DataFrame ML
+(SURVEY.md §2.11 similarity family; the clustering counterpart of the
+centroid building block in operators/similarity.py).
+
+Distributed determinism by construction: every coordinate is quantized
+to BIGINT (``floor(v·1e6)``), distances are integer sums of squares,
+centroid updates are integer floor-divisions — so the result is
+EXACTLY reproducible regardless of partitioning, partial-aggregation
+order, or cluster size, and a numpy replica asserts equality in tests.
+(Float k-means differs in the last bits across reduction orders, which
+makes distributed runs non-reproducible — the classic trap.)
+
+Per iteration: one broadcast of k centroids (tiny), one narrow
+assignment pass (argmin over k via a window on (vec, dist)), one
+groupBy(label, pos) shuffle for the update — Lloyd's at 100 TB is
+exactly these three steps; ``localCheckpoint`` truncates plan lineage
+per round (see operators/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1_000_000
+
+
+def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    qv = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * QUANT).cast("bigint")
+    )
+    return emb.select(F.col(id_col), qv.alias("qv"))
+
+
+def _sq_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, label, sq_dist) after ``iters`` Lloyd rounds. Init:
+    centroids = the first k vectors by id (deterministic, no RNG)."""
+    q = _quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
+    cent = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("label"), F.col("qv").alias("qc")
+    ).localCheckpoint(eager=True)
+
+    assign = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            id_col, "qv", "label", _sq_dist(F.col("qv"), F.col("qc")).alias("sq_dist")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("sq_dist"), F.asc("label"))
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "qv", "label", "sq_dist")
+        )
+        # update: quantized mean per (label, dim) — floor(sum/count) in
+        # double (sums < 2^34, exact in float64; numpy replica matches)
+        upd = (
+            assign.select("label", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("c"))
+        )
+        cent = (
+            upd.groupBy("label")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "label",
+                F.transform(F.col("pc"), lambda s: s["c"]).alias("qc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign.select(id_col, "label", "sq_dist")

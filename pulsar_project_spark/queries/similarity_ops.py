@@ -126,6 +126,17 @@ def q_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_pairs(emb, threshold=_NEAR_THRESHOLD)
 
 
+@declare("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd's k-means (operators/kmeans.py): iterative, so no
+    SQL oracle — rows-only here; tests/test_kmeans.py asserts EXACT
+    equality with a driver-side numpy replica (integer math throughout)."""
+    from pulsar_project_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=3)
+
+
 @declare(
     "label_centroid_qsums",
     oracle=f"""
