@@ -43,11 +43,14 @@ BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 
 def profile_hits(tokens: Column, words: tuple[str, ...]) -> Column:
-    """How many profile words appear in the token array. Iterates the
-    LITERAL profile (tiny) against the doc's tokens — O(|profile|)
-    array_contains probes per row, not an explode."""
+    """How many profile words appear in the token array. ``array_intersect``
+    (hash-set build over the tokens, codegen) — NOT a higher-order
+    ``filter(markers, m -> array_contains(tokens, m))`` lambda, which runs
+    interpreted and probes the token array once per profile word (measured
+    5× slower at sf0.1). Equivalent because profiles are duplicate-free:
+    |intersect(profile, tokens)| == #profile words present."""
     markers = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(markers, lambda m: F.array_contains(tokens, m)))
+    return F.size(F.array_intersect(markers, tokens))
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id",
