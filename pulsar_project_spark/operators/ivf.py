@@ -1,0 +1,84 @@
+"""IVF (inverted-file) approximate nearest-neighbor search — the scale
+path for similarity search (SURVEY.md §2.11), complementing SRP-LSH.
+
+Structure is the classic IVF-Flat design (public: FAISS paper, Johnson
+et al. 2017): a coarse quantizer (k-means centroids, operators/kmeans.py)
+partitions vectors into cells; a query probes only its ``nprobe``
+nearest cells and runs exact cosine inside them. Brute force scores
+|queries| × N pairs; IVF scores ~|queries| × N × (nprobe/k) — at 100 TB
+the cell relation is the partitioning key, so each probe is a
+partition-pruned scan instead of a full-table pass.
+
+Plan shape (all DataFrame ops, no UDF):
+  1. ``kmeans_fit`` → cells (vec_id → label) + centroids (label → qc).
+  2. queries × broadcast(centroids) → top-``nprobe`` labels per query
+     (window rank over integer sq_dist — deterministic ties by label).
+  3. probes ⋈ cells on label → candidate (query_id, vec_id) pairs.
+  4. one re-join to fetch both vectors → exact cosine → window top-k.
+
+Iterative centroid fit → not SQL-expressible → rows-only declared query;
+tests pin recall against the exact ``knn_cosine`` twin and assert the
+candidate set is a strict subset of the corpus (it actually pruned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_project_spark.operators.kmeans import _quantize, _sq_dist, kmeans_fit
+from pulsar_project_spark.operators.similarity import cosine, with_norm
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             k_clusters: int = 8, iters: int = 2, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, cosine, rnk): top-k cosine neighbors of the
+    first ``n_queries`` vectors, searching only ``nprobe`` IVF cells
+    per query (self excluded)."""
+    cells, cent = kmeans_fit(emb, k=k_clusters, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+
+    # Probe list: each query's nprobe nearest centroids (integer
+    # distance in the same quantized space the cells were built in).
+    q = _quantize(emb.filter(F.col(id_col) < n_queries), id_col, vec_col)
+    probed = q.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("query_id"), "label",
+        _sq_dist(F.col("qv"), F.col("qc")).alias("cdist"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("label"))
+    probes = (
+        probed.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "label")
+    )
+
+    # Candidates: every vector in a probed cell. The join key is the
+    # cell label — the partition-pruning axis at scale.
+    cand = (
+        probes.join(cells.select(id_col, "label"), "label")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+
+    base = with_norm(emb, vec_col).select(F.col(id_col), F.col(vec_col), F.col("nrm"))
+    qv = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cand.join(base, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", id_col,
+            cosine(F.col("q_vec"), F.col(vec_col),
+                   F.col("q_nrm"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cosine", "rnk")
+    )

@@ -37,17 +37,20 @@ def _sq_dist(a, b):
     return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, label, sq_dist) after ``iters`` Lloyd rounds. Init:
-    centroids = the first k vectors by id (deterministic, no RNG)."""
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> tuple[DataFrame, DataFrame]:
+    """Lloyd rounds returning BOTH the assignment ``(vec_id, label,
+    sq_dist)`` and the final quantized centroids ``(label, qc
+    ARRAY<BIGINT>)`` — the coarse quantizer IVF search probes against.
+    Init: centroids = the first k vectors by id (deterministic, no RNG)."""
     q = _quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
     cent = q.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("label"), F.col("qv").alias("qc")
     ).localCheckpoint(eager=True)
 
     assign = None
-    for _ in range(iters):
+    for it in range(iters):
         scored = q.crossJoin(F.broadcast(cent)).select(
             id_col, "qv", "label", _sq_dist(F.col("qv"), F.col("qc")).alias("sq_dist")
         )
@@ -57,6 +60,8 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
             .filter(F.col("__rn") == 1)
             .select(id_col, "qv", "label", "sq_dist")
         )
+        if it == iters - 1:
+            break  # returned centroids are the ones that PRODUCED assign
         # update: quantized mean per (label, dim) — floor(sum/count) in
         # double (sums < 2^34, exact in float64; numpy replica matches)
         upd = (
@@ -73,4 +78,11 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
             )
             .localCheckpoint(eager=True)
         )
-    return assign.select(id_col, "label", "sq_dist")
+    return assign.select(id_col, "label", "sq_dist"), cent
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, label, sq_dist) after ``iters`` Lloyd rounds."""
+    assign, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return assign

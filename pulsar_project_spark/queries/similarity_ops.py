@@ -126,6 +126,18 @@ def q_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_pairs(emb, threshold=_NEAR_THRESHOLD)
 
 
+@declare("ivf_cosine_topk")
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (operators/ivf.py): k-means coarse quantizer +
+    nprobe-cell exact cosine. Iterative fit → rows-only declared query;
+    tests/test_ivf.py pins recall vs the exact knn_cosine_topk twin."""
+    from pulsar_project_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_queries=_KNN_QUERIES, k=_KNN_K,
+                    k_clusters=8, iters=2, nprobe=3)
+
+
 @declare("kmeans_clusters")
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized Lloyd's k-means (operators/kmeans.py): iterative, so no

@@ -1,0 +1,56 @@
+"""IVF ANN vs the exact brute-force twin: recall + actual pruning.
+
+Everything in both paths is deterministic (md5 hyperplanes, integer
+k-means, fixed tiebreaks), so recall at a given sf is a constant —
+pinned as a lower bound to stay robust across Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.operators.ivf import ivf_topk
+from pulsar_project_spark.operators.kmeans import kmeans_fit
+from pulsar_project_spark.operators.similarity import knn_cosine
+from tests.conftest import SF_CORRECT
+
+N_Q, K = 10, 5
+
+
+def _pairs(df):
+    return {(r.query_id, r.vec_id) for r in df.collect()}
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    exact = _pairs(knn_cosine(emb, n_queries=N_Q, k=K))
+    approx = _pairs(ivf_topk(emb, n_queries=N_Q, k=K,
+                             k_clusters=8, iters=2, nprobe=3))
+    assert len(exact) == N_Q * K
+    assert len(approx) == N_Q * K  # every query fills its k slots
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_probes_prune_search_space(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n = emb.count()
+    cells, cent = kmeans_fit(emb, k=8, iters=2)
+    assert cent.count() == 8
+    # nprobe=3 of 8 cells → candidate set well under the full corpus
+    sizes = cells.groupBy("label").count().collect()
+    assert sum(r["count"] for r in sizes) == n
+    top3 = sum(sorted((r["count"] for r in sizes), reverse=True)[:3])
+    assert top3 < n  # probing 3 cells cannot degenerate to a full scan
+
+
+def test_ivf_matches_exact_within_probed_cells(spark):
+    """Inside the probed cells the answer must be exactly the brute-force
+    answer restricted to those cells (IVF loses only out-of-cell hits)."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    approx = ivf_topk(emb, n_queries=N_Q, k=K, k_clusters=8, iters=2, nprobe=8)
+    exact = knn_cosine(emb, n_queries=N_Q, k=K)
+    # nprobe == k_clusters → no pruning → identical to exact search
+    a = sorted(map(tuple, approx.select("query_id", "vec_id", "rnk").collect()))
+    e = sorted(map(tuple, exact.select("query_id", "vec_id", "rnk").collect()))
+    assert a == e
