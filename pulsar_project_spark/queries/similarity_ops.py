@@ -48,12 +48,15 @@ def _norm_base_sql() -> str:
 
 
 def _bucket_expr(t: int) -> str:
+    # Quantized-integer sign dots (floor(v·1e6) BIGINT): exact and
+    # order-independent, so DuckDB's fold == numpy's matmul bit-for-bit.
     terms = []
     for j in range(SRP_BITS):
-        lits = ", ".join(f"{s}.0" for s in HYPERPLANES[t][j])
+        lits = ", ".join(str(s) for s in HYPERPLANES[t][j])
         d = (
             f"list_reduce(list_transform(generate_series(1, {SRP_DIM}), "
-            f"i -> embedding[i]::DOUBLE * ([{lits}])[i]), (x, y) -> x + y)"
+            f"i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)"
+            f" * ([{lits}])[i]), (x, y) -> x + y)"
         )
         terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(terms)
