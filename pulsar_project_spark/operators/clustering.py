@@ -32,15 +32,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     """(node, component) where component = min node id reachable.
     ``nodes``: one column ``node_col`` (isolated nodes allowed — they
     become singleton components). ``edges``: undirected pairs."""
+    # Checkpoint the edge relation ONCE: upstream it is the whole LSH
+    # candidate pipeline (shingle → minhash → bucket join) — without this
+    # every propagation round re-executes it inside the join.
     both = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    # Labels only ever decrease, so Σ label is a monotone convergence
+    # witness: fixpoint ⇔ the sum stops falling. One agg per round —
+    # no label-diff join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
         neighbor_min = (
             both.join(labels, both["m"] == labels["n"], "inner")
@@ -48,7 +56,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("n")
             .agg(F.min("label").alias("nb_label"))
         )
-        updated = (
+        labels = (
             labels.join(neighbor_min, "n", "left")
             .select(
                 "n",
@@ -58,14 +66,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("o"), "n")
-            .filter(F.col("u.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n").alias(node_col), F.col("label").alias("component"))
