@@ -54,10 +54,11 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .select("query_id", "label")
     )
 
-    # Candidates: every vector in a probed cell. The join key is the
-    # cell label — the partition-pruning axis at scale.
+    # Candidates: every vector in a probed cell. The probe list is tiny
+    # (|queries| × nprobe) → broadcast it against the big cell relation;
+    # the cell label is the partition-pruning axis at scale.
     cand = (
-        probes.join(cells.select(id_col, "label"), "label")
+        cells.select(id_col, "label").join(F.broadcast(probes), "label")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col)
     )

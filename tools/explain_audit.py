@@ -27,6 +27,8 @@ ALLOWED_NESTED_LOOP = {
     "simple_rag_topk",          # constant query row
     "keyword_score_scan",
     "kv_lookup_miss_message",   # 5-row probe side
+    "kmeans_clusters",          # crossJoin(broadcast(k=8 centroids)) — Lloyd's
+    "ivf_cosine_topk",          # same centroid crossJoin inside kmeans_fit
 }
 
 
