@@ -16,6 +16,7 @@ from pulsar_project_spark.queries import events_state  # noqa: F401
 from pulsar_project_spark.queries import extraction  # noqa: F401
 from pulsar_project_spark.queries import grouping_ops  # noqa: F401
 from pulsar_project_spark.queries import multimodal_ops  # noqa: F401
+from pulsar_project_spark.queries import relational_ops  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
 from pulsar_project_spark.queries import sketch_ops  # noqa: F401

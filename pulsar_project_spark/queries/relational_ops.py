@@ -1,0 +1,130 @@
+"""Declared queries: relational-surface breadth — PIVOT, set operations
+(INTERSECT/EXCEPT), and blocked edit-distance fuzzy matching.
+
+SURVEY.md §2.6 notes the reference only ever needs union+last-wins and
+a stopword difference; a complete engine exposes the full set-op family.
+The fuzzy matcher is the edit-distance cousin of the dedup family
+(§2.11): candidate pairs from a cheap blocking key, exact Levenshtein
+confirm — never O(n²) across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events, load_table
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_COLS_SQL = ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+)
+
+
+@declare(
+    "pivot_event_type_by_day",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, {_PIVOT_COLS_SQL}
+FROM events GROUP BY day
+""",
+)
+def q_pivot_event_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never inferred — inference
+    needs an extra pass over the data AND makes the output schema
+    data-dependent, both wrong at 100 TB). One shuffle on the day key;
+    missing cells coalesce to 0 to match COUNT FILTER semantics."""
+    ev = load_events(spark, sf_dir)
+    pv = (
+        ev.withColumn(
+            "day", F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return pv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+def _user_days(ev: DataFrame, etype: str) -> DataFrame:
+    return ev.filter(F.col("event_type") == etype).select(
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day"),
+    )
+
+
+@declare(
+    "except_click_days_no_purchase",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_except_click_days_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) on a composite key: (user, day) pairs that
+    clicked but never purchased that day. Both branch filters push to
+    the scan; Spark plans an aggregate + anti-join on the pair key."""
+    ev = load_events(spark, sf_dir)
+    return _user_days(ev, "click").subtract(_user_days(ev, "purchase"))
+
+
+@declare(
+    "intersect_click_and_purchase_days",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_intersect_click_and_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): (user, day) pairs that both clicked and
+    purchased — semi-join shape."""
+    ev = load_events(spark, sf_dir)
+    return _user_days(ev, "click").intersect(_user_days(ev, "purchase"))
+
+
+_FUZZY_MAX_DIST = 12
+
+
+@declare(
+    "fuzzy_part_name_pairs",
+    oracle=f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+""",
+)
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: (brand, size) is the blocking key —
+    pairs only form inside a block, so the Levenshtein DP (the expensive
+    kernel) runs on block-local candidates, not n². Classic record-
+    linkage shape; at scale the block histogram is the skew metric to
+    watch (a mega-block would need a secondary key, same guard as LSH
+    mega-buckets). Levenshtein is integer DP — identical across engines."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a = part.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
