@@ -113,6 +113,42 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+FEATURE_DIM = 32  # hashing-trick output dimensionality
+
+
+def feature_hash_embedding(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           dim: int = FEATURE_DIM) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009): token →
+    md5-derived hash → bucket ``h % dim``, signed by hash parity —
+    ``(doc_id, dim_id, weight)`` sparse relation with integer weights
+    (term counts keep multiplicity, signs make collisions cancel in
+    expectation). The text→vector bridge into the similarity family.
+
+    Shape at scale: explode + ONE groupBy(doc, dim) shuffle, all codegen,
+    weights are order-independent integer sums. Output is sparse — empty
+    buckets produce no row (a dense form is one ``pivot`` away)."""
+    from pulsar_project_spark.operators.dedup import portable_hash
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(clean_string(text_col))).alias("tok")
+    )
+    hashed = toks.select(
+        id_col,
+        portable_hash(F.col("tok")).alias("h"),
+    ).select(
+        id_col,
+        (F.col("h") % dim).alias("dim_id"),
+        F.when((F.floor(F.col("h") / 256) % 2) == 0, F.lit(1))
+         .otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        hashed.groupBy(id_col, "dim_id")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
 def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Token-count pass: whitespace tokens vs BPE-ish pretokenizer

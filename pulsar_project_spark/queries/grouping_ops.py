@@ -59,3 +59,35 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue", "n_items",
         )
     )
+
+
+@declare(
+    "cube_orders_status_priority",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two low-cardinality keys: all four grouping sets
+    from ONE shuffle (Spark Expand multiplies rows by the set count
+    before the partial agg — fine for low-cardinality cube keys, the
+    only kind a sane cube uses at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders", "total_price",
+        )
+    )

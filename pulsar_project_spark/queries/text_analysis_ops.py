@@ -8,9 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pulsar_project_spark.functions.text import COMMON_ENGLISH_WORDS
 from pulsar_project_spark.operators.text_analysis import (
     BPE_PATTERN,
+    FEATURE_DIM,
     LANG_ORDER,
     LANG_PROFILES,
     bpe_token_counts,
+    feature_hash_embedding,
     language_id,
     quality_scores,
 )
@@ -89,6 +91,27 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style quality signals + fixed-weight composite. All
     per-row integer counts with one final division — bit-exact floats."""
     return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "feature_hash_embeddings",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h FROM toks
+)
+SELECT doc_id, h % {FEATURE_DIM} AS dim_id,
+       sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+FROM h GROUP BY doc_id, dim_id
+HAVING sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+""",
+)
+def q_feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: sparse (doc_id, dim_id, weight) with
+    md5-portable buckets/signs and integer weights — the deterministic
+    text→embedding generation pass."""
+    return feature_hash_embedding(load_table(spark, sf_dir, "documents"))
 
 
 @declare(
