@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.streaming import (
     run_keep_last_state,
+    run_stream_stream_join,
     run_topic_frequencies,
     run_windowed_counts,
 )
@@ -38,6 +39,14 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user last-N tail (records[-n:],
     memory.py:125, as managed streaming state)."""
     return run_keep_last_state(spark, sf_dir)
+
+
+@declare("streaming_stream_stream_join")
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks → purchases within
+    30 min): state-store-bounded on both sides. Batch twin:
+    attribution_window_join (oracle-checked); test asserts parity."""
+    return run_stream_stream_join(spark, sf_dir)
 
 
 @declare("mq_pipeline_roundtrip")

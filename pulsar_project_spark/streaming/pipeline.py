@@ -125,6 +125,47 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
     return spark.read.parquet(sink_dir)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str,
+                           horizon_minutes: int = 30) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases joined to the
+    clicks that preceded them within a time horizon — the streaming form
+    of the batch attribution_window_join. Both sides carry watermarks so
+    Spark can bound the join state (clicks older than the horizon +
+    watermark age are evicted from the state store); without them a
+    stream-stream join would buffer forever."""
+    sink_dir = tempfile.mkdtemp(prefix="ssj_")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("event_time").alias("click_time"))
+        .withWatermark("click_time", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                F.col("value"), F.col("event_time").alias("purchase_time"))
+        .withWatermark("purchase_time", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["click_time"] < purchases["purchase_time"])
+        & (clicks["click_time"]
+           >= purchases["purchase_time"] - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id", "user_id", "value", "click_id",
+        F.unix_micros(F.col("purchase_time")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("click_time")).alias("click_ts_us"),
+    )
+    _drain(joined, mode="append", sink_path=sink_dir)
+    return spark.read.parquet(sink_dir)
+
+
 _TAIL_STATE = StructType([StructField("tail", StringType())])
 _TAIL_OUT = StructType([
     StructField("user_id", LongType()),

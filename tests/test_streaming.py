@@ -68,3 +68,32 @@ def test_keep_last_state_matches_batch_tail(spark):
     got_map = {r["user_id"]: (r["n_seen"], r["tail_event_ids"]) for r in got.collect()}
     want_map = {r["user_id"]: (r["n_seen"], r["tail_event_ids"]) for r in want.collect()}
     assert got_map == want_map
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_stream_stream_join
+
+    got = run_stream_stream_join(spark, SF_SMOKE, horizon_minutes=30)
+    ev = load_events(spark, SF_SMOKE)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "value",
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    horizon_us = 30 * 60 * 1_000_000
+    want = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["click_ts_us"] < purchases["purchase_ts_us"])
+        & (clicks["click_ts_us"] >= purchases["purchase_ts_us"] - horizon_us),
+    ).select("purchase_id", "user_id", "value", "click_id",
+             "purchase_ts_us", "click_ts_us")
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    # single availableNow batch: no state eviction can drop matches
+    assert got_rows == want_rows
+    assert len(want_rows) > 0
