@@ -175,14 +175,17 @@ def roundtrip_pipeline(spark: SparkSession, sf_dir: str,
             F.monotonically_increasing_id().alias("seq"),
         ).write.mode("overwrite").parquet(out_path)
 
-    query = (
-        agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mq_ckpt_"))
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from pulsar_project_spark.streaming.pipeline import _state_partitions
+
+    with _state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mq_ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
     out_schema = StructType([
         StructField("event_type", StringType()),

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -58,6 +59,28 @@ def events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.load(stage)
     return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+# Stateful streaming ops instantiate ONE state store per shuffle
+# partition, and the partitioning is frozen into the checkpoint at first
+# start. For the bounded availableNow runs here (local, sf≤0.1) 32 state
+# stores are pure overhead — measured 5× slower on the stream-stream
+# join. Production picks this proportional to executor count and keeps
+# it stable for the life of the checkpoint; None = don't touch the conf.
+STATE_PARTITIONS: int | None = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int | None = STATE_PARTITIONS):
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _drain(sdf: DataFrame, checkpoint: str | None = None, mode: str = "append",
@@ -91,14 +114,15 @@ def run_topic_frequencies(spark: SparkSession, sf_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -121,7 +145,8 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
             "event_type", "n",
         )
     )
-    _drain(agg, mode="append", sink_path=sink_dir)
+    with _state_partitions(ev.sparkSession):
+        _drain(agg, mode="append", sink_path=sink_dir)
     return spark.read.parquet(sink_dir)
 
 
@@ -162,7 +187,8 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
         F.unix_micros(F.col("purchase_time")).alias("purchase_ts_us"),
         F.unix_micros(F.col("click_time")).alias("click_ts_us"),
     )
-    _drain(joined, mode="append", sink_path=sink_dir)
+    with _state_partitions(spark):
+        _drain(joined, mode="append", sink_path=sink_dir)
     return spark.read.parquet(sink_dir)
 
 
@@ -210,12 +236,13 @@ def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink_dir)
 
-    q = (
-        out.writeStream.outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink_dir)
