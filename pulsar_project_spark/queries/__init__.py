@@ -22,6 +22,7 @@ from pulsar_project_spark.queries import similarity_ops  # noqa: F401
 from pulsar_project_spark.queries import sketch_ops  # noqa: F401
 from pulsar_project_spark.queries import streaming_ops  # noqa: F401
 from pulsar_project_spark.queries import temporal_ops  # noqa: F401
+from pulsar_project_spark.queries import timeseries_ops  # noqa: F401
 from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401
 from pulsar_project_spark.queries import text_ops  # noqa: F401
 from pulsar_project_spark.queries import window_ops  # noqa: F401
