@@ -152,22 +152,28 @@ def _bucket_pairs(buckets: DataFrame, elem: str = "ds") -> Column:
     )
 
 
+MAX_BUCKET = 10_000  # pair-generation guard: a bucket shared by more
+# docs than this separates nothing and would expand quadratically —
+# declared in the oracle SQL too, so the cap is part of the semantics,
+# not a silent truncation.
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle bucketing: group docs per
     shingle, expand pairs locally, count shared shingles per pair.
     Intersection and set sizes are exact ints; Jaccard is one double
     division → bit-identical across engines. Quadratic in per-shingle
     bucket size — at scale, run on LSH candidates (minhash_candidates)
-    instead, or cap bucket size (a shingle shared by >10k docs separates
-    nothing)."""
+    instead; ``max_bucket`` drops non-discriminative mega-buckets."""
     st = shingle_table(docs, id_col, text_col, n)
     buckets = (
         st.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"),
                                                   F.col("n_sh")))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds").between(2, max_bucket))
     )
     pairs = buckets.select(F.explode(_bucket_pairs(buckets)).alias("p")).select(
         F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"),
@@ -224,16 +230,19 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 5) -> DataFrame:
+                       text_col: str = "text", n: int = 5,
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band bucket. Bucket
     groupBy + local pair expansion — one shuffle on (band_id, band_key),
     signature pipeline runs once. Feed into ngram_jaccard on the
-    candidate subset (or trust signature similarity) to confirm."""
+    candidate subset (or trust signature similarity) to confirm.
+    ``max_bucket`` drops degenerate mega-buckets (declared in the
+    oracle's HAVING — not a silent cap)."""
     bands = minhash_bands(docs, id_col, text_col, n)
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds").between(2, max_bucket))
     )
     return (
         buckets.select(F.explode(_bucket_pairs(buckets)).alias("p"))

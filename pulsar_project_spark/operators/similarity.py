@@ -160,11 +160,13 @@ def srp_near_pairs(emb: DataFrame, threshold: float = 0.3,
     buckets, so parity is exact."""
     from pulsar_project_spark.operators.dedup import _bucket_pairs
 
+    from pulsar_project_spark.operators.dedup import MAX_BUCKET
+
     buckets = (
         srp_buckets(emb, id_col, vec_col)
         .groupBy("table_id", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds").between(2, MAX_BUCKET))
     )
     cand = (
         buckets.select(F.explode(_bucket_pairs(buckets)).alias("p"))

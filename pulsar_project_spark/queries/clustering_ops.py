@@ -20,10 +20,15 @@ from pulsar_project_spark.sources.tables import load_table
     "neardup_components",
     oracle=f"""
 WITH RECURSIVE {_sig_sql().strip()}, {_bands_sql()},
+bqual AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= 10000
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN bqual q ON a.band_id = q.band_id AND a.band_key = q.band_key
 ),
 edges AS (
   SELECT doc_a AS n, doc_b AS m FROM cand

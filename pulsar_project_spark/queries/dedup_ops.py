@@ -74,11 +74,15 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle
   FROM (SELECT doc_id, {_SHINGLES} AS shl FROM toks)
+), qual AS (
+  -- mega-bucket guard, mirrored from the engine (MAX_BUCKET)
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS inter, a.n_sh AS n_a, b.n_sh AS n_b,
        CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN qual q ON a.shingle = q.shingle
 GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 """,
 )
@@ -135,10 +139,14 @@ def q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "minhash_candidate_pairs",
     oracle=f"WITH {_sig_sql().strip()}, {_bands_sql()}\n"
-           """
+           """, bqual AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= 10000
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+JOIN bqual q ON a.band_id = q.band_id AND a.band_key = q.band_key
 """,
 )
 def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

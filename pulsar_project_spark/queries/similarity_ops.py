@@ -110,10 +110,15 @@ def q_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "srp_near_pairs",
     oracle=f"""
 WITH {_buckets_sql()},
+bqual AS (
+  SELECT table_id, bucket FROM buckets
+  GROUP BY table_id, bucket HAVING count(*) <= 10000
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
     ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bqual q ON a.table_id = q.table_id AND a.bucket = q.bucket
 ),
 {_norm_base_sql()}
 SELECT c.vec_a, c.vec_b,
