@@ -20,6 +20,7 @@ from pulsar_project_spark.queries import relational_ops  # noqa: F401
 from pulsar_project_spark.queries import retrieval  # noqa: F401
 from pulsar_project_spark.queries import similarity_ops  # noqa: F401
 from pulsar_project_spark.queries import sketch_ops  # noqa: F401
+from pulsar_project_spark.queries import sql_api_ops  # noqa: F401
 from pulsar_project_spark.queries import streaming_ops  # noqa: F401
 from pulsar_project_spark.queries import temporal_ops  # noqa: F401
 from pulsar_project_spark.queries import timeseries_ops  # noqa: F401
