@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pulsar_project_spark.operators.retention import (
     evict_candidates,
@@ -121,6 +122,83 @@ def q_microbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("batch_value"),
         )
     )
+
+
+_SNAP_RECORDS = 10  # latest_record_num default, memory.py:125
+_SNAP_SUMMARIES = 3  # saved_summary_num, memory.py:310
+
+
+@declare(
+    "memory_state_snapshot",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+), records_tail AS (
+  SELECT 'record' AS section, CAST(event_id AS VARCHAR) AS k,
+         user_id AS n, value AS v
+  FROM (SELECT *, row_number() OVER (ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM ev)
+  WHERE rn <= {_SNAP_RECORDS}
+), summaries_tail AS (
+  SELECT 'summary' AS section, CAST(batch_id AS VARCHAR) AS k,
+         n_events AS n, batch_value AS v
+  FROM (
+    SELECT batch_id, n_events, batch_value,
+           row_number() OVER (ORDER BY batch_id DESC) AS rn
+    FROM (SELECT event_id // 5 AS batch_id, count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_value
+          FROM ev GROUP BY event_id // 5)
+  ) WHERE rn <= {_SNAP_SUMMARIES}
+), topics AS (
+  SELECT 'topic' AS section, event_type AS k,
+         count(*) AS n, CAST(max(ts_us) AS DOUBLE) AS v
+  FROM ev GROUP BY event_type
+)
+SELECT * FROM records_tail
+UNION ALL SELECT * FROM summaries_tail
+UNION ALL SELECT * FROM topics
+""",
+)
+def q_memory_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole memory state (SURVEY.md §3.3: records tail
+    + rolling summaries keep-last-3 + topic catalog with frequencies,
+    memory.py:119-142,305-344) as ONE composed plan — the §3.3 lifecycle
+    is three branches over one scan, unioned into a tagged relation.
+    Spark computes the three branches in parallel stages; at scale each
+    branch is the same retention/argmax shape proven above."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    records_tail = keep_last_n(
+        ev, [], [F.desc("ts_us"), F.desc("event_id")], _SNAP_RECORDS
+    ).select(
+        F.lit("record").alias("section"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("user_id").alias("n"),
+        F.col("value").alias("v"),
+    )
+    summaries_tail = (
+        ev.groupBy(F.expr("event_id div 5").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("batch_value"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("batch_id"))))
+        .filter(F.col("rn") <= _SNAP_SUMMARIES)
+        .select(
+            F.lit("summary").alias("section"),
+            F.col("batch_id").cast("string").alias("k"),
+            F.col("n_events").alias("n"),
+            F.col("batch_value").alias("v"),
+        )
+    )
+    topics = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("ts_us").cast("double").alias("v")
+    ).select(
+        F.lit("topic").alias("section"),
+        F.col("event_type").alias("k"), "n", "v",
+    )
+    return records_tail.unionByName(summaries_tail).unionByName(topics)
 
 
 @declare(
