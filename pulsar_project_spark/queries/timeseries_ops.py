@@ -69,6 +69,60 @@ def q_daily_user_series_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_EPOCH_2024_SEC = 1_704_067_200  # 2024-01-01 — recenter x so moments fit BIGINT
+
+
+@declare(
+    "user_value_trend",
+    oracle=f"""
+WITH xy AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) - {_EPOCH_2024_SEC} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            ELSE NULL END AS slope_cents_per_sec
+FROM m
+""",
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares slope per user, BIT-EXACT: the moments
+    (n, Σx, Σy, Σxy, Σx²) are integer sums — associative, so Spark's
+    partial aggregation gives the same numbers as any single-node order —
+    and the only float op is one final division. (The built-in
+    ``regr_slope`` accumulates double covariances whose value depends on
+    reduction order — unusable for cross-engine parity AND irreproducible
+    across cluster sizes; this integer-moment form is how to make
+    regression deterministic at 100 TB.) x is seconds re-centered to
+    2024-01-01, y integer cents: every moment fits BIGINT."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    xy = ev.select(
+        "user_id",
+        (F.expr("ts_us div 1000000") - F.lit(_EPOCH_2024_SEC)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "user_id", "n",
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+         .otherwise(F.lit(None)).alias("slope_cents_per_sec"),
+    )
+
+
 @declare(
     "median_order_cents_by_priority",
     oracle="""
