@@ -128,3 +128,82 @@ def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= _FUZZY_MAX_DIST)
     )
+
+
+_BIN_W = 10.0  # histogram bin width over event value
+
+
+@declare(
+    "value_histogram_by_type",
+    oracle=f"""
+SELECT event_type, CAST(floor(value / {_BIN_W}) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events GROUP BY event_type, bin
+""",
+)
+def q_value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin id = floor(v/w) — integer, exact, one
+    shuffle on (type, bin). The distribution-sketch pass a pipeline runs
+    per feature column (the approx twin is value_percentiles_sketch)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _BIN_W).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@declare(
+    "parts_no_bulk_order",
+    oracle="""
+SELECT p.p_partkey, p.p_brand
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
+)
+""",
+)
+def q_parts_no_bulk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: parts never ordered in bulk.
+    The quantity predicate pushes into the lineitem scan BEFORE the
+    anti-join, so the probe side shrinks 10× at the scan."""
+    part = load_table(spark, sf_dir, "part")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_partkey")
+    return part.join(
+        bulk, part["p_partkey"] == bulk["l_partkey"], "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
+@declare(
+    "orders_above_priority_mean",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * m.n > m.s
+""",
+)
+def q_orders_above_priority_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Above the group mean' WITHOUT a float mean: compare
+    cents·n > Σcents in exact integers (a float avg is reduction-order-
+    dependent — the same discipline as user_value_trend). Plans as one
+    agg + one broadcast join of the 5-row group table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = o.select("o_orderpriority", cents.alias("c")).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    return (
+        o.join(F.broadcast(m), "o_orderpriority")
+        .filter(cents * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
