@@ -168,3 +168,30 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
         F.explode(ts).alias("frame_ts_ms"),
     )
+
+
+def audio_chunk_plan(assets: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+    """Audio chunking plan: fixed-length windows (start, end, n_samples)
+    per audio asset — the featurizer work-list (one chunk → one model
+    input at decode time). Pure SQL planning via sequence-explode; the
+    sample count comes from metadata (sample_rate · chunk/1000), so the
+    payload column is never read."""
+    audio = assets.filter(F.col("meta.modality") == "audio")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(chunk_ms),
+    )
+    return audio.select(
+        "doc_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.explode(starts).alias("chunk_start_ms"),
+    ).select(
+        "doc_id", "duration_ms", "sample_rate", "chunk_start_ms",
+        F.least(F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms"))
+         .alias("chunk_end_ms"),
+        ((F.least(F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms"))
+          - F.col("chunk_start_ms")) * F.col("sample_rate") / 1000)
+        .cast("bigint").alias("n_samples"),
+    )

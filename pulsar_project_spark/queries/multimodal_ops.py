@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pulsar_project_spark.operators.multimodal import (
     as_assets,
+    audio_chunk_plan,
     byte_histogram,
     decode_image_meta,
     frame_sample_plan,
@@ -108,3 +109,24 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp sequence per asset); the codec half is the stub."""
     assets = as_assets(load_table(spark, sf_dir, "documents"))
     return frame_sample_plan(assets, every_ms=1000)
+
+
+@declare(
+    "audio_chunk_plan",
+    oracle=f"""
+SELECT doc_id, dur AS duration_ms, 16000 AS sample_rate,
+       s AS chunk_start_ms,
+       least(s + 5000, dur) AS chunk_end_ms,
+       CAST(least(s + 5000, dur) - s AS BIGINT) * 16000 // 1000 AS n_samples
+FROM (
+  SELECT doc_id, dur, unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS s
+  FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE doc_id % 4 = 1)
+)
+""",
+)
+def q_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk work-list (5 s windows, metadata-only — the payload
+    column is never scanned): the audio counterpart of the video
+    frame-sample plan."""
+    assets = as_assets(load_table(spark, sf_dir, "documents"))
+    return audio_chunk_plan(assets, chunk_ms=5_000)
