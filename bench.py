@@ -31,6 +31,13 @@ def main() -> None:
     from pulsar_project_spark.sources.tables import TABLE_NAMES, load_table
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
+    # ...and the Python/Arrow worker pool, so the first pandas-UDF query
+    # isn't charged the one-time worker spawn (~1.5 s on local[32]).
+    from pyspark.sql import functions as F
+    from pulsar_project_spark.functions.lenient_json import lenient_json_canonical
+    spark.range(32).select(
+        lenient_json_canonical(F.lit('{"warm": 1}'))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
