@@ -16,6 +16,7 @@ from pulsar_project_spark.registry import declare
 from pulsar_project_spark.streaming import (
     run_keep_last_state,
     run_stream_stream_join,
+    run_streaming_dedup,
     run_topic_frequencies,
     run_windowed_counts,
 )
@@ -39,6 +40,15 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user last-N tail (records[-n:],
     memory.py:125, as managed streaming state)."""
     return run_keep_last_state(spark, sf_dir)
+
+
+@declare("streaming_exact_dedup")
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on event id over a deliberately
+    doubled input — state-bounded exactly-once ingestion. Batch twin:
+    per-type counts of the raw events (oracle-checked as
+    group_count_by_type); test asserts streaming == batch."""
+    return run_streaming_dedup(spark, sf_dir)
 
 
 @declare("streaming_stream_stream_join")

@@ -101,6 +101,32 @@ class DirectoryQueue:
         )
 
 
+def compact_topic(spark: SparkSession, queue: DirectoryQueue, topic: str,
+                  target_files: int = 1) -> int:
+    """Small-file compaction for a topic log — the operational pass every
+    file-backed landing zone needs (thousands of tiny producer files →
+    a few scan-efficient ones; at 100 TB, small files are the #1 parquet
+    scan killer). Rewrite-then-swap: coalesced copy to a staging dir,
+    atomic directory rename. Returns the file count after compaction.
+
+    The topic is a bounded log here; on an object store the same pass
+    runs per partition-date with a manifest swap instead of a rename."""
+    import shutil
+
+    path = queue.topic_path(topic)
+    staged = path + ".compact"
+    (
+        spark.read.schema(MESSAGE_SCHEMA).parquet(path)
+        .coalesce(target_files)
+        .write.mode("overwrite").parquet(staged)
+    )
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
 def encode_events_as_messages(events: DataFrame) -> DataFrame:
     """events rows → MESSAGE_SCHEMA: key = user_id bytes, value = the
     row as JSON bytes (the wire format a producer would publish)."""

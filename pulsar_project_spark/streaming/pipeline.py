@@ -150,6 +150,39 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
     return spark.read.parquet(sink_dir)
 
 
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the
+    event id — the at-least-once → exactly-once ingestion guard. The
+    watermark bounds the dedup state (ids older than the horizon are
+    evicted — without it the state grows with the stream forever).
+    Returns per-type counts of the deduplicated stream."""
+    sink_dir = tempfile.mkdtemp(prefix="dedup_")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    # duplicate the input (union with itself) so the dedup provably works
+    dup = ev.unionByName(ev)
+    deduped = (
+        dup.withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str,
                            horizon_minutes: int = 30) -> DataFrame:
     """Stream-stream inner join with watermarks: purchases joined to the

@@ -49,3 +49,26 @@ def test_native_pulsar_path_is_gated(spark):
 
     with pytest.raises(NotImplementedError):
         read_pulsar_stream(spark, "pulsar://localhost:6650", "t")
+
+
+def test_compact_topic_reduces_files_preserves_rows(spark):
+    from pulsar_project_spark.sources.mq import (
+        DirectoryQueue, compact_topic, encode_events_as_messages,
+    )
+    from pulsar_project_spark.sources.tables import load_events
+    from tests.conftest import SF_SMOKE
+
+    q = DirectoryQueue()
+    ev = load_events(spark, SF_SMOKE).limit(200)
+    # simulate many tiny producer appends
+    for chunk in range(4):
+        q.produce(encode_events_as_messages(
+            ev.filter(ev.event_id % 4 == chunk)), "compact-me")
+    before_files = len([f for f in __import__("os").listdir(q.topic_path("compact-me"))
+                        if f.endswith(".parquet")])
+    before_rows = q.read_batch(spark, "compact-me").count()
+    after_files = compact_topic(spark, q, "compact-me", target_files=1)
+    after = q.read_batch(spark, "compact-me")
+    assert after_files < before_files
+    assert after.count() == before_rows
+    assert after_files == 1

@@ -97,3 +97,15 @@ def test_stream_stream_join_matches_batch(spark):
     # single availableNow batch: no state eviction can drop matches
     assert got_rows == want_rows
     assert len(want_rows) > 0
+
+
+def test_streaming_dedup_removes_doubled_input(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_streaming_dedup
+
+    got = {(r.event_type, r.n) for r in
+           run_streaming_dedup(spark, SF_SMOKE).collect()}
+    want = {(r.event_type, r["count"]) for r in
+            load_events(spark, SF_SMOKE).groupBy("event_type").count().collect()}
+    # input was unioned with itself; dedup must restore raw counts
+    assert got == want
