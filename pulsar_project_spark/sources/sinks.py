@@ -26,3 +26,46 @@ def write_partitioned(df: DataFrame, path: str, partition_by: str | list[str],
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 key_cols: list[str], order_col: str) -> None:
+    """Keyed MERGE into a parquet table: new rows win over existing rows
+    with the same key (the reference's topic upsert, ``memory.py:318-344``,
+    as a sink primitive). Read-union-dedup-overwrite with a staging swap —
+    the Delta/Iceberg-less formulation; on a real lakehouse this is one
+    ``MERGE INTO``. Updates win via (is_update, order_col) ranking, so
+    re-running the same batch is idempotent (exactly-once under retry).
+
+    At 100 TB: partition the table and merge only the partitions present
+    in the batch (updates carry the partition key → prune the read side);
+    the full-table rewrite here is the bounded-state form."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    updates = updates.withColumn("__upd", F.lit(1))
+    if os.path.isdir(path):
+        current = spark.read.parquet(path).withColumn("__upd", F.lit(0))
+        merged_src = current.unionByName(updates)
+    else:
+        merged_src = updates
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("__upd"), F.desc(order_col)
+    )
+    merged = (
+        merged_src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
+    staged = path + ".staged"
+    merged.write.mode("overwrite").parquet(staged)
+    if os.path.isdir(path):
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(staged, path)

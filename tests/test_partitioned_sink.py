@@ -34,3 +34,26 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "purchase" in plan
     assert filtered.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_merge_upsert_keyed_last_wins(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pulsar_project_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "topics")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20)], "topic string, ver int, freq int")
+    merge_upsert(spark, path, base, ["topic"], "ver")
+    # update a, insert c
+    upd = spark.createDataFrame(
+        [("a", 2, 11), ("c", 1, 30)], "topic string, ver int, freq int")
+    merge_upsert(spark, path, upd, ["topic"], "ver")
+    got = {(r.topic, r.ver, r.freq)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 2, 11), ("b", 1, 20), ("c", 1, 30)}
+    # idempotent under retry: re-apply the same batch, nothing changes
+    merge_upsert(spark, path, upd, ["topic"], "ver")
+    again = {(r.topic, r.ver, r.freq)
+             for r in spark.read.parquet(path).collect()}
+    assert again == got
