@@ -50,13 +50,31 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(json.dumps({
+
+    # Full per-query map goes to a file; the stdout line stays compact
+    # (driver round 1 recorded "parsed": null — the 86-entry map
+    # overflowed its line capture) with just the slowest 10.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "n_queries": len(timings), "total_sec": total,
+             "queries": timings},
+            fh, indent=1, sort_keys=True,
+        )
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps({
         "metric": "total_declared_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+        "detail": "bench_detail.json",
+    }, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -45,12 +45,20 @@ def extension_lookup(spark: SparkSession, df: DataFrame, type_col: str,
 
 def kv_lookup(kv: DataFrame, keys: DataFrame, key_col: str = "key",
               value_col: str = "value") -> DataFrame:
-    """Point lookup with miss message (memory.py:257-261): broadcast the
-    probe keys (always tiny) against the store — a right-outer broadcast
-    join, so the STORE side streams even when it is the 100 TB relation —
-    and materialize the reference's "Cannot find any value associated to
-    key '<k>' in memory data." text on misses."""
-    joined = kv.join(F.broadcast(keys), key_col, "right")
+    """Point lookup with miss message (memory.py:257-261), planned so
+    the STORE side streams even when it is the 100 TB relation:
+
+    1. broadcast **semi-join** the tiny probe keys against the store
+       (LeftSemi + BuildRight is a supported broadcast shape, so the
+       hint actually takes — an outer join with the keys on the
+       preserved side cannot broadcast-build the key side, the hint
+       would be silently ignored and the store fully shuffled);
+    2. outer-join the ≤|keys|-row hit set back to the keys (both sides
+       tiny — AQE broadcasts it) to materialize the reference's
+       "Cannot find any value associated to key '<k>' in memory data."
+       text on misses."""
+    hits = kv.join(F.broadcast(keys.select(key_col)), key_col, "left_semi")
+    joined = keys.join(hits, key_col, "left")
     miss = F.concat(
         F.lit("Cannot find any value associated to key '"),
         F.col(key_col),

@@ -45,10 +45,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         F.col(node_col).alias("n"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
-    # Labels only ever decrease, so Σ label is a monotone convergence
-    # witness: fixpoint ⇔ the sum stops falling. One agg per round —
-    # no label-diff join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence witness: the count of rows whose label shrank this
+    # round — works for ANY orderable label type (a Σlabel witness would
+    # be NULL for string ids and falsely converge on round 1). The
+    # changed flag rides the checkpointed frame, so the count is a cheap
+    # scan of materialized partitions, not a plan re-execution.
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             both.join(labels, both["m"] == labels["n"], "inner")
@@ -56,18 +58,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("n")
             .agg(F.min("label").alias("nb_label"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, "n", "left")
             .select(
                 "n",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nb_label") < F.col("label")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = stepped.filter(F.col("__changed")).count()
+        labels = stepped.drop("__changed")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds — raise max_rounds (component diameter exceeds it); "
+            "returning partial labels would silently split clusters"
+        )
     return labels.select(F.col("n").alias(node_col), F.col("label").alias("component"))

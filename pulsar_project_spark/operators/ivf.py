@@ -35,8 +35,10 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
              k_clusters: int = 8, iters: int = 2, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(query_id, vec_id, cosine, rnk): top-k cosine neighbors of the
-    first ``n_queries`` vectors, searching only ``nprobe`` IVF cells
-    per query (self excluded)."""
+    query set ``id < n_queries`` — an explicit predicate contract (see
+    ``similarity.knn_cosine``: sparse/offset id spaces yield a smaller
+    query set; pass ids that exist) — searching only ``nprobe`` IVF
+    cells per query (self excluded)."""
     cells, cent = kmeans_fit(emb, k=k_clusters, iters=iters,
                              id_col=id_col, vec_col=vec_col)
 

@@ -45,9 +45,19 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
     ARRAY<BIGINT>)`` — the coarse quantizer IVF search probes against.
     Init: centroids = the first k vectors by id (deterministic, no RNG)."""
     q = _quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
-    cent = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("label"), F.col("qv").alias("qc")
+    # First k BY ORDER (TakeOrderedAndProject), not `id < k`: sparse or
+    # offset id spaces would silently yield < k centroids under a filter.
+    first_k = q.orderBy(F.asc(id_col)).limit(k)
+    w0 = Window.orderBy(F.asc(id_col))
+    cent = first_k.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("label"),
+        F.col("qv").alias("qc"),
     ).localCheckpoint(eager=True)
+    if cent.count() < k:
+        raise ValueError(
+            f"kmeans_fit: need at least k={k} input vectors, "
+            f"got {cent.count()}"
+        )
 
     assign = None
     for it in range(iters):

@@ -79,8 +79,11 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def knn_cosine(emb: DataFrame, n_queries: int = 10, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Brute-force cosine top-k: the first ``n_queries`` vectors (by id)
-    each retrieve their ``k`` nearest neighbors (self excluded).
+    """Brute-force cosine top-k: the query set is ``id < n_queries`` —
+    an explicit predicate contract (mirrored verbatim in the DuckDB
+    oracle), NOT "first n rows": with a sparse or offset id space the
+    query set is smaller than ``n_queries``; pass ids that exist.
+    Each query retrieves its ``k`` nearest neighbors (self excluded).
 
     Plan shape: broadcast(queries) × one scan of the table → window
     top-k per query. The only shuffle carries (queries × table) scored

@@ -30,7 +30,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 how: str = "inner") -> DataFrame:
     """Equi-join with the big side's rows scattered across ``n_salts``
     sub-keys (salt = hash of ``salt_col`` mod n, deterministic) and the
-    small side replicated ×n. Result == plain ``big.join(small, key)``."""
+    small side replicated ×n. Result == plain ``big.join(small, key)``
+    for ``how`` in {inner, left, left_semi, left_anti} — the join types
+    where an unmatched SMALL-side row is never emitted. right/full would
+    emit every unmatched small-side row once per replica (×n_salts), so
+    they are rejected here rather than silently wrong."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "the replicated small side would emit unmatched rows "
+            "n_salts times under right/full joins"
+        )
     b = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int")
     )

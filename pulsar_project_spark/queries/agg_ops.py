@@ -85,7 +85,7 @@ def q_term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
 FROM documents
 GROUP BY lang

@@ -211,8 +211,8 @@ WITH ordered AS (
   FROM ordered
 ), numbered AS (
   SELECT user_id, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -250,9 +250,9 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion_funnel",
     oracle="""
 SELECT user_id,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
 FROM events
 GROUP BY user_id

@@ -90,27 +90,5 @@ def q_arg_schema_casting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("lenient_json_parse")
-def q_lenient_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json5-leniency surface (utils.py:140,162): single quotes,
-    unquoted keys, trailing commas — parsed by the Arrow-batched
-    lenient UDF into canonical strict JSON, then field-extracted.
-    Python-defined semantics → rows-only check (SURVEY.md §7.6)."""
-    from pulsar_project_spark.functions.lenient_json import lenient_json_canonical
-
-    ev = load_events(spark, sf_dir)
-    messy = F.concat(
-        F.lit("{think: 'записываю', k: "),
-        F.get_json_object("props", "$.k"),
-        F.lit(", tags: ['a', 'b',], }"),
-    )
-    docs = ev.select("event_id", messy.alias("messy"))
-    parsed = docs.select(
-        "event_id", lenient_json_canonical(F.col("messy")).alias("canonical")
-    )
-    return parsed.select(
-        "event_id",
-        "canonical",
-        F.get_json_object("canonical", "$.k").cast("int").alias("k_val"),
-        F.get_json_object("canonical", "$.think").alias("think"),
-    )
+# lenient_json_parse moved to queries/lenient_ops.py (rows-only query,
+# registered after the oracle-checked core — see that module's docstring).

@@ -1,0 +1,42 @@
+"""Declared query: json5-lenient parse surface (SURVEY.md §2.8 —
+``utils.py:140,162``).
+
+Split out of ``args_ops`` so this rows-only query (no DuckDB oracle —
+Python-defined leniency semantics, SURVEY.md §7.6) registers AFTER the
+oracle-checked core: the driver's per-round correctness budget covers
+the first ~50 registry entries, and a guaranteed-``no_oracle`` row
+shouldn't consume one of those slots."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events
+
+
+@declare("lenient_json_parse")
+def q_lenient_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json5-leniency surface (utils.py:140,162): single quotes,
+    unquoted keys, trailing commas — parsed by the Arrow-batched
+    lenient UDF into canonical strict JSON, then field-extracted.
+    Python-defined semantics → rows-only check (SURVEY.md §7.6)."""
+    from pulsar_project_spark.functions.lenient_json import lenient_json_canonical
+
+    ev = load_events(spark, sf_dir)
+    messy = F.concat(
+        F.lit("{think: 'записываю', k: "),
+        F.get_json_object("props", "$.k"),
+        F.lit(", tags: ['a', 'b',], }"),
+    )
+    docs = ev.select("event_id", messy.alias("messy"))
+    parsed = docs.select(
+        "event_id", lenient_json_canonical(F.col("messy")).alias("canonical")
+    )
+    return parsed.select(
+        "event_id",
+        "canonical",
+        F.get_json_object("canonical", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("canonical", "$.think").alias("think"),
+    )

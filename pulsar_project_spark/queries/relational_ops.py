@@ -88,16 +88,22 @@ def q_intersect_click_and_purchase_days(spark: SparkSession, sf_dir: str) -> Dat
 
 
 _FUZZY_MAX_DIST = 12
+_FUZZY_MAX_BLOCK = 10000  # mega-block guard, same cap as the LSH buckets
 
 
 @declare(
     "fuzzy_part_name_pairs",
     oracle=f"""
+WITH qual AS (
+  SELECT p_brand, p_size FROM part
+  GROUP BY p_brand, p_size HAVING count(*) <= {_FUZZY_MAX_BLOCK}
+)
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS dist
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_size = b.p_size
  AND a.p_partkey < b.p_partkey
+JOIN qual q ON a.p_brand = q.p_brand AND a.p_size = q.p_size
 WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
 """,
 )
@@ -105,17 +111,27 @@ def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching: (brand, size) is the blocking key —
     pairs only form inside a block, so the Levenshtein DP (the expensive
     kernel) runs on block-local candidates, not n². Classic record-
-    linkage shape; at scale the block histogram is the skew metric to
-    watch (a mega-block would need a secondary key, same guard as LSH
-    mega-buckets). Levenshtein is integer DP — identical across engines."""
+    linkage shape. Blocks over {_FUZZY_MAX_BLOCK} rows are dropped
+    before the self-join (the same mega-bucket guard as the LSH
+    candidate join, mirrored in the oracle) so one degenerate blocking
+    key can't go quadratic at scale; a production pipeline would route
+    dropped mega-blocks through a secondary blocking key instead.
+    Levenshtein is integer DP — identical across engines."""
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size", "p_name"
     )
-    a = part.select(
+    qual = (
+        part.groupBy("p_brand", "p_size")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") <= _FUZZY_MAX_BLOCK)
+        .drop("__bn")
+    )
+    blocked = part.join(qual, ["p_brand", "p_size"])
+    a = blocked.select(
         F.col("p_brand"), F.col("p_size"),
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
     )
-    b = part.select(
+    b = blocked.select(
         F.col("p_brand"), F.col("p_size"),
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
     )

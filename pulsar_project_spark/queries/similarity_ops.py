@@ -161,7 +161,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroid_qsums",
     oracle=f"""
 SELECT label, i AS pos,
-       sum(CAST(floor(embedding[i]::DOUBLE * {QUANT_SCALE}) AS BIGINT)) AS qsum,
+       CAST(sum(CAST(floor(embedding[i]::DOUBLE * {QUANT_SCALE}) AS BIGINT)) AS BIGINT) AS qsum,
        count(*) AS n_vecs
 FROM embeddings, generate_series(1, {SRP_DIM}) AS t(i)
 GROUP BY label, i

@@ -39,7 +39,7 @@ def q_sql_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*) AS n_rows,
        count(DISTINCT o_custkey) AS n_customers,
        count(DISTINCT o_orderstatus) AS n_statuses,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

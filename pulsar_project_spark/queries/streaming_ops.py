@@ -24,8 +24,10 @@ from pulsar_project_spark.streaming import (
 
 @declare("streaming_topic_frequencies")
 def q_streaming_topic_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Complete-mode streaming aggregation (reference topic upsert +
-    frequency++, memory.py:315-344) driven to completion via availableNow."""
+    """Update-mode streaming aggregation keyed (topic, day) with a
+    watermark, merged per micro-batch into a parquet serving table
+    (reference topic upsert + frequency++, memory.py:315-344), driven
+    to completion via availableNow."""
     return run_topic_frequencies(spark, sf_dir)
 
 

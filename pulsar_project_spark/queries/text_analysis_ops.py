@@ -102,9 +102,9 @@ WITH toks AS (
   SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h FROM toks
 )
 SELECT doc_id, h % {FEATURE_DIM} AS dim_id,
-       sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+       CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
 FROM h GROUP BY doc_id, dim_id
-HAVING sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+HAVING CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) <> 0
 """,
 )
 def q_feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,7 +110,15 @@ def compact_topic(spark: SparkSession, queue: DirectoryQueue, topic: str,
     atomic directory rename. Returns the file count after compaction.
 
     The topic is a bounded log here; on an object store the same pass
-    runs per partition-date with a manifest swap instead of a rename."""
+    runs per partition-date with a manifest swap instead of a rename.
+
+    CONCURRENCY/CRASH CONTRACT (same as ``sinks.merge_upsert``): the
+    two-rename swap is not atomic — a crash between renames leaves the
+    topic dir briefly absent (data recoverable at ``path + '.old'``),
+    and a message produced into the topic between the read and the swap
+    is lost. Compaction assumes a quiesced topic or a single
+    writer+compactor owner; concurrent producers need a manifest-pointer
+    layout (or compact only sealed partition-dates, never the live one)."""
     import shutil
 
     path = queue.topic_path(topic)

@@ -39,7 +39,17 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 
     At 100 TB: partition the table and merge only the partitions present
     in the batch (updates carry the partition key → prune the read side);
-    the full-table rewrite here is the bounded-state form."""
+    the full-table rewrite here is the bounded-state form.
+
+    CONCURRENCY/CRASH CONTRACT (single-writer, like the reference's
+    whole-file JSON dumps, memory.py:63-76): the staged-directory swap is
+    two renames, not one atomic pointer flip — a crash between them can
+    leave ``path`` briefly absent (the data survives at ``path + '.old'``
+    for manual recovery), and a file appended to ``path`` by a concurrent
+    writer between the read and the swap is lost. One streaming query
+    (or one driver) owns a given table path; concurrent multi-writer
+    tables need a manifest-pointer layout or a real table format
+    (Delta/Iceberg), where this helper becomes one ``MERGE INTO``."""
     import os
     import shutil
 

@@ -6,11 +6,15 @@ micro-batch of 5 records (``client.py:323-324`` → ``memory.py:263-357``)
 — re-expressed as Structured Streaming over the ``events`` table:
 
 * **topic frequencies** (``memory.py:315-344`` upsert + frequency++):
-  a streaming groupBy aggregation in *complete* mode. Spark's state
-  store owns the running counts (checkpointed, exactly-once) — no
-  hand-rolled read-modify-write merge, which is the whole point of
-  doing this on Spark: at 100 TB/day of events the state store shards
-  across executors and survives failures.
+  an *update*-mode streaming aggregation keyed (topic, day) with a
+  watermark, merged per micro-batch into a parquet serving table via
+  ``sources.sinks.merge_upsert``. Update mode emits only the keys that
+  changed in the trigger (complete mode would re-emit the whole table
+  every trigger and retain every key in state forever — a scale-killer
+  at 100 TB/day with unbounded topic cardinality), the day bucket +
+  watermark bound the state store (closed days are evicted), and the
+  serving table — not the state store — owns history; all-time totals
+  are a cheap rollup over day rows at read time.
 * **windowed rates** (the watermark/late-data extension the reference
   lacks, SURVEY.md §2.9): event-time tumbling windows with a watermark;
   append mode emits only finalized windows.
@@ -99,31 +103,58 @@ def _drain(sdf: DataFrame, checkpoint: str | None = None, mode: str = "append",
 
 
 def run_topic_frequencies(spark: SparkSession, sf_dir: str,
-                          state_dir: str | None = None) -> DataFrame:
+                          state_dir: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
     """Streaming topic-frequency state (reference upsert+frequency++,
-    ``memory.py:319-323``): complete-mode aggregation, checkpointed
-    state store, foreachBatch overwrite of the serving table."""
+    ``memory.py:319-323``), scale-safe formulation:
+
+    update-mode aggregation keyed **(topic, day)** → ``foreachBatch``
+    keyed MERGE (``sources.sinks.merge_upsert``) into a parquet serving
+    table → all-time totals as a rollup over day rows at read.
+
+    Why this shape at 100 TB/day: update mode emits only keys changed in
+    the trigger; the watermark evicts state for closed day buckets, so
+    the state store holds ~(live topics × days inside the watermark)
+    instead of every topic ever seen; the serving table owns history.
+    The merge overwrites per (topic, day) with the running value —
+    re-delivery of a micro-batch is idempotent."""
+    from pulsar_project_spark.sources.sinks import merge_upsert
+
     out_dir = state_dir or tempfile.mkdtemp(prefix="topics_")
+    table = os.path.join(out_dir, "topic_days")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
     agg = (
-        events_stream(spark, sf_dir)
-        .groupBy(F.col("event_type").alias("topic"))
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.col("event_type").alias("topic"),
+                 F.window("event_time", "1 day").alias("w"))
         .agg(F.count("*").alias("frequency"),
              F.max("ts_us").alias("last_updated_us"))
+        .select("topic",
+                F.unix_micros(F.col("w.start")).alias("day_start_us"),
+                "frequency", "last_updated_us")
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        merge_upsert(batch_df.sparkSession, table, batch_df,
+                     key_cols=["topic", "day_start_us"],
+                     order_col="last_updated_us")
 
     with _state_partitions(spark):
         q = (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode("update")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
             .foreachBatch(sink)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    served = spark.read.parquet(table)
+    return served.groupBy("topic").agg(
+        F.sum("frequency").alias("frequency"),
+        F.max("last_updated_us").alias("last_updated_us"),
+    )
 
 
 def run_windowed_counts(spark: SparkSession, sf_dir: str,
@@ -169,18 +200,23 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(sink_dir)
+        # update mode emits only keys changed this trigger, carrying the
+        # running total — merge overwrites per key (idempotent on retry).
+        from pulsar_project_spark.sources.sinks import merge_upsert
+
+        merge_upsert(batch_df.sparkSession, sink_dir + "/counts", batch_df,
+                     key_cols=["event_type"], order_col="n")
 
     with _state_partitions(spark):
         q = (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode("update")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
             .foreachBatch(sink)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    return spark.read.parquet(sink_dir + "/counts")
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str,
