@@ -45,6 +45,17 @@ COMMON_ENGLISH_WORDS = frozenset({
 # actually filtered by the reference. We keep the evident intent (lowercase
 # set) for our engine; declared queries avoid the single-letter edge.
 
+# Reference Chinese stopword set (utils.py:277-289) — behavioral data,
+# used by the CJK tokenizer path (keywords_cjk below).
+COMMON_CHINESE_WORDS = frozenset(
+    "的一是不在人有我他这个上们来到时大地为"
+    "子中你说生国年着就那和要她出也得里后自以"
+    "会家可下而过天去能对小多然于心学么之都好"
+    "看起发当没成只如事把还用第样道想作种开美"
+    "总从无情己面最女但现前些所同日手又行意动"
+    "方期它头经长儿"
+)
+
 STOPWORDS_SQL_ARRAY = "array(" + ",".join(f"'{w}'" for w in sorted(COMMON_ENGLISH_WORDS)) + ")"
 
 
@@ -83,6 +94,67 @@ def remove_stopwords(tokens: Column) -> Column:
 def keywords(col: Column | str) -> Column:
     """Full reference keyword pipeline: clean → tokenize → de-stopword."""
     return remove_stopwords(tokenize(clean_string(col)))
+
+
+# --- CJK tokenizer path (utils.py:291-316) ---------------------------------
+#
+# The reference's CJK branch is BROKEN in the original: utils.py:300
+# calls ``len(char.strip)`` without parentheses, raising TypeError on any
+# CJK input. Per SURVEY.md §7.3 we implement the evident INTENT — CJK
+# chars in [一,鿿] emit as single-char tokens unless in the
+# Chinese stopword set; ASCII-ish alnum runs accumulate and drop English
+# stopwords; any other non-space char emits as its own token — and mark
+# the deviation here. Char-level token classes are a per-row scalar
+# transform → Arrow-batched pandas_udf (the JVM path can't express the
+# run-accumulation + per-char class switch in one builtin expression).
+
+# one token per match, classed by capture group: CJK char | alnum run
+# (underscore excluded — Python isalnum() semantics) | other non-space
+_CJK_TOKEN_RE = None  # compiled lazily inside the UDF worker
+
+
+def _keywords_cjk_py(text: str) -> list[str]:
+    """Pure-Python replica of the fixed reference loop — shared by the
+    pandas UDF (vectorized via findall per row) and the unit tests."""
+    import re as _re
+
+    global _CJK_TOKEN_RE
+    if _CJK_TOKEN_RE is None:
+        _CJK_TOKEN_RE = _re.compile(
+            r"([一-鿿])|([^\W_一-鿿]+)|(\S)"
+        )
+    out: list[str] = []
+    for m in _CJK_TOKEN_RE.finditer(text):
+        cjk, run, other = m.group(1), m.group(2), m.group(3)
+        if cjk is not None:
+            if cjk not in COMMON_CHINESE_WORDS:
+                out.append(cjk)
+        elif run is not None:
+            if run.lower() not in COMMON_ENGLISH_WORDS:
+                out.append(run)
+        else:
+            out.append(other)
+    return out
+
+
+def keywords_cjk(col: Column | str) -> Column:
+    """Arrow-batched tokenizer covering the reference's full (fixed) CJK
+    + ASCII semantics. Use :func:`keywords` (pure JVM) for ASCII-only
+    corpora — this UDF exists for mixed-script text, where per-char CJK
+    classing is the semantics. Python-defined behavior → rows-only in
+    declared queries (SURVEY.md §7.3, §7.6)."""
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _udf(texts):
+        return texts.map(
+            lambda t: _keywords_cjk_py(t) if t is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _udf(c)
 
 
 def truncate(col: Column | str, n: int) -> Column:

@@ -1,0 +1,53 @@
+"""Physical-plan audit as a pytest gate (tools/explain_audit.py).
+
+Every declared batch query's plan must be free of accidental
+CartesianProduct / BroadcastNestedLoopJoin (quadratic or broadcast-the-
+world shapes — the ALLOWED_NESTED_LOOP list names the queries where a
+tiny-side nested loop IS the algorithm), and known filter-pushdown
+queries must show non-empty PushedFilters on their parquet scans.
+Plans are built at the smoke scale factor; iterative operators execute
+their fit loops at plan-build time, which is why this runs at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as e
+from tests.conftest import SF_SMOKE
+from tools.explain_audit import audit
+
+_SKIP = {"mq_pipeline_roundtrip"}  # streaming plans audited via their tests
+
+_NAMES = [
+    n for n in sorted(e.queries())
+    if not n.startswith("streaming_") and n not in _SKIP
+]
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_no_accidental_nested_loop(name, spark):
+    df = e.queries()[name](spark, SF_SMOKE)
+    flags, summary, plan = audit(name, df)
+    assert not flags, f"{name}: {flags}\n{summary}\n{plan[:4000]}"
+
+
+# Queries whose defining predicate MUST reach the parquet scan — a scan
+# reading every row for these means pushdown was lost.
+_PUSHDOWN_REQUIRED = [
+    "parts_no_bulk_order",       # l_quantity >= 45 at the lineitem scan
+    "top_revenue_orders",        # ship-date range at the lineitem scan
+    "except_click_days_no_purchase",  # event_type filters at the events scan
+]
+
+
+@pytest.mark.parametrize("name", _PUSHDOWN_REQUIRED)
+def test_filter_pushdown_reaches_scan(name, spark):
+    import re
+
+    df = e.queries()[name](spark, SF_SMOKE)
+    _, _, plan = audit(name, df)
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert any(p.strip() for p in pushed), (
+        f"{name}: no non-empty PushedFilters in any scan\n{plan[:4000]}"
+    )
