@@ -8,6 +8,7 @@ oracle can inline the same keyword literals.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pulsar_project_spark.operators.retrieval import (
     extract_query_keywords,
@@ -57,3 +58,75 @@ def q_keyword_score_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every row, not just the winners."""
     docs = load_table(spark, sf_dir, "documents")
     return score_corpus(docs, FLAGSHIP_QUERY)
+
+
+# --- BM25 (beyond-reference retrieval upgrade) ------------------------------
+
+from pulsar_project_spark.functions.text import COMMON_ENGLISH_WORDS
+from pulsar_project_spark.operators.retrieval import bm25_scores
+
+BM25_TERMS = ["filter", "merge", "scan", "window"]  # fixed, sorted
+
+_BM25_STOP = "[" + ",".join(f"'{w}'" for w in sorted(COMMON_ENGLISH_WORDS)) + "]"
+
+_BM25_SCORES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+'),
+           t -> t <> '' AND NOT list_contains({_BM25_STOP}, t))) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS t_tokens
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ('filter', 'merge', 'scan', 'window')
+  GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token,
+         CAST(round(ln(CAST(2*(n_docs+1) AS DOUBLE)/CAST(2*count(DISTINCT doc_id)+1 AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS idf_u
+  FROM tf, consts GROUP BY token, n_docs
+),
+contrib AS (
+  SELECT tf.doc_id, tf.token,
+         (CAST(idf_u AS DOUBLE)/1000000.0)
+         * (CAST(44*tf*t_tokens AS DOUBLE)
+            / CAST(20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs AS DOUBLE)) AS c
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), consts
+)
+SELECT doc_id,
+       COALESCE(max(CASE WHEN token = 'filter' THEN c END), 0.0)
+       + COALESCE(max(CASE WHEN token = 'merge' THEN c END), 0.0)
+       + COALESCE(max(CASE WHEN token = 'scan' THEN c END), 0.0)
+       + COALESCE(max(CASE WHEN token = 'window' THEN c END), 0.0) AS score,
+       count(*) AS n_terms
+FROM contrib
+GROUP BY doc_id
+"""
+
+
+@declare("bm25_scores", oracle=_BM25_SCORES_SQL)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 score of every document against the fixed term set — the
+    real-ranking upgrade of keyword_score_scan. Cross-engine float
+    parity via per-term idf quantization (see operators/retrieval.py
+    bm25_scores docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_TERMS)
+
+
+@declare(
+    "bm25_topk",
+    oracle=_BM25_SCORES_SQL + "ORDER BY score DESC, doc_id ASC LIMIT 10",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by BM25 — global top-k via TakeOrderedAndProject,
+    stable doc_id tiebreak like the flagship."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_TERMS)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

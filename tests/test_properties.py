@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import re
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -36,8 +37,9 @@ def test_strict_json_roundtrips_canonically(obj):
 def test_trailing_commas_tolerated(obj):
     s = json.dumps(obj)
     # values are alphanumeric-only, so brace/bracket surgery never
-    # touches string contents
-    lenient = s.replace("}", ",}").replace("]", ",]")
+    # touches string contents. json5 allows a trailing comma only after
+    # an element — `[,]`/`{,}` are invalid — so leave empties alone.
+    lenient = re.sub(r"(?<=[^\[{])\}", ",}", re.sub(r"(?<=[^\[{])\]", ",]", s))
     assert lenient_parse(lenient) == _canon(obj)
 
 

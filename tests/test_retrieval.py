@@ -8,6 +8,7 @@ stable-sort tiebreak. We assert the exact expected ranking here.
 from __future__ import annotations
 
 from pulsar_project_spark.operators.retrieval import (
+    bm25_scores,
     extract_query_keywords,
     simple_rag,
 )
@@ -63,3 +64,48 @@ def test_simple_rag_no_shuffle(spark):
     explained = simple_rag(docs, "fast scan")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in explained
     assert "Exchange" not in explained
+
+
+def test_bm25_matches_textbook_formula(spark):
+    """The folded integer rational + quantized idf must equal textbook
+    BM25 (k1=1.2, b=0.75) to within the idf quantization error (~5e-7
+    relative) — proves the algebra is BM25, not merely self-consistent
+    across engines."""
+    import math
+
+    corpus = [
+        (0, "merge scan merge filter the a window"),
+        (1, "scan scan scan scan nothing else here"),
+        (2, "window filter window filter window"),
+        (3, "totally unrelated words only"),
+        (4, "merge"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["filter", "merge", "scan", "window"]
+    out = {r.doc_id: (r.score, r.n_terms)
+           for r in bm25_scores(docs, terms).collect()}
+
+    from pulsar_project_spark.functions.text import COMMON_ENGLISH_WORDS
+    tok = {d: [t for t in txt.lower().split() if t not in COMMON_ENGLISH_WORDS]
+           for d, txt in corpus}
+    N = len(corpus)
+    T = sum(len(ts) for ts in tok.values())
+    avgdl = T / N
+    k1, b = 1.2, 0.75
+    df = {t: sum(1 for ts in tok.values() if t in ts) for t in terms}
+    expected = {}
+    for d, ts in tok.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if matched:
+            expected[d] = (s, matched)
+    assert set(out) == set(expected)
+    for d, (s, m) in expected.items():
+        assert out[d][1] == m
+        assert abs(out[d][0] - s) <= 2e-6 * max(1.0, abs(s)), (d, out[d][0], s)

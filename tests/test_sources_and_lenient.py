@@ -37,3 +37,36 @@ def test_lenient_parse_fallback():
     assert lenient_parse(None) is None
     # strict JSON passes through canonically
     assert lenient_parse('{"b": 2, "a": 1}') == '{"a":1,"b":2}'
+
+
+def test_json5_grammar_extensions():
+    """The fallback parser covers the json5 features the regex
+    normalizer could not: comments, hex, Infinity/NaN, signed numbers,
+    bare-dot decimals, \\x escapes, and // inside strings."""
+    from pulsar_project_spark.functions.lenient_json import lenient_parse
+
+    # comments stripped outside strings only
+    assert lenient_parse('{// line\n a: 1, /* block */ b: 2}') == '{"a":1,"b":2}'
+    assert lenient_parse('{"url": "http://x/y"} // tail') == '{"url":"http://x/y"}'
+    assert lenient_parse('["a /* not a comment */ b"]') == '["a /* not a comment */ b"]'
+    # hex integers, leading +, bare-dot decimals, exponents
+    assert lenient_parse('{h: 0x1A, p: +5, d: .5, t: 5., e: 1e2}') == \
+        '{"d":0.5,"e":100.0,"h":26,"p":5,"t":5.0}'
+    # Infinity / NaN literals (canonical dump keeps Python repr tokens)
+    assert lenient_parse('[Infinity, -Infinity, +Infinity]') == \
+        '[Infinity, -Infinity, Infinity]'.replace(' ', '')
+    assert lenient_parse('{n: NaN}') == '{"n":NaN}'
+    # json5 escapes: \x, \v, \0, escaped quote of either kind
+    assert lenient_parse("['\\x41\\v\\0', '\\'', \"\\\"\"]") == json.dumps(
+        ["A\v\0", "'", '"'], separators=(",", ":")
+    )
+    # line continuation inside a string
+    assert lenient_parse('"ab\\\ncd"') == '"abcd"'
+    # $-prefixed unquoted keys (ECMA IdentifierName)
+    assert lenient_parse('{$ref: "x", _id: 2}') == '{"$ref":"x","_id":2}'
+    # unicode whitespace tolerated between tokens
+    assert lenient_parse('\ufeff{\u00a0a:\u20281\u2029}') == '{"a":1}'
+    # malformed inputs still return None, never raise
+    for bad in ('{a:}', '[1,,2]', '{a: 1', '"unterminated', '/* x', '{1: 2}',
+                '{a: 1} extra', "'bad\nnewline'"):
+        assert lenient_parse(bad) is None, bad
