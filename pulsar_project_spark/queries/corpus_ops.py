@@ -129,3 +129,102 @@ def q_vocab_min_max_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_freq") >= 5) & (F.col("doc_freq") * 100 <= F.col("n_docs") * 77))
         .select("token", "doc_freq", "term_freq")
     )
+
+
+# --- Deterministic train/val/test split -------------------------------------
+
+_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train'
+         END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@declare("split_assignment_counts", oracle=_SPLIT_SQL)
+def q_split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: the first hex digit of md5(doc_id)
+    buckets every document into train (14/16), val ('e'), test ('f') —
+    stable under reshuffles, re-ingestion, and cluster size, which is
+    the property a training pipeline needs (no RNG, no state). md5 hex
+    is byte-identical across engines, so the assignment itself is the
+    oracle-checked operator; the query reports per-(split, lang)
+    counts. Scale shape: one projection + one grouped count."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.select(
+        "lang",
+        F.when(first == "e", "val").when(first == "f", "test")
+        .otherwise("train").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- Composite quality filter with audit trail ------------------------------
+#
+# Thresholds compare in integer cross-multiplication (no float ever
+# enters): low_alpha = alpha/chars < 0.7, high_punct = punct/chars >
+# 0.05, too_short/long on token counts.
+
+_FILTER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_filter([
+         CASE WHEN n_tokens < 30 THEN 'too_short' END,
+         CASE WHEN n_tokens > 200 THEN 'too_long' END,
+         CASE WHEN n_alpha * 10 < n_chars * 7 THEN 'low_alpha' END,
+         CASE WHEN n_punct * 20 > n_chars THEN 'high_punct' END
+       ], x -> x IS NOT NULL)), ','), '') AS fail_reasons,
+       (n_tokens >= 30 AND n_tokens <= 200
+        AND n_alpha * 10 >= n_chars * 7
+        AND n_punct * 20 <= n_chars) AS keep
+FROM base
+"""
+
+
+@declare("quality_filter_audit", oracle=_FILTER_SQL)
+def q_quality_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop decision per document WITH the audit trail —
+    which rules failed — as a sorted comma-joined string. Production
+    filters need the reasons (for tuning thresholds and reporting drop
+    rates), not just the boolean. All thresholds are integer
+    cross-multiplications, so the only output types are string/bool.
+    Scale shape: pure per-row projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_tokens = F.size(tokenize(clean_string("text")))
+    base = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"), n_punct.alias("n_punct"),
+        n_alpha.alias("n_alpha"), n_tokens.alias("n_tokens"),
+    )
+    rules = F.array(
+        F.when(F.col("n_tokens") < 30, "too_short"),
+        F.when(F.col("n_tokens") > 200, "too_long"),
+        F.when(F.col("n_alpha") * 10 < F.col("n_chars") * 7, "low_alpha"),
+        F.when(F.col("n_punct") * 20 > F.col("n_chars"), "high_punct"),
+    )
+    return base.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_compact(rules))).alias("fail_reasons"),
+        (
+            (F.col("n_tokens") >= 30) & (F.col("n_tokens") <= 200)
+            & (F.col("n_alpha") * 10 >= F.col("n_chars") * 7)
+            & (F.col("n_punct") * 20 <= F.col("n_chars"))
+        ).alias("keep"),
+    )

@@ -91,3 +91,36 @@ def q_cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_orders", "total_price",
         )
     )
+
+
+@declare(
+    "grouping_sets_region_priority",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+""",
+)
+def q_grouping_sets_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-key marginals in one
+    pass, the piece of the ROLLUP/CUBE family neither covers (no
+    (region, priority) cell, no grand total). Same Expand + one-shuffle
+    execution; dimensions broadcast. Registered via the SQL API: the
+    sets are declared, not assembled by unioning two aggregates."""
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql("""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation   ON c_nationkey = n_nationkey
+        JOIN gs_region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    """)

@@ -223,3 +223,78 @@ def q_orders_above_priority_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cents * F.col("n") > F.col("s"))
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
+
+
+# --- Semi-join / HAVING breadth (TPC-H Q4/Q18 analogs) ----------------------
+
+_LATE_SHIP_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@declare("late_shipment_priority_counts", oracle=_LATE_SHIP_SQL)
+def q_late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (no commitdate column in this schema, so "late"
+    = any lineitem shipped >60 days after the order date): order counts
+    per priority where at least one late line EXISTS. The EXISTS
+    decorrelates to a LEFT SEMI join — each order emitted at most once
+    no matter how many late lines it has.
+
+    Scale shape: semi join shuffles both sides on orderkey once; the
+    aggregate that follows is low-cardinality (5 priorities) with
+    map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_BIG_ORDER_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 180
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@declare("big_order_customers", oracle=_BIG_ORDER_SQL)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers holding an order whose total quantity
+    exceeds 180 units. Quantities are integral doubles, so the sum is
+    taken over BIGINT — exact, reduction-order-independent, and immune
+    to the HUGEINT oracle pitfall (outer CAST).
+
+    Scale shape: the HAVING aggregate reduces lineitem to the rare big
+    orders BEFORE any join; those few rows then join orders on the
+    aggregation key (no re-shuffle under AQE) and the customer dim
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )

@@ -130,3 +130,73 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = bm25_scores(docs, BM25_TERMS)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# --- Hybrid search: BM25 candidates → embedding-cosine rerank ---------------
+
+from pulsar_project_spark.operators.similarity import cosine as _cosine
+from pulsar_project_spark.operators.similarity import with_norm as _with_norm
+from pulsar_project_spark.queries.similarity_ops import _dot_sql
+
+_HYBRID_CANDS = 50
+_HYBRID_K = 10
+_HYBRID_QVEC = 0  # embedding of vec_id 0 is the query vector
+
+_HYBRID_SQL = f"""
+WITH bm AS (
+  SELECT doc_id, score AS bm25 FROM ({_BM25_SCORES_SQL}) s
+  ORDER BY score DESC, doc_id ASC LIMIT {_HYBRID_CANDS}
+),
+base AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = {_HYBRID_QVEC})
+SELECT bm.doc_id, bm.bm25,
+       {_dot_sql('b.embedding', 'q.qe')} / (b.nrm * q.qn) AS cosine
+FROM bm JOIN base b ON bm.doc_id = b.vec_id, q
+WHERE bm.doc_id <> {_HYBRID_QVEC}
+ORDER BY cosine DESC, bm.doc_id ASC
+LIMIT {_HYBRID_K}
+"""
+
+
+@declare("hybrid_bm25_cosine_rerank", oracle=_HYBRID_SQL)
+def q_hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the shape every production RAG stack runs:
+    a cheap lexical pass (BM25 top-50) prunes the corpus, then the
+    surviving candidates are re-ranked by embedding cosine against a
+    query vector. Composes three engine pieces — bm25_scores, the
+    vector-norm projection, and the sequential-fold dot product whose
+    order matches DuckDB list_reduce bit-for-bit.
+
+    Scale shape: stage 1 is the BM25 plan (token-filtered shuffles +
+    global top-k); the 50-row candidate set then BROADCASTS against the
+    embeddings table, so the rerank is one scan with no shuffle; the
+    1-row query vector rides a crossJoin (allow-listed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = (
+        bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_HYBRID_CANDS)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    base = _with_norm(emb)
+    q = (
+        base.filter(F.col("vec_id") == _HYBRID_QVEC)
+        .select(F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    )
+    return (
+        F.broadcast(cands)
+        .join(base, F.col("doc_id") == F.col("vec_id"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != _HYBRID_QVEC)
+        .select(
+            "doc_id",
+            "bm25",
+            _cosine(F.col("embedding"), F.col("qe"), F.col("nrm"), F.col("qn")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_HYBRID_K)
+    )
