@@ -1,0 +1,230 @@
+"""Declared queries: training-data pipeline extensions round 2 —
+repetition filtering (Gopher-style), deterministic sequence packing,
+PII-shaped masking, and inter-event cadence stats.
+
+These extend the SURVEY.md §2.11 family (dedup / quality / text
+analysis) with the remaining ops a pre-training corpus pipeline runs
+between "filtered documents" and "token batches". All outputs are
+integer/string/bool or exact-rational doubles, so every oracle is
+hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_project_spark.functions.text import clean_string, tokenize
+from pulsar_project_spark.queries.corpus_ops import _TOKS_SQL
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events, load_table
+
+# --- Gopher-style repetition filter -----------------------------------------
+#
+# A document whose single most frequent word bigram covers >20% of all
+# bigrams is repetitive boilerplate (Gopher's "top n-gram fraction"
+# rule). 20% compares as top_count * 5 > n_bigrams — integer
+# cross-multiplication, no float.
+
+_REP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+counts AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM bigrams GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(max(cnt) AS BIGINT) AS top_count,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       (max(cnt) * 5 > sum(cnt)) AS repetitive
+FROM counts GROUP BY doc_id
+"""
+
+
+@declare("repetition_top_bigram", oracle=_REP_SQL)
+def q_repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-bigram concentration (Gopher repetition rule):
+    the most frequent word bigram's count, the total bigram count, and
+    a repetitive flag at the 20% threshold.
+
+    Scale shape: bigram construction is a map-side zip of two shifted
+    slices (no UDF); the explode multiplies rows by ~doc length but the
+    (doc_id, bigram) count immediately collapses them with map-side
+    partials, and the per-doc rollup shuffles on doc_id only. No
+    all-pairs anything; memory per task is one doc's bigram set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(clean_string("text")).alias("tk"))
+    bigrams = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(tk, 1, size(tk) - 1)"),
+                    F.expr("slice(tk, 2, size(tk) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_count"),
+        F.sum("cnt").alias("n_bigrams"),
+        (F.max("cnt") * 5 > F.sum("cnt")).alias("repetitive"),
+    )
+
+
+# --- Deterministic sequence packing ------------------------------------------
+#
+# Contiguous greedy packing: within each lang, documents in doc_id
+# order are appended to the current bin; a document whose tokens start
+# at cumulative offset c lands in bin c DIV budget. Deterministic (no
+# RNG, no state), so re-runs and the oracle agree exactly.
+
+_PACK_BUDGET = 2048
+
+_PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+placed AS (
+  SELECT lang, n_tokens,
+         COALESCE(CAST(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) // {_PACK_BUDGET} AS bin
+  FROM sized
+)
+SELECT lang, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM placed GROUP BY lang, bin
+"""
+
+
+@declare("sequence_packing_bins", oracle=_PACK_SQL)
+def q_sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training bins (budget
+    2048): each doc's bin is its cumulative token offset DIV budget,
+    per lang in doc_id order. Returns per-(lang, bin) doc and token
+    counts — the batch manifest a data loader would consume.
+
+    Scale shape: one running-sum window per lang partition, then a
+    grouped rollup. A single lang is processed sequentially within its
+    window partition; at 100 TB you'd sub-partition the window key into
+    (lang, doc_id range) buckets sized to a worker — offsets stay
+    deterministic because doc_id ranges are disjoint and bucket token
+    totals are known after one aggregate pass. The 2048 DIV is integer
+    math, so no float drift moves a doc across a bin boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokenize(clean_string("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint").alias("cum_before"),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.expr(f"cum_before DIV {_PACK_BUDGET}").alias("bin"),
+    )
+    return placed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+# --- PII-shaped masking -------------------------------------------------------
+#
+# The test corpus carries no real PII; digit runs in the event props
+# JSON stand in for the account-number / phone-number shape. The
+# operator is the real thing: regex run masking plus an audit count,
+# pure per-row projection.
+
+_REDACT_SQL = r"""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked,
+       length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS n_digits,
+       length(regexp_replace(props, '[0-9]+', '#', 'g'))
+         - length(regexp_replace(props, '[0-9]+', '', 'g')) AS n_runs
+FROM events
+"""
+
+
+@declare("props_digit_redaction", oracle=_REDACT_SQL)
+def q_props_digit_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask every digit run in the event props payload with <NUM> and
+    report the digit and run counts — the PII-redaction shape (mask +
+    audit trail) over a corpus with stand-in digits.
+
+    Scale shape: stateless per-row regex projection, whole-stage
+    codegen, no shuffle; at 100 TB this is scan-bound and trivially
+    parallel."""
+    ev = load_events(spark, sf_dir)
+    digits_stripped = F.regexp_replace("props", "[0-9]", "")
+    runs_marked = F.regexp_replace("props", "[0-9]+", "#")
+    runs_stripped = F.regexp_replace("props", "[0-9]+", "")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("masked"),
+        (F.length("props") - F.length(digits_stripped)).alias("n_digits"),
+        (F.length(runs_marked) - F.length(runs_stripped)).alias("n_runs"),
+    )
+
+
+# --- Inter-event cadence ------------------------------------------------------
+
+_GAP_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(gap_us) AS mean_gap_us
+FROM seq
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@declare("user_event_gap_stats", oracle=_GAP_SQL)
+def q_user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence: min/max/mean gap between
+    consecutive events in exact microseconds (lag over the (ts,
+    event_id) order). The mean is the one float — a single
+    BIGINT-sum / count division, identical IEEE in both engines.
+
+    Scale shape: one window shuffle on user_id, then a grouped
+    aggregate on the same key (no second shuffle under AQE)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mean_gap_us"),
+    )

@@ -298,3 +298,34 @@ def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
+
+
+_ORDER_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS n_customers
+FROM per_cust GROUP BY c_count
+"""
+
+
+@declare("customer_order_count_distribution", oracle=_ORDER_DIST_SQL)
+def q_customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: the distribution of orders-per-customer,
+    including zero-order customers (LEFT join + count of the nullable
+    key counts only matched rows). Both counts are engine-native BIGINT
+    — no HUGEINT exposure.
+
+    Scale shape: the join and the per-customer count share the custkey
+    shuffle; the distribution rollup is a tiny second aggregate with
+    map-side partials."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
