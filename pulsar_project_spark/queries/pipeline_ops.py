@@ -228,3 +228,62 @@ def q_user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mean_gap_us"),
     )
+
+
+# --- Session windows (batch twin of the streaming op) -------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_SESSION_SQL = f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                 >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+labeled AS (
+  SELECT user_id, ts_us,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM seq
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {_SESSION_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM labeled GROUP BY user_id, sid
+"""
+
+
+@declare("user_session_stats", oracle=_SESSION_SQL)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user via Spark's native ``session_window``
+    (30-minute gap) in BATCH mode: one row per merged session with
+    start, end (last event + gap — the session_window contract), and
+    event count. The oracle reproduces the merge rule relationally
+    (lag → new-session flag → running sum → group), proving the native
+    operator's semantics against first principles.
+
+    This is the batch twin of ``streaming_session_windows``; the
+    streaming test asserts the streaming emission is a subset of these
+    rows.
+
+    Scale shape: session_window is one shuffle on user_id then a
+    per-partition sort-merge of adjacent windows — same cost class as
+    the window formulation but fused into a single aggregate."""
+    ev = load_events(spark, sf_dir)
+    evt = ev.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        evt.groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Declared queries: explicit skew-mitigation and corpus-balancing ops.
+
+``operators/skew.py salted_join`` was previously exercised only by unit
+tests; `salted_segment_event_counts` makes it a driver-verified query —
+the oracle is the PLAIN join's SQL, so the check proves the salted
+rewrite is semantics-preserving end to end (the whole point of the
+operator: same result, skew-proof shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_project_spark.operators.skew import salted_join
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events, load_table
+
+_SALTED_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@declare("salted_segment_event_counts", oracle=_SALTED_SQL)
+def q_salted_segment_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per customer market segment, computed through
+    ``salted_join`` (events scattered across 16 deterministic sub-keys,
+    the customer dim replicated ×16) and verified against the plain
+    join's oracle — the salted rewrite must be invisible in the result.
+
+    The test corpus isn't skewed; the operator is for the production
+    case where one user_id holds a double-digit percent of events and
+    AQE's split sizes can't save a single monster reducer. Outputs are
+    integer-only (counts), so no float-order concern survives the
+    regrouping.
+
+    Scale shape: the big side shuffles on (user_id, salt) — hot keys
+    spread over 16 reducers; the ×16 replicated dim is still tiny. The
+    segment rollup is a low-cardinality second aggregate."""
+    ev = load_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, key="user_id", salt_col="event_id", n_salts=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# --- Temperature-balanced sampling weights ------------------------------------
+#
+# Multilingual pre-training corpora resample low-resource languages up
+# via p_lang ∝ n_lang^α (α=0.5 here). sqrt and a single division are
+# both correctly-rounded IEEE ops, so the doubles are bit-identical
+# across engines — no quantization needed.
+
+_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       sqrt(CAST(n_docs AS DOUBLE)) AS weight,
+       sqrt(CAST(max(n_docs) OVER () AS DOUBLE) / n_docs) AS upsample_factor
+FROM counts
+"""
+
+
+@declare("lang_sampling_weights", oracle=_TEMP_SQL)
+def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (α=0.5) language sampling weights: each
+    language's unnormalized weight √n and the upsampling factor
+    √(n_max/n) that equalizes it with the largest language.
+
+    Scale shape: one grouped count (5 groups, map-side partials), then
+    a window max over the 5-row aggregate — free. Normalization into
+    probabilities is left to the (driver-side, 5-row) consumer because
+    a cross-engine float SUM is reduction-order-dependent; everything
+    emitted here is a single correctly-rounded sqrt/div of exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    return counts.select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("weight"),
+        F.sqrt(
+            F.max("n_docs").over(w).cast("double") / F.col("n_docs")
+        ).alias("upsample_factor"),
+    )

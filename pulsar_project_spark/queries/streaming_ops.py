@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.streaming import (
     run_keep_last_state,
+    run_session_windows,
     run_stream_stream_join,
     run_streaming_dedup,
     run_topic_frequencies,
@@ -42,6 +43,14 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user last-N tail (records[-n:],
     memory.py:125, as managed streaming state)."""
     return run_keep_last_state(spark, sf_dir)
+
+
+@declare("streaming_session_windows")
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked per-user session windows (30-min gap), append mode —
+    only watermark-closed sessions emit. Batch twin: user_session_stats
+    (oracle-checked); test asserts emission ⊆ batch."""
+    return run_session_windows(spark, sf_dir)
 
 
 @declare("streaming_exact_dedup")

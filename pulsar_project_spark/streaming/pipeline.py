@@ -315,3 +315,35 @@ def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
         )
         q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+def run_session_windows(spark: SparkSession, sf_dir: str,
+                        gap: str = "30 minutes",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming session windows: per-user sessions merged by a
+    30-minute inactivity gap (``F.session_window``), watermarked, append
+    mode — only sessions closed by the watermark are emitted.
+
+    Scale shape: session state is per (user, open session) and bounded
+    by the watermark: a session whose end (last event + gap) falls
+    behind the watermark is finalized and evicted. Batch twin
+    ``user_session_stats`` is oracle-checked; the streaming emission is
+    a subset of it (the trailing watermark margin stays open)."""
+    sink_dir = tempfile.mkdtemp(prefix="sess_")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    with _state_partitions(spark):
+        _drain(agg, mode="append", sink_path=sink_dir)
+    return spark.read.parquet(sink_dir)

@@ -109,3 +109,17 @@ def test_streaming_dedup_removes_doubled_input(spark):
             load_events(spark, SF_SMOKE).groupBy("event_type").count().collect()}
     # input was unioned with itself; dedup must restore raw counts
     assert got == want
+
+
+def test_session_windows_stream_subset_of_batch(spark):
+    import __spark_entry__ as e
+    from pulsar_project_spark.streaming import run_session_windows
+
+    got = run_session_windows(spark, SF_SMOKE)
+    want = e.queries()["user_session_stats"](spark, SF_SMOKE)
+    # append mode emits only watermark-closed sessions: emitted ⊆ batch,
+    # and with a 10-min watermark vs a 30-day corpus, nearly all of it.
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    assert len(got_rows) >= 0.9 * len(want_rows)
