@@ -1,0 +1,183 @@
+"""Declared queries: star-schema and incremental-maintenance shapes.
+
+The multi-dimension star join is THE 100 TB warehouse query shape (one
+fact scan, every dimension broadcast); the mergeable-state query proves
+the partial-aggregate algebra that incremental view maintenance and
+multi-stage reduction both rely on (merge(agg(A), agg(B)) == agg(A∪B)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_table
+
+_STAR_SQL = """
+SELECT r_name AS region,
+       c_mktsegment AS segment,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, c_mktsegment, strftime(o_orderdate, '%Y-%m')
+"""
+
+
+@declare("star_revenue_region_segment_month", oracle=_STAR_SQL)
+def q_star_revenue_region_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimension star rollup: revenue by region × market segment
+    × order month. Revenue sums in exact integer cents (the proven
+    round(x*100)-to-BIGINT pattern from orders_above_priority_mean —
+    reduction-order-independent, HUGEINT-immune via the outer CAST).
+
+    Scale shape: ONE pass over the fact table; customer/nation/region
+    all broadcast (declared in BROADCAST_TABLES), so the only shuffle
+    is the final low-cardinality (5×5×~24 cells) aggregate with
+    map-side partials. This is the plan a 100 TB fact table wants — no
+    fact-side join shuffle at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+# --- Mergeable partial aggregates (incremental view maintenance) --------------
+#
+# Split the fact stream into two halves (old state / new delta),
+# aggregate each independently, then MERGE the partials — count adds,
+# sum adds, min/max fold. The oracle aggregates the union directly:
+# equality proves the merge algebra, the property that makes
+# incremental maintenance (and Spark's own two-phase aggregation)
+# correct.
+
+_MERGE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("mergeable_state_rollup", oracle=_MERGE_SQL)
+def q_mergeable_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance algebra, end to end: events are split
+    into two disjoint batches (even/odd event_id — standing in for
+    "yesterday's materialized state" and "today's delta"), each batch
+    is aggregated independently, and the two partial states are merged
+    (counts add, min/max fold, distinct-user sets union via a re-count
+    over the union of per-batch distinct pairs). The oracle aggregates
+    the unsplit input — equality IS the merge-correctness proof.
+
+    COUNT DISTINCT is the one non-trivially-mergeable aggregate: the
+    partial state must be the distinct (type, user) pairs, not a
+    number. The exact pair-set here is what HLL sketches replace at
+    100 TB (approx_distinct_users covers that); both mergeable, one
+    exact and one bounded-memory.
+
+    Scale shape: two grouped aggregates + a pair-set union re-count —
+    all map-side-partial shuffles on low-cardinality keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    halves = []
+    pair_halves = []
+    for parity in (0, 1):
+        part = ev.filter(F.col("event_id") % 2 == parity)
+        halves.append(
+            part.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.min("ts_us").alias("first_us"),
+                F.max("ts_us").alias("last_us"),
+            )
+        )
+        pair_halves.append(part.select("event_type", "user_id").distinct())
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+    )
+    users = (
+        pair_halves[0].unionByName(pair_halves[1])
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return merged.join(users, "event_type").select(
+        "event_type", "n_events", "first_us", "last_us", "n_users"
+    )
+
+
+# --- Cumulative user acquisition ---------------------------------------------
+
+_CUMUSERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+@declare("cumulative_new_users_by_day", oracle=_CUMUSERS_SQL)
+def q_cumulative_new_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the growth-curve query.
+    Naive cumulative COUNT DISTINCT re-scans history per day; this is
+    the scalable rewrite: min(first-seen day) per user (one shuffle),
+    daily new-user counts, then a running sum over the ~30-row daily
+    series. Day buckets are integer micros DIV 86400e6 — no timezone,
+    no float.
+
+    Scale shape: the only data-sized shuffle is the per-user min; the
+    window runs over the tiny daily aggregate (single partition is fine
+    at any corpus size — it's one row per day)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    firsts = (
+        ev.select("user_id", F.expr("(ts div 1000) div 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
