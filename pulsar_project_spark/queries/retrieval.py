@@ -200,3 +200,38 @@ def q_hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(_HYBRID_K)
     )
+
+
+# --- MMR diversity rerank ----------------------------------------------------
+
+from pulsar_project_spark.operators.mmr import mmr_rerank
+
+
+@declare("mmr_diverse_topk")
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-10: BM25 top-50 candidates reranked by
+    Maximal Marginal Relevance (λ=0.7) against their embeddings —
+    the third retrieval stage after simple_rag (keyword), bm25
+    (lexical), and hybrid (vector rerank): this one optimizes the SET,
+    not each item, so the 10 results aren't 10 near-duplicates.
+
+    No oracle: MMR's greedy argmax is iterative (k sequential steps) —
+    not expressible as a DuckDB one-shot; correctness is pinned by
+    tests/test_mmr.py against an independent numpy replica, and the
+    candidate stage (bm25_scores) IS oracle-checked.
+
+    Scale shape: candidate generation is the distributed BM25 plan;
+    the greedy loop runs once, on one executor, over one 50-row Arrow
+    batch (applyInPandas on a constant key) — no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = (
+        bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_HYBRID_CANDS)
+        .select("doc_id", F.col("score").alias("rel"))
+    )
+    with_vec = F.broadcast(cands).join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return mmr_rerank(with_vec, k=10, lam=0.7)

@@ -181,3 +181,61 @@ def q_cumulative_new_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --- Snapshot diff (CDC-shaped full-outer compare) ---------------------------
+
+_DIFF_SQL = """
+WITH s1 AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE epoch_us(ts) // 86400000000 - 19723 < 15
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE epoch_us(ts) // 86400000000 - 19723 >= 15
+  GROUP BY user_id
+)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.n = s2.n THEN 'same'
+            ELSE 'changed' END AS status,
+       count(*) AS n_keys
+FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+GROUP BY 1
+"""
+
+
+@declare("snapshot_diff_counts", oracle=_DIFF_SQL)
+def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped snapshot diff: per-user event counts in the first 15
+    days vs the rest of the corpus, FULL OUTER joined on the key and
+    classified added / removed / changed / same — the audit every
+    incremental ingestion pipeline runs between yesterday's and today's
+    materialized state. (Day 19723 = 2024-01-01 in epoch-days; the
+    corpus starts there.)
+
+    Scale shape: both snapshot aggregates and the full-outer join
+    share the user_id shuffle; the classification rollup is 4 rows.
+    FULL OUTER can't broadcast (both sides must surface unmatched
+    rows) — the shuffle join IS the right plan, and this query is the
+    engine's coverage proof for it."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000") - 19723
+    base = ev.select("user_id", day.alias("day"))
+    s1 = base.filter(F.col("day") < 15).groupBy("user_id").agg(
+        F.count("*").alias("n1"))
+    s2 = base.filter(F.col("day") >= 15).groupBy("user_id").agg(
+        F.count("*").alias("n2"))
+    joined = s1.withColumnRenamed("user_id", "u1").join(
+        s2.withColumnRenamed("user_id", "u2"),
+        F.col("u1") == F.col("u2"), "full_outer",
+    )
+    status = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("n1") == F.col("n2"), "same")
+        .otherwise("changed")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_keys"))

@@ -41,3 +41,41 @@ def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+_WINSOR_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(*) FILTER (pr < 0.01) AS n_below_p01,
+       count(*) FILTER (pr > 0.99) AS n_above_p99
+FROM ranked GROUP BY event_type
+"""
+
+
+@declare("winsorize_tail_counts", oracle=_WINSOR_SQL)
+def q_winsorize_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-trim accounting: per event type, how many values fall in
+    the p01/p99 tails by exact percent_rank — the winsorization census
+    a feature pipeline runs before clamping. percent_rank is the exact
+    rational (rank−1)/(n−1); only comparisons against it are emitted
+    (integer counts), so ties and float order never reach the output.
+
+    Scale shape: one window shuffle on event_type, then a grouped count
+    on the same key. Exact global order statistics per key need the
+    sort; the approximate path for wider keys is value_percentiles_sketch
+    (KLL)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", F.percent_rank().over(w).alias("pr")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("pr") < 0.01, 1)).alias("n_below_p01"),
+        F.count(F.when(F.col("pr") > 0.99, 1)).alias("n_above_p99"),
+    )

@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "bm25_topk",                # same
     "vocab_min_max_df",         # 1-row corpus-count broadcast crossJoin
     "hybrid_bm25_cosine_rerank", # bm25 consts + 1-row query-vector broadcasts
+    "mmr_diverse_topk",          # bm25 consts broadcast (candidate stage)
 }
 
 
