@@ -97,3 +97,54 @@ def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "n_name", "lifetime_value", "n_orders",
         seg.alias("segment"),
     )
+
+
+_SHARE_SQL = """
+WITH nat AS (
+  SELECT r_name AS region, n_name AS nation,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT region, nation, rev_cents,
+       CAST(rev_cents AS DOUBLE)
+         / CAST(sum(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS region_share
+FROM nat
+"""
+
+
+@declare("nation_revenue_share", oracle=_SHARE_SQL)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the percent-of-total window pattern. Revenue folds to exact integer
+    cents; the share is one BIGINT/BIGINT double division (the window
+    sum is exact before any float appears).
+
+    Scale shape: dims broadcast onto the fact scan, one aggregate
+    shuffle to 25 nation rows, then the partition-total window runs
+    over 5-row regions — free."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    nat = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region", "nation", "rev_cents",
+        (F.col("rev_cents").cast("double")
+         / F.sum("rev_cents").over(w).cast("bigint"))
+        .alias("region_share"),
+    )

@@ -287,3 +287,67 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- Overlapping document chunking (RAG ingestion) ---------------------------
+#
+# Fixed-size token chunks with overlap: window 80, stride 60 (20-token
+# overlap). Chunk starts at offsets 0, 60, 120, … while offset < n;
+# every doc gets >=1 chunk (short docs yield their full text).
+
+_CHUNK_W = 80
+_CHUNK_STRIDE = 60
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(tk), 1), {_CHUNK_STRIDE})) AS start_tok,
+         tk
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(len(tk) - start_tok, {_CHUNK_W}) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, start_tok + 1, start_tok + {_CHUNK_W}), ' ') AS chunk_text
+FROM chunks
+"""
+
+
+@declare("doc_chunks_overlapping", oracle=_CHUNK_SQL)
+def q_doc_chunks_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunker: split every document into 80-token chunks
+    on a 60-token stride (20-token overlap), emitting chunk sequence,
+    start offset, token count, and the chunk text. The chunk table is
+    what an embedding stage consumes; overlap preserves cross-boundary
+    context.
+
+    Scale shape: per-row sequence generation + explode — map-side only,
+    no shuffle; output rows ≈ docs × (len/stride). The slice/join is
+    array math on the already-tokenized column, one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(clean_string("text")).alias("tk"))
+    chunks = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("tk") - 1, F.lit(0)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("bigint").alias("chunk_seq"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.size("tk") - F.col("start_tok"), F.lit(_CHUNK_W))
+        .cast("bigint").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("tk"), F.col("start_tok") + 1, F.lit(_CHUNK_W))
+        ).alias("chunk_text"),
+    )

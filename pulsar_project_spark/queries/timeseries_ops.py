@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_events
 
@@ -152,4 +154,49 @@ def q_median_order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("cents"), F.lit(0.5)).alias("median_cents"),
             F.count("*").alias("n_orders"),
         )
+    )
+
+
+_MA7_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT day, rev_cents,
+       CAST(sum(rev_cents) OVER w AS BIGINT) AS rev_7d_cents,
+       count(*) OVER w AS n_days_in_window,
+       CAST(CAST(sum(rev_cents) OVER w AS BIGINT) AS DOUBLE) / count(*) OVER w
+         AS rev_7d_ma_cents
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@declare("daily_revenue_7d_ma", oracle=_MA7_SQL)
+def q_daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily purchase revenue — the
+    classic smoothing window. Daily revenue folds to exact integer
+    cents first; the MA is the single sum/count division (same IEEE
+    double both engines). Row-frame (6 PRECEDING) over the daily
+    series, which is tiny by construction.
+
+    Scale shape: the data-sized work is the per-day cents aggregate
+    (one shuffle, map-side partials); the window slides over ~30 rows.
+    A years-long series is still only thousands of rows — window cost
+    is never the term that scales with corpus size."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.select(
+        F.expr("ts_us div 86400000000").alias("day"), cents.alias("c")
+    ).groupBy("day").agg(F.sum("c").alias("rev_cents"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("rev_7d_cents"),
+        F.count("*").over(w).alias("n_days_in_window"),
+        (F.sum("rev_cents").over(w).cast("double") / F.count("*").over(w))
+        .alias("rev_7d_ma_cents"),
     )
