@@ -38,6 +38,19 @@ def main() -> None:
     spark.range(32).select(
         lenient_json_canonical(F.lit('{"warm": 1}'))
     ).write.format("noop").mode("overwrite").save()
+    # ...and the join/window/sort codegen paths (first-time whole-stage
+    # compilation otherwise lands on the first declared query): one
+    # 25-row broadcast join + ranking window.
+    from pyspark.sql.window import Window
+    _n = load_table(spark, sf_dir, "nation")
+    _r = load_table(spark, sf_dir, "region")
+    _w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    (
+        _n.join(F.broadcast(_r), _n.n_regionkey == _r.r_regionkey)
+        .select(F.row_number().over(_w).alias("rn"))
+        .orderBy(F.desc("rn")).limit(5)
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():

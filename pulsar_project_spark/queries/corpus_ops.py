@@ -228,3 +228,75 @@ def q_quality_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_punct") * 20 <= F.col("n_chars"))
         ).alias("keep"),
     )
+
+
+# --- Token co-occurrence (association mining) --------------------------------
+#
+# Self-join of per-doc distinct tokens with itself (t1 < t2). The
+# frequency guard (both tokens in >= 20 docs) is the mega-token cap:
+# it bounds the per-doc pair fanout to frequent-vocab² instead of
+# vocab², the same discipline as the LSH bucket caps.
+
+_COOC_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+freq AS (
+  SELECT token FROM toks GROUP BY token HAVING count(*) >= 20
+),
+ft AS (
+  SELECT t.doc_id, t.token FROM toks t JOIN freq USING (token)
+)
+SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_docs
+FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY a.token, b.token
+ORDER BY n_docs DESC, token_a ASC, token_b ASC
+LIMIT 20
+"""
+
+
+@declare("token_cooccurrence_top20", oracle=_COOC_SQL)
+def q_token_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring token pairs by document count — the
+    association-mining / co-occurrence-graph primitive (feeds PMI,
+    word-graph, and related-term features downstream).
+
+    Scale shape: NOT a self-join — per-doc pairs are generated
+    map-side from the sorted frequent-token set (nested transform +
+    flatten), so the only data-sized shuffles are the doc-frequency
+    count, the per-doc collect_set, and the (token_a, token_b) pair
+    count (all with map-side partials); a doc_id self-join would
+    shuffle the exploded rows twice more and add a join. The frequency
+    guard (≥20 docs) broadcasts and bounds per-doc fanout to frequent
+    tokens only; the top-20 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(clean_string("text")))).alias("token"),
+    )
+    freq = (
+        toks.groupBy("token").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 20)
+        .select("token")
+    )
+    per_doc = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("ts"))
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), "
+                "y -> struct(x AS token_a, y AS token_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.token_a").alias("token_a"),
+                      F.col("p.token_b").alias("token_b"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("token_a"), F.asc("token_b"))
+        .limit(20)
+    )
