@@ -47,4 +47,5 @@ from pulsar_project_spark.queries import corpus_ops  # noqa: F401
 from pulsar_project_spark.queries import pipeline_ops  # noqa: F401
 from pulsar_project_spark.queries import skew_ops  # noqa: F401
 from pulsar_project_spark.queries import star_ops  # noqa: F401
+from pulsar_project_spark.queries import io_ops  # noqa: F401
 from pulsar_project_spark.queries import lenient_ops  # noqa: F401

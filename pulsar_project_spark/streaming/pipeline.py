@@ -56,8 +56,18 @@ def events_stream(spark: SparkSession, sf_dir: str,
     # file stream sources want a DIRECTORY (new files arrive over time);
     # the test corpus is a single file — stage it behind a symlink dir.
     # A real deployment points this at the landing directory directly.
-    stage = tempfile.mkdtemp(prefix="events_src_")
-    os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
+    # The stage path is DETERMINISTIC per source (not a fresh tempdir):
+    # checkpoints record the source path, so restart semantics — rerun
+    # against the same checkpoint sees no new files — require the
+    # staged dir to be stable across calls.
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_src_{digest}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -159,11 +169,19 @@ def run_topic_frequencies(spark: SparkSession, sf_dir: str,
 
 def run_windowed_counts(spark: SparkSession, sf_dir: str,
                         window: str = "1 hour",
-                        watermark: str = "10 minutes") -> DataFrame:
+                        watermark: str = "10 minutes",
+                        sink_dir: str | None = None,
+                        checkpoint: str | None = None) -> DataFrame:
     """Event-time tumbling-window rates with a watermark — the
     late-data-tolerant aggregation the reference lacks. Append mode:
-    only watermark-finalized windows are emitted."""
-    sink_dir = tempfile.mkdtemp(prefix="win_")
+    only watermark-finalized windows are emitted.
+
+    ``sink_dir``/``checkpoint`` default to fresh temp dirs; pass stable
+    paths to exercise restart semantics — a rerun against the same
+    checkpoint re-reads the offset log, finds no new files, and commits
+    nothing (exactly-once across restarts; pinned by
+    tests/test_streaming.py::test_windowed_counts_checkpoint_restart)."""
+    sink_dir = sink_dir or tempfile.mkdtemp(prefix="win_")
     ev = events_stream(spark, sf_dir).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
@@ -177,7 +195,7 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
         )
     )
     with _state_partitions(ev.sparkSession):
-        _drain(agg, mode="append", sink_path=sink_dir)
+        _drain(agg, checkpoint=checkpoint, mode="append", sink_path=sink_dir)
     return spark.read.parquet(sink_dir)
 
 

@@ -123,3 +123,18 @@ def test_session_windows_stream_subset_of_batch(spark):
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows <= want_rows
     assert len(got_rows) >= 0.9 * len(want_rows)
+
+
+def test_windowed_counts_checkpoint_restart(spark, tmp_path):
+    from pulsar_project_spark.streaming import run_windowed_counts
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    first = run_windowed_counts(spark, SF_SMOKE, sink_dir=sink, checkpoint=ckpt)
+    n1 = first.count()
+    assert n1 > 0
+    # restart against the SAME checkpoint + sink: the offset log shows
+    # no new source files, so the rerun must commit nothing — the
+    # exactly-once-across-restarts contract.
+    second = run_windowed_counts(spark, SF_SMOKE, sink_dir=sink, checkpoint=ckpt)
+    assert second.count() == n1
