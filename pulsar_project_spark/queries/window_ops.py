@@ -79,3 +79,78 @@ def q_winsorize_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("pr") < 0.01, 1)).alias("n_below_p01"),
         F.count(F.when(F.col("pr") > 0.99, 1)).alias("n_above_p99"),
     )
+
+
+_DECILE_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile,
+       count(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM ranked GROUP BY event_type, decile
+"""
+
+
+@declare("equidepth_deciles_by_type", oracle=_DECILE_SQL)
+def q_equidepth_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: per event type, ntile(10) buckets with
+    their row counts and [lo, hi] value bounds — the exact-quantile
+    profile a feature pipeline materializes (the KLL sketch twin
+    value_percentiles_sketch is the approximate path). The (value,
+    event_id) tiebreak makes the tile assignment a total order, so
+    bucket membership is deterministic; min/max/count only —
+    no float arithmetic.
+
+    Scale shape: one window shuffle on event_type + the same-key
+    rollup. Exact per-key quantiles need the per-key sort; keys are
+    processed independently so skew spreads across types."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+_DEBOUNCE_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_total,
+       count(*) FILTER (prev_us IS NULL OR ts_us - prev_us > 1000000) AS n_kept,
+       count(*) FILTER (prev_us IS NOT NULL AND ts_us - prev_us <= 1000000) AS n_debounced
+FROM seq GROUP BY event_type
+"""
+
+
+@declare("debounce_events_1s", oracle=_DEBOUNCE_SQL)
+def q_debounce_events_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce census: an event is suppressed when the
+    previous event of the SAME (user, type) lies within 1 second —
+    double-click / retry noise removal. Reports kept vs debounced
+    counts per type (the filter itself is the `n_kept` predicate).
+
+    Scale shape: one window shuffle on (user_id, event_type), then a
+    grouped count. Exact integer-microsecond comparisons only."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", "ts_us", F.lag("ts_us").over(w).alias("prev_us")
+    )
+    keep = F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > 1_000_000)
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_debounced"),
+    )
