@@ -69,3 +69,40 @@ def q_jsonl_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("total_cents"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+# --- Partitioned layout + partition pruning ----------------------------------
+
+_PRUNE_SQL = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@declare("partitioned_prune_purchase_days", oracle=_PRUNE_SQL)
+def q_partitioned_prune_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning, end to end: events
+    are written out partitioned BY event_type, read back with an
+    equality filter on the partition column, and aggregated per day.
+    The filter never touches row data — it prunes whole directories at
+    planning time (PartitionFilters in the scan node), which at 100 TB
+    is the difference between scanning one type's files and scanning
+    everything. The oracle aggregates the unpartitioned original, so
+    the roundtrip also proves the partitioned rewrite loses nothing.
+
+    Scale shape: the write is one pass (static partitionBy — in
+    production this is the table's standing layout, not per-query
+    work); the pruned read scans 1/5 of the data; one grouped count."""
+    tmp = os.path.join(tempfile.mkdtemp(prefix="part_ev_"), "by_type")
+    ev = load_events(spark, sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    back = spark.read.parquet(tmp).filter(F.col("event_type") == "purchase")
+    return back.select(
+        F.expr("ts_us div 86400000000").alias("day"), "user_id"
+    ).groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

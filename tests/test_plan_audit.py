@@ -51,3 +51,20 @@ def test_filter_pushdown_reaches_scan(name, spark):
     assert any(p.strip() for p in pushed), (
         f"{name}: no non-empty PushedFilters in any scan\n{plan[:4000]}"
     )
+
+
+def test_partitioned_prune_shows_partition_filters(spark):
+    """The partitioned-layout query must prune at the directory level:
+    its scan node carries PartitionFilters on event_type (planning-time
+    pruning), not a row-level filter over all partitions."""
+    import contextlib
+    import io
+
+    df = e.queries()["partitioned_prune_purchase_days"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_type" in pf and "purchase" in pf
