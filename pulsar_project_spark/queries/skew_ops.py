@@ -94,3 +94,48 @@ def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_docs").over(w).cast("double") / F.col("n_docs")
         ).alias("upsample_factor"),
     )
+
+
+_SKEW_CENSUS_SQL = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM per_key)
+SELECT user_id, n,
+       CAST(n AS DOUBLE) / total AS share,
+       CAST(n * n_keys AS BIGINT) AS n_times_keys,
+       total
+FROM per_key, tot
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+"""
+
+
+@declare("skew_key_census", oracle=_SKEW_CENSUS_SQL)
+def q_skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the 10 heaviest join keys with their share of
+    total rows and n·|keys| (the uniform-multiple — a key is "hot" when
+    this far exceeds the total). This census is the decision input for
+    the salted_join lever: salt when the top key's share makes one
+    reducer the critical path. share = one BIGINT/BIGINT double
+    division; everything else integer.
+
+    Scale shape: one grouped count, a 1-row total broadcast onto the
+    tiny per-key aggregate, TakeOrdered top-10."""
+    ev = load_events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n") * F.col("n_keys")).cast("bigint").alias("n_times_keys"),
+            "total",
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "vocab_min_max_df",         # 1-row corpus-count broadcast crossJoin
     "hybrid_bm25_cosine_rerank", # bm25 consts + 1-row query-vector broadcasts
     "mmr_diverse_topk",          # bm25 consts broadcast (candidate stage)
+    "skew_key_census",           # 1-row total/keys broadcast crossJoin
 }
 
 
