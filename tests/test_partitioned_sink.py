@@ -57,3 +57,34 @@ def test_merge_upsert_keyed_last_wins(spark, tmp_path):
     again = {(r.topic, r.ver, r.freq)
              for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_range_layout_clusters_days_per_file(spark, tmp_path):
+    """Write-time data layout: repartitionByRange(day) +
+    sortWithinPartitions(ts_us) must produce files whose day spans
+    don't overlap across files (each file covers a contiguous day
+    range) — the property that makes parquet min/max row-group pruning
+    effective on time-filtered scans at 100 TB."""
+    import pyspark.sql.functions as F
+    from pulsar_project_spark.sources.tables import load_events
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "range_layout")
+    ev = load_events(spark, SF_SMOKE).withColumn(
+        "day", F.expr("ts_us div 86400000000")
+    )
+    (
+        ev.repartitionByRange(4, "day")
+        .sortWithinPartitions("day", "ts_us")
+        .write.mode("overwrite").parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "day"
+    )
+    spans = back.groupBy("f").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file day ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
