@@ -16,6 +16,7 @@ from pulsar_project_spark.registry import declare
 from pulsar_project_spark.streaming import (
     run_keep_last_state,
     run_session_windows,
+    run_streaming_debounce,
     run_stream_stream_join,
     run_streaming_dedup,
     run_topic_frequencies,
@@ -43,6 +44,15 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user last-N tail (records[-n:],
     memory.py:125, as managed streaming state)."""
     return run_keep_last_state(spark, sf_dir)
+
+
+@declare("streaming_debounce")
+def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming debounce (applyInPandasWithState; 1-second
+    same-key suppression): one BIGINT of state per live (user, type).
+    Batch twin debounce_events_1s is oracle-checked; the parity test
+    runs both at a gap wide enough to exercise suppression."""
+    return run_streaming_debounce(spark, sf_dir)
 
 
 @declare("streaming_session_windows")

@@ -138,3 +138,61 @@ def test_windowed_counts_checkpoint_restart(spark, tmp_path):
     # exactly-once-across-restarts contract.
     second = run_windowed_counts(spark, SF_SMOKE, sink_dir=sink, checkpoint=ckpt)
     assert second.count() == n1
+
+
+def test_streaming_debounce_matches_batch(spark):
+    from pulsar_project_spark.streaming.pipeline import run_streaming_debounce
+
+    # 2-day gap: the test corpus has no sub-second same-key bursts, so a
+    # wide gap is what exercises BOTH branches (kept and suppressed).
+    gap = 2 * 86400 * 1_000_000
+    got = run_streaming_debounce(spark, SF_SMOKE, gap_us=gap)
+    from pyspark.sql.window import Window
+    from pulsar_project_spark.sources.tables import load_events
+
+    # batch replica of the same greedy rule: a row is kept iff it is
+    # > gap after the previously KEPT row of its (user, type) chain.
+    # The chain is sequential per key — replicate with a pandas fold.
+    ev = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .toPandas()
+        .sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    )
+    import collections
+    kept = collections.Counter()
+    dropped = collections.Counter()
+    last = {}
+    for r in ev.itertuples():
+        k = (r.user_id, r.event_type)
+        if k not in last or r.ts_us - last[k] > gap:
+            kept[r.event_type] += 1
+            last[k] = r.ts_us
+        else:
+            dropped[r.event_type] += 1
+    got_rows = {r.event_type: (r.n_total, r.n_kept, r.n_debounced)
+                for r in got.collect()}
+    want = {t: (kept[t] + dropped[t], kept[t], dropped[t]) for t in got_rows}
+    assert got_rows == want
+    assert any(d for (_, _, d) in got_rows.values()), "no suppression exercised"
+
+
+def test_tws_debounce_gated_without_protobuf(spark):
+    """The transformWithStateInPandas variant must either work (env has
+    protobuf) or raise a clear ImportError naming the fallback — never
+    crash a stream."""
+    from pulsar_project_spark.streaming.pipeline import run_streaming_debounce_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if has_pb:
+        df = run_streaming_debounce_tws(spark, SF_SMOKE)
+        assert df.schema.fieldNames() == [
+            "user_id", "event_type", "n_kept", "n_debounced"]
+    else:
+        import pytest as _pytest
+        with _pytest.raises(ImportError, match="run_streaming_debounce"):
+            run_streaming_debounce_tws(spark, SF_SMOKE)
