@@ -236,3 +236,51 @@ def lenient_parse(s: str | None) -> str | None:
 def lenient_json_canonical(col: pd.Series) -> pd.Series:
     """Arrow-batched lenient parse → canonical JSON string column."""
     return col.map(lenient_parse)
+
+
+def flatten_paths(value, prefix: str = "$"):
+    """Depth-first (document-order) path flatten of a parsed JSON value:
+    yields (jsonpath-ish path, scalar-as-string) leaves. Dict keys keep
+    document order (the lenient parser preserves it); arrays index."""
+    if isinstance(value, dict):
+        if not value:
+            yield prefix, "{}"
+        for k, v in value.items():
+            yield from flatten_paths(v, f"{prefix}.{k}")
+    elif isinstance(value, list):
+        if not value:
+            yield prefix, "[]"
+        for i, v in enumerate(value):
+            yield from flatten_paths(v, f"{prefix}[{i}]")
+    elif value is None:
+        yield prefix, "null"
+    elif value is True:
+        yield prefix, "true"
+    elif value is False:
+        yield prefix, "false"
+    else:
+        yield prefix, json.dumps(value) if isinstance(value, str) else repr(value)
+
+
+class Json5PathsUDTF:
+    """Python UDTF (Spark 4 table function surface): one input string of
+    lenient JSON5 → one row per leaf (path, value). The lateral-join
+    form of the lenient parser — semi-structured flattening that
+    ``explode(from_json(...))`` cannot express because the grammar is
+    JSON5 (comments, single quotes, trailing commas, unquoted keys) and
+    the shape is unknown ahead of time.
+
+    Registered Arrow-optimized (``useArrow=True``) — batches cross the
+    JVM↔Python boundary as Arrow, the UDTF body is the per-row
+    generator. Unparseable input yields a single ($error, null-reason)
+    row rather than dropping the document silently."""
+
+    def eval(self, s: str | None):
+        if s is None:
+            return
+        try:
+            parsed = _loads(s)
+        except Exception:
+            yield "$error", "unparseable"
+            return
+        yield from flatten_paths(parsed)

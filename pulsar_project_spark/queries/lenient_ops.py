@@ -40,3 +40,44 @@ def q_lenient_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("canonical", "$.k").cast("int").alias("k_val"),
         F.get_json_object("canonical", "$.think").alias("think"),
     )
+
+
+_PATHS_SQL = """
+SELECT '$.' || k AS path,
+       count(*) AS n,
+       min(json_extract_string(props, '$.' || k)) AS min_v,
+       max(json_extract_string(props, '$.' || k)) AS max_v
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY 1
+"""
+
+
+@declare("udtf_json_path_stats", oracle=_PATHS_SQL)
+def q_udtf_json_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read census via a Python UDTF (the Spark 4 table-
+    function surface): LATERAL-join every event's props through
+    ``Json5PathsUDTF`` (Arrow-optimized) and aggregate per leaf path —
+    the "what shapes live in this semi-structured column" profile. The
+    UDTF grammar is JSON5; this corpus's props happen to be strict
+    JSON, which is what lets DuckDB's json_extract act as the oracle
+    (min/max compare lexicographically on the extracted text in both
+    engines).
+
+    Scale shape: UDTF rows flow Arrow-batched; the per-path aggregate
+    is a low-cardinality grouped count with map-side partials."""
+    from pyspark.sql.functions import udtf
+
+    from pulsar_project_spark.functions.lenient_json import Json5PathsUDTF
+
+    J = udtf(Json5PathsUDTF, returnType="path: string, value: string",
+             useArrow=True)
+    spark.udtf.register("json5_paths", J)
+    load_events(spark, sf_dir).select("props").createOrReplaceTempView(
+        "udtf_props_src"
+    )
+    return spark.sql("""
+        SELECT p.path, count(*) AS n,
+               min(p.value) AS min_v, max(p.value) AS max_v
+        FROM udtf_props_src, LATERAL json5_paths(props) p
+        GROUP BY p.path
+    """)

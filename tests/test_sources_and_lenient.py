@@ -70,3 +70,35 @@ def test_json5_grammar_extensions():
     for bad in ('{a:}', '[1,,2]', '{a: 1', '"unterminated', '/* x', '{1: 2}',
                 '{a: 1} extra', "'bad\nnewline'"):
         assert lenient_parse(bad) is None, bad
+
+
+def test_flatten_paths_document_order_and_leaves():
+    from pulsar_project_spark.functions.lenient_json import _loads, flatten_paths
+
+    got = list(flatten_paths(_loads("{a: 1, 'b': [true, {c: 'x'},], d: null}")))
+    assert got == [
+        ("$.a", "1"),
+        ("$.b[0]", "true"),
+        ("$.b[1].c", '"x"'),
+        ("$.d", "null"),
+    ]
+    assert list(flatten_paths({})) == [("$", "{}")]
+    assert list(flatten_paths([])) == [("$", "[]")]
+
+
+def test_json5_paths_udtf_lateral_join(spark):
+    from pyspark.sql.functions import udtf
+
+    from pulsar_project_spark.functions.lenient_json import Json5PathsUDTF
+
+    J = udtf(Json5PathsUDTF, returnType="path: string, value: string",
+             useArrow=True)
+    spark.udtf.register("json5_paths_t", J)
+    spark.createDataFrame(
+        [("{n: 1.5, /*c*/ s: 'q',}",), ("not json",), (None,)], "s string"
+    ).createOrReplaceTempView("j5src")
+    rows = spark.sql(
+        "SELECT p.path, p.value FROM j5src, LATERAL json5_paths_t(s) p"
+    ).collect()
+    got = {(r.path, r.value) for r in rows}
+    assert got == {("$.n", "1.5"), ("$.s", '"q"'), ("$error", "unparseable")}
