@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_project_spark.registry import declare
-from pulsar_project_spark.sources.tables import load_table
+from pulsar_project_spark.sources.tables import load_events, load_table
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
@@ -124,3 +124,37 @@ def q_grouping_sets_region_priority(spark: SparkSession, sf_dir: str) -> DataFra
         JOIN gs_region   ON n_regionkey = r_regionkey
         GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
     """)
+
+
+_UNPIVOT_SQL = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@declare("unpivot_event_matrix", oracle=_UNPIVOT_SQL)
+def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT inverse proof: the day × event-type count matrix
+    (the pivot family's wide form) melted back to long form must equal
+    the direct long aggregate — which is exactly what the oracle
+    computes. Zero-count cells pivot to NULL and are dropped on melt,
+    so the inverse is exact.
+
+    Scale shape: the pivot is one shuffle on day with 5 tagged count
+    partials per row; the unpivot (melt) is a map-side Expand — no
+    second data-sized shuffle."""
+    ev = load_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.select(F.expr("ts_us div 86400000000").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    long = wide.unpivot("day", types, "event_type", "n")
+    return long.filter(F.col("n").isNotNull()).select(
+        "day", "event_type", F.col("n").cast("bigint").alias("n")
+    )

@@ -329,3 +329,62 @@ def q_customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> Dat
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+_ABOVE_CUST_AVG_SQL = """
+WITH stats AS (
+  SELECT o_custkey AS k, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN stats ON o.o_custkey = stats.k
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * stats.n > stats.s
+"""
+
+
+@declare("orders_above_customer_avg", oracle=_ABOVE_CUST_AVG_SQL)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape — "orders above their OWN
+    customer's average" — decorrelated the way Catalyst does it: the
+    per-customer aggregate joins back on the correlation key. The
+    comparison is exact integer cross-multiplication (cents·n > Σcents),
+    never a float average.
+
+    Scale shape: aggregate and join share the custkey shuffle (no
+    re-exchange under AQE); output is filter-pruned before projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    stats = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("s")
+    )
+    return (
+        orders.join(stats, orders.o_custkey == stats.k)
+        .filter(cents * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@declare("except_all_click_days", oracle=_EXCEPT_ALL_SQL)
+def q_except_all_click_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with multiplicity (a (user, day) with
+    3 clicks and 1 purchase survives twice), the multiset cousin of the
+    distinct EXCEPT already covered. Exercises Spark's exceptAll
+    rewrite (count-tagged aggregate + generate).
+
+    Scale shape: one shuffle on the pair key with counted partials —
+    no row-by-row anti join."""
+    ev = load_events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000").alias("day")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.exceptAll(buys)
