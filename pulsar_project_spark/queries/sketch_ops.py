@@ -55,3 +55,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@declare("hll_rolling_distinct_users")
+def q_hll_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE bounded-memory pattern for
+    distinct counts over arbitrary date ranges at 100 TB: materialize
+    ONE HyperLogLog sketch per day (datasketches ``hll_sketch_agg``),
+    then any window's distinct estimate is a UNION of day sketches
+    (``hll_union_agg``) — 7 sketch merges per output day here, instead
+    of re-scanning 7 days of raw events per window. Exact twin for the
+    same shape is cumulative_new_users_by_day; tests pin the estimate
+    within HLL error of the exact 7-day distinct.
+
+    Rows-only by design: the estimate is approximate and DuckDB's HLL
+    internals differ — accuracy, not equality, is the contract.
+
+    Scale shape: one shuffle to build day sketches (tiny output: one
+    sketch per day); the 7-way expansion explodes the SKETCH rows (not
+    events) and re-aggregates — data-sized work is one scan."""
+    ev = load_events(spark, sf_dir)
+    day_sketch = (
+        ev.select(F.expr("ts_us div 86400000000").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    # each day's sketch contributes to target windows [day, day+6]
+    fanout = day_sketch.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+        "day", "sk",
+    )
+    return (
+        fanout.groupBy("win_day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users_7d"),
+            F.count("*").alias("n_days_in_window"),
+        )
+        .withColumnRenamed("win_day", "day")
+    )

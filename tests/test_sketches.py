@@ -66,3 +66,30 @@ def test_stratified_sample_proportions_and_subset(spark):
     ids_all = {r.event_id for r in
                load_events(spark, SF_CORRECT).select("event_id").collect()}
     assert ids_sample <= ids_all
+
+
+def test_hll_rolling_union_tracks_exact_7d_distinct(spark):
+    import __spark_entry__ as e
+    import pyspark.sql.functions as F
+    from pulsar_project_spark.sources.tables import load_events
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r.day: r.est_users_7d
+        for r in e.queries()["hll_rolling_distinct_users"](spark, SF_CORRECT).collect()
+    }
+    ev = load_events(spark, SF_CORRECT).select(
+        F.expr("ts_us div 86400000000").alias("day"), "user_id"
+    )
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    lo, hi = min(days), max(days)
+    # full 7-day windows only (trailing/leading windows are partial)
+    pairs = ev.select("day", "user_id").distinct().collect()
+    from collections import defaultdict
+    by_day = defaultdict(set)
+    for r in pairs:
+        by_day[r.day].add(r.user_id)
+    for d in range(lo + 6, hi + 1):
+        exact = len(set().union(*(by_day[x] for x in range(d - 6, d + 1) if x in by_day)))
+        est = got[d]
+        assert abs(est - exact) <= max(2, 0.05 * exact), (d, est, exact)
