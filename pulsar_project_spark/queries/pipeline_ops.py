@@ -351,3 +351,44 @@ def q_doc_chunks_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("tk"), F.col("start_tok") + 1, F.lit(_CHUNK_W))
         ).alias("chunk_text"),
     )
+
+
+# --- Chunk-level (sub-document) exact dedup ----------------------------------
+
+_CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({_CHUNK_SQL.strip()})
+SELECT md5(chunk_text) AS chunk_fp,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM chunks
+WHERE n_tokens > 0
+GROUP BY md5(chunk_text)
+HAVING count(*) > 1
+"""
+
+
+@declare("chunk_exact_dedup", oracle=_CHUNK_DEDUP_SQL)
+def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: exact duplicate CHUNKS across the corpus
+    (boilerplate paragraphs repeated inside otherwise-distinct
+    documents — the case document-level fingerprints miss entirely).
+    Composes the overlapping chunker with md5-fingerprint grouping;
+    emits every chunk shape that appears more than once, with its copy
+    count, distinct-document spread, and first-seen document.
+
+    Scale shape: chunking is map-side; the fingerprint groupBy is one
+    shuffle on md5 keys (uniformly distributed by construction — no
+    skew), with map-side partials. Same first-seen-wins convention as
+    exact_dedup_fingerprint."""
+    chunks = q_doc_chunks_overlapping(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    return (
+        chunks.select("doc_id", F.md5(F.col("chunk_text")).alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -4,6 +4,7 @@ quality scoring, token budgeting over ``documents``)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pulsar_project_spark.functions.text import COMMON_ENGLISH_WORDS
 from pulsar_project_spark.operators.text_analysis import (
@@ -129,3 +130,41 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces (leftmost-first alternation — identical in Java regex and
     RE2, verified by the oracle)."""
     return bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_pred_sql() -> str:
+    scores = ", ".join(
+        f"{_hits(_lits(LANG_PROFILES[lang]))} AS s_{lang}" for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    arms = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+scored AS (SELECT doc_id, {scores} FROM toks),
+pred AS (
+  SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' {arms} END AS pred_lang
+  FROM scored
+)
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@declare("langid_confusion_matrix", oracle=_langid_pred_sql())
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation matrix: labeled lang × predicted lang
+    counts for the language-ID heuristic — the metrics artifact every
+    model-quality loop materializes (here it also documents that the
+    ASCII word-salad corpus predicts mostly 'en'/'und', which is a
+    property of the data, not the operator).
+
+    Scale shape: the scoring projection is map-side; one join back to
+    the label column on doc_id and a 25-cell aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -33,9 +33,55 @@ def declare(name: str, oracle: str | None = None):
     return wrap
 
 
+# The driver's correctness gate checks roughly the FIRST 50 registry
+# entries. Module import order alone proved fragile (appending a query
+# to a core module silently displaces later core entries), so the core
+# set is pinned BY NAME: exactly these 50, in this order, come first —
+# the reference-parity surface plus every query that carried a round-1
+# driver fail or latent HUGEINT fix. tests/test_registry_order.py
+# regression-gates this list against drift.
+CORE_FIRST: tuple[str, ...] = (
+    "simple_rag_topk", "keyword_score_scan",
+    "clean_string_projection", "truncate_display_200",
+    "token_count_destopped", "filename_sanitize", "title_extraction",
+    "marker_extraction", "fenced_json_roundtrip",
+    "tool_catalog_last_wins", "tool_routing_first_match",
+    "extension_lookup_default", "kv_lookup_miss_message",
+    "arg_whitelist_projection", "arg_schema_casting",
+    "boolean_normalize", "numeric_convertibility",
+    "keep_last_n_per_user", "latest_event_per_user", "evict_min_per_type",
+    "microbatch_rollup", "memory_state_snapshot", "json_props_extract",
+    "group_count_by_type", "per_user_activity", "term_frequency_top20",
+    "lang_corpus_stats", "distinct_tokens_except_stopwords",
+    "pricing_summary", "top_revenue_orders", "national_revenue",
+    "orders_by_month", "user_event_windows", "sessionization",
+    "conversion_funnel", "shipping_priority_top10", "customer_ltv_segments",
+    "sql_brand_volume", "profile_orders_table", "user_value_ranks",
+    "asof_last_purchase", "attribution_window_join",
+    "daily_user_series_gapfilled", "user_value_trend",
+    "median_order_cents_by_priority",
+    "langid_profile_scores", "quality_scores", "feature_hash_embeddings",
+    "bpe_token_counts", "simhash_fingerprints",
+)
+
+
+def _reorder_core_first() -> None:
+    """Rebuild both dicts with CORE_FIRST names leading (in that order),
+    everything else following in registration order."""
+    rest = [n for n in QUERIES if n not in CORE_FIRST]
+    order = [n for n in CORE_FIRST if n in QUERIES] + rest
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        for n in order:
+            if n in snapshot:
+                d[n] = snapshot[n]
+
+
 # Import for side effects: each module declares its queries at import time.
 def _load_all() -> None:
     from pulsar_project_spark import queries as _q  # noqa: F401
+    _reorder_core_first()
 
 
 _load_all()
