@@ -392,3 +392,86 @@ def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# --- Capstone: the composed corpus pipeline ----------------------------------
+#
+# clean -> quality filter -> exact-dedup keeper -> hash split, in ONE
+# declared plan. Each stage is individually oracle-checked elsewhere
+# (quality_filter_audit, exact_dedup_fingerprint,
+# split_assignment_counts); this query proves the COMPOSITION — the
+# thing a user actually runs — stays correct end to end.
+
+_E2E_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text FROM base
+  WHERE n_tokens >= 30 AND n_tokens <= 200
+    AND n_alpha * 10 >= n_chars * 7
+    AND n_punct * 20 <= n_chars
+),
+fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM kept
+),
+keepers AS (
+  SELECT lang, fingerprint, min(doc_id) AS doc_id
+  FROM fp GROUP BY lang, fingerprint
+),
+assigned AS (
+  SELECT lang,
+         CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train'
+         END AS split
+  FROM keepers
+)
+SELECT split, lang, count(*) AS n_docs
+FROM assigned GROUP BY split, lang
+"""
+
+
+@declare("corpus_pipeline_e2e", oracle=_E2E_SQL)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline as one declared plan:
+    quality filter (C4-style integer thresholds) → exact-dedup keeper
+    (first-seen-wins per (lang, fingerprint)) → deterministic md5
+    train/val/test split → per-(split, lang) counts. Every stage is
+    oracle-checked on its own elsewhere; this pins the composition.
+
+    Scale shape: filter and fingerprint are map-side over one scan;
+    the keeper groupBy is the one data-sized shuffle; the split is a
+    projection on the (already small) keeper set; final rollup is 15
+    cells. Catalyst fuses the filter+fingerprint into the scan stage —
+    the whole pipeline is scan → shuffle → tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_tokens = F.size(tokenize(clean_string("text")))
+    kept = docs.filter(
+        (n_tokens >= 30) & (n_tokens <= 200)
+        & (n_alpha * 10 >= n_chars * 7)
+        & (n_punct * 20 <= n_chars)
+    )
+    fp = kept.select(
+        "doc_id", "lang",
+        F.md5(F.regexp_replace(F.lower("text"), r"[^\w\s]", "")).alias("fingerprint"),
+    )
+    keepers = fp.groupBy("lang", "fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = keepers.select(
+        "lang",
+        F.when(first == "e", "val").when(first == "f", "test")
+        .otherwise("train").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
