@@ -388,3 +388,39 @@ def q_except_all_click_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return clicks.exceptAll(buys)
+
+
+_FACT_FACT_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS line_revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@declare("fact_fact_smj_rollup", oracle=_FACT_FACT_SQL)
+def q_fact_fact_smj_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-to-fact join (lineitem ⨝ orders — at 100 TB, THE
+    shuffle) executed deliberately as a sort-merge join via the merge
+    hint: neither side of a fact-fact join broadcasts, so SMJ with
+    co-partitioned shuffles is the correct plan, and pre-bucketing both
+    tables on orderkey (operators/skew.py write_bucketed) amortizes
+    this exchange across every downstream query.
+
+    Scale shape: both sides shuffle once on the join key; the rollup's
+    5-priority aggregate reuses nothing data-sized. Revenue in exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(cents).alias("line_revenue_cents"),
+        )
+    )

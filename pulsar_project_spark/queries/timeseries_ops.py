@@ -200,3 +200,74 @@ def q_daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("rev_cents").over(w).cast("double") / F.count("*").over(w))
         .alias("rev_7d_ma_cents"),
     )
+
+
+_FFILL_SQL = """
+WITH purchases AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+latest_per_day AS (
+  SELECT user_id, day, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM purchases
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM purchases) u
+  CROSS JOIN (SELECT DISTINCT day FROM purchases) d
+)
+SELECT g.user_id, g.day,
+       last_value(l.cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_cents
+FROM grid g LEFT JOIN latest_per_day l
+  ON g.user_id = l.user_id AND g.day = l.day
+"""
+
+
+@declare("forward_fill_user_values", oracle=_FFILL_SQL)
+def q_forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF — last observation carried
+    forward): each user's latest purchase amount per day, carried
+    across days with no purchase via ``last_value(... IGNORE NULLS)``
+    over a dense user × day grid. The standard gap-fill for feature
+    time series; days before a user's first purchase stay NULL.
+
+    Scale shape: the observation reduction is one (user, day) shuffle;
+    the dense grid is |users| × |days| rows — intentional (that IS the
+    output), generated from two tiny distinct sets; the carry window
+    partitions per user over ~30 rows."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    p = ev.select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts_us", "event_id",
+    )
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    latest = (
+        p.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "cents")
+    )
+    users = p.select("user_id").distinct()
+    days = p.select("day").distinct()
+    grid = users.crossJoin(days)
+    joined = grid.join(latest, ["user_id", "day"], "left")
+    w_fill = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id", "day",
+        F.last("cents", ignorenulls=True).over(w_fill).alias("carried_cents"),
+    )
