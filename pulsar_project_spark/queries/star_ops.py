@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_project_spark.registry import declare
-from pulsar_project_spark.sources.tables import load_table
+from pulsar_project_spark.sources.tables import load_events, load_table
 
 _STAR_SQL = """
 SELECT r_name AS region,
@@ -99,8 +99,8 @@ def q_mergeable_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two grouped aggregates + a pair-set union re-count —
     all map-side-partial shuffles on low-cardinality keys."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", F.expr("ts div 1000").alias("ts_us")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "ts_us"
     )
     halves = []
     pair_halves = []
@@ -164,11 +164,11 @@ def q_cumulative_new_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the only data-sized shuffle is the per-user min; the
     window runs over the tiny daily aggregate (single partition is fine
     at any corpus size — it's one row per day)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     from pyspark.sql.window import Window
 
     firsts = (
-        ev.select("user_id", F.expr("(ts div 1000) div 86400000000").alias("day"))
+        ev.select("user_id", F.expr("ts_us div 86400000000").alias("day"))
         .groupBy("user_id")
         .agg(F.min("day").alias("first_day"))
     )
@@ -220,8 +220,8 @@ def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER can't broadcast (both sides must surface unmatched
     rows) — the shuffle join IS the right plan, and this query is the
     engine's coverage proof for it."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.expr("(ts div 1000) div 86400000000") - 19723
+    ev = load_events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000") - 19723
     base = ev.select("user_id", day.alias("day"))
     s1 = base.filter(F.col("day") < 15).groupBy("user_id").agg(
         F.count("*").alias("n1"))

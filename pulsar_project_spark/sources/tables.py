@@ -40,28 +40,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet scan → Catalyst gets pushdown,
     pruning and the vectorized reader for free.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark rejects
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on — we set it on
-    the caller's session (runtime-settable, idempotent) and expose nanos
-    as BIGINT. Use :func:`load_events` for the normalized shape.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS,false) in some
+    corpus generations (Spark rejects it unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on — set here, runtime-
+    settable, idempotent, a no-op for micro timestamps) and as
+    TIMESTAMP(MICROS) in others. Use :func:`load_events` for the
+    normalized shape that absorbs both.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def ts_us_expr(df: DataFrame, col: str = "ts"):
+    """Schema-adaptive BIGINT epoch-microsecond expression for an event
+    time column. The corpus has shipped ``ts`` two ways across
+    generations; both normalize to the same canonical micros:
+
+    * BIGINT nanos (parquet NANOS via ``nanosAsLong``) → integer
+      ``div 1000`` — integer, not float ``/``, because nanos exceed
+      double's 52-bit mantissa. This matches DuckDB's truncating
+      nano→micro read exactly.
+    * TIMESTAMP_NTZ (parquet MICROS, isAdjustedToUTC=false) →
+      ``timestampdiff(MICROSECOND, epoch, ts)`` — pure wall-clock
+      arithmetic on the naive value, identical to DuckDB's
+      ``epoch_us(ts)``. NOT ``unix_micros(cast(ts as timestamp))``:
+      that cast interprets the wall clock in the SESSION timezone, and
+      the external driver runs a vanilla session with no UTC pin.
+    * TIMESTAMP (tz-adjusted) → ``unix_micros`` directly (already an
+      instant; no session-tz dependence).
+
+    BIGINT event time downstream is timezone-proof: parity cannot depend
+    on the driver session's timezone.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"{col} div 1000")
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with the canonical time column ``ts_us`` (BIGINT epoch
-    microseconds). Micros, not nanos, because the DuckDB correctness
-    oracle reads parquet nano timestamps at microsecond precision
-    (truncating) — ``ts div 1000`` reproduces that truncation exactly.
-    BIGINT event time is also timezone-proof: parity cannot depend on the
-    driver session's timezone."""
-    from pyspark.sql import functions as F
-
+    microseconds) — see :func:`ts_us_expr` for the normalization."""
     ev = load_table(spark, sf_dir, "events")
-    # integer `div`, not float `/`: nanos exceed double's 52-bit mantissa
-    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    return ev.withColumn("ts_us", ts_us_expr(ev)).drop("ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

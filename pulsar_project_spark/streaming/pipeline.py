@@ -72,7 +72,9 @@ def events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.load(stage)
-    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    from pulsar_project_spark.sources.tables import ts_us_expr
+
+    return ev.withColumn("ts_us", ts_us_expr(ev)).drop("ts")
 
 
 # Stateful streaming ops instantiate ONE state store per shuffle

@@ -102,3 +102,33 @@ def test_json5_paths_udtf_lateral_join(spark):
     ).collect()
     got = {(r.path, r.value) for r in rows}
     assert got == {("$.n", "1.5"), ("$.s", '"q"'), ("$error", "unparseable")}
+
+
+def test_ts_us_normalization_both_corpus_generations(spark, tmp_path):
+    """The corpus has shipped events.ts as BIGINT nanos (round-1 parquet
+    NANOS via nanosAsLong) and as TIMESTAMP micros (round-2). Both must
+    normalize to the identical BIGINT epoch-micros ts_us."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_project_spark.sources.tables import load_events
+
+    micros = [1704067798778549, 1706657176220708, 0]
+    nano_dir = tmp_path / "nanos" / "events.parquet"
+    ts_dir = tmp_path / "micros" / "events.parquet"
+    nano_dir.parent.mkdir(parents=True)
+    ts_dir.parent.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"event_id": [1, 2, 3],
+                  "ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        str(nano_dir))
+    pq.write_table(
+        pa.table({"event_id": [1, 2, 3],
+                  "ts": pa.array(micros, pa.timestamp("us"))}),
+        str(ts_dir))
+
+    a = {r["event_id"]: r["ts_us"]
+         for r in load_events(spark, str(tmp_path / "nanos")).collect()}
+    b = {r["event_id"]: r["ts_us"]
+         for r in load_events(spark, str(tmp_path / "micros")).collect()}
+    assert a == b == {1: micros[0], 2: micros[1], 3: micros[2]}
