@@ -52,6 +52,41 @@ GROUP BY 1
 """
 
 
+@declare("json_path_stats_native", oracle=_PATHS_SQL)
+def q_json_path_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native (JVM-side) twin of ``udtf_json_path_stats``: the same
+    schema-on-read census of ``events.props``, but via
+    ``from_json(props, map<string,string>)`` + ``explode`` — ONE strict
+    JSON parse per row inside whole-stage codegen, no Python worker at
+    all. Spark's Jackson parser renders non-string scalars as their
+    JSON text when the target field is string (87 → "87"), exactly what
+    DuckDB's ``json_extract_string`` does, so both twins share
+    ``_PATHS_SQL`` as the oracle.
+
+    The UDTF twin stays as the JSON5 surface (comments, single quotes,
+    trailing commas — grammars Jackson rejects); THIS is the one to run
+    when the column is known-strict JSON: at 100 TB a Python parse per
+    row is the expensive path for data the JVM can parse natively
+    (round-2 verdict flagged the UDTF at 13.4 s / 9% of bench; this
+    plan is a single scan → explode → low-cardinality grouped agg with
+    map-side partials).
+
+    Top-level keys only (the corpus's props are flat); the UDTF twin
+    walks nested leaves."""
+    ev = load_events(spark, sf_dir).select("props")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
+    )
+    return (
+        kv.groupBy(F.concat(F.lit("$."), F.col("k")).alias("path"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
 @declare("udtf_json_path_stats", oracle=_PATHS_SQL)
 def q_udtf_json_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read census via a Python UDTF (the Spark 4 table-

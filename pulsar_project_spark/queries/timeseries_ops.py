@@ -217,10 +217,15 @@ latest_per_day AS (
     FROM purchases
   ) WHERE rn = 1
 ),
+span AS (
+  SELECT user_id, min(day) AS d0 FROM purchases GROUP BY user_id
+),
+gmax AS (
+  SELECT max(day) AS d1 FROM purchases
+),
 grid AS (
-  SELECT u.user_id, d.day
-  FROM (SELECT DISTINCT user_id FROM purchases) u
-  CROSS JOIN (SELECT DISTINCT day FROM purchases) d
+  SELECT s.user_id, unnest(generate_series(s.d0, g.d1)) AS day
+  FROM span s CROSS JOIN gmax g
 )
 SELECT g.user_id, g.day,
        last_value(l.cents IGNORE NULLS) OVER (
@@ -237,13 +242,18 @@ def q_forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill imputation (LOCF — last observation carried
     forward): each user's latest purchase amount per day, carried
     across days with no purchase via ``last_value(... IGNORE NULLS)``
-    over a dense user × day grid. The standard gap-fill for feature
-    time series; days before a user's first purchase stay NULL.
+    over a per-user dense calendar running from that user's FIRST
+    purchase day to the corpus's last day. The standard gap-fill for
+    feature time series — every emitted cell has a carried value (the
+    NULL prefix a full user × day grid would generate never exists).
 
     Scale shape: the observation reduction is one (user, day) shuffle;
-    the dense grid is |users| × |days| rows — intentional (that IS the
-    output), generated from two tiny distinct sets; the carry window
-    partitions per user over ~30 rows."""
+    the calendar is a per-user ``sequence(d0, d1)`` explode — narrow,
+    no cartesian product (round 2 built ``users.crossJoin(days)``; at
+    100× the users-side that grid is the bill). The single global
+    scalar (corpus max day) rides in as a 1-row broadcast — a constant
+    ride, not a data-sized join. The carry window partitions per user
+    over ~tens of rows."""
     ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     p = ev.select(
         "user_id",
@@ -259,9 +269,15 @@ def q_forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "day", "cents")
     )
-    users = p.select("user_id").distinct()
-    days = p.select("day").distinct()
-    grid = users.crossJoin(days)
+    span = p.groupBy("user_id").agg(F.min("day").alias("d0"))
+    gmax = p.agg(F.max("day").alias("d1"))  # 1 row — broadcast constant ride
+    grid = (
+        span.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
     joined = grid.join(latest, ["user_id", "day"], "left")
     w_fill = (
         Window.partitionBy("user_id").orderBy("day")

@@ -36,32 +36,48 @@ def declare(name: str, oracle: str | None = None):
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries. Module import order alone proved fragile (appending a query
 # to a core module silently displaces later core entries), so the core
-# set is pinned BY NAME: exactly these 50, in this order, come first —
-# the reference-parity surface plus every query that carried a round-1
-# driver fail or latent HUGEINT fix. tests/test_registry_order.py
-# regression-gates this list against drift.
+# set is pinned BY NAME. Round 3 ROTATES the budget: the 50 round-2
+# entries are all proven driver-green (CORRECTNESS_r02.json, 50/50,
+# rows+schema+hash), so this round's slots go to the highest-value
+# queries that have never been inside a driver budget window —
+# BM25/hybrid retrieval, the dedup/similarity family, corpus-pipeline,
+# star/relational analytics — keeping ``simple_rag_topk`` as the slot-1
+# canary. tests/test_registry_order.py regression-gates this list.
 CORE_FIRST: tuple[str, ...] = (
-    "simple_rag_topk", "keyword_score_scan",
-    "clean_string_projection", "truncate_display_200",
-    "token_count_destopped", "filename_sanitize", "title_extraction",
-    "marker_extraction", "fenced_json_roundtrip",
-    "tool_catalog_last_wins", "tool_routing_first_match",
-    "extension_lookup_default", "kv_lookup_miss_message",
-    "arg_whitelist_projection", "arg_schema_casting",
-    "boolean_normalize", "numeric_convertibility",
-    "keep_last_n_per_user", "latest_event_per_user", "evict_min_per_type",
-    "microbatch_rollup", "memory_state_snapshot", "json_props_extract",
-    "group_count_by_type", "per_user_activity", "term_frequency_top20",
-    "lang_corpus_stats", "distinct_tokens_except_stopwords",
-    "pricing_summary", "top_revenue_orders", "national_revenue",
-    "orders_by_month", "user_event_windows", "sessionization",
-    "conversion_funnel", "shipping_priority_top10", "customer_ltv_segments",
-    "sql_brand_volume", "profile_orders_table", "user_value_ranks",
-    "asof_last_purchase", "attribution_window_join",
-    "daily_user_series_gapfilled", "user_value_trend",
-    "median_order_cents_by_priority",
-    "langid_profile_scores", "quality_scores", "feature_hash_embeddings",
-    "bpe_token_counts", "simhash_fingerprints",
+    # canary: flagship, green r1+r2 — if THIS flips, the harness broke
+    "simple_rag_topk",
+    # retrieval + similarity search (never driver-checked)
+    "bm25_scores", "bm25_topk", "hybrid_bm25_cosine_rerank",
+    "knn_cosine_topk", "srp_lsh_buckets", "srp_near_pairs",
+    "label_centroid_qsums", "embedding_int8_quantize",
+    # dedup family (re-certs after the r2 shingle rewrite + never-checked)
+    "exact_dedup_fingerprint", "ngram_jaccard_pairs",
+    "minhash_lsh_bands", "minhash_candidate_pairs",
+    "rolling_fingerprint", "neardup_components",
+    "cluster_best_representative",
+    # corpus / training-data pipeline (never driver-checked)
+    "contamination_ngram_overlap", "vocab_min_max_df",
+    "split_assignment_counts", "quality_filter_audit",
+    "token_cooccurrence_top20", "repetition_top_bigram",
+    "sequence_packing_bins", "props_digit_redaction",
+    "doc_chunks_overlapping", "chunk_exact_dedup", "corpus_pipeline_e2e",
+    # star / relational analytics (never driver-checked)
+    "star_revenue_region_segment_month", "revenue_rollup_region_nation",
+    "cube_orders_status_priority", "grouping_sets_region_priority",
+    "unpivot_event_matrix", "pivot_event_type_by_day",
+    "except_click_days_no_purchase", "intersect_click_and_purchase_days",
+    "fuzzy_part_name_pairs", "value_histogram_by_type",
+    "parts_no_bulk_order", "orders_above_priority_mean",
+    "late_shipment_priority_counts", "big_order_customers",
+    "customer_order_count_distribution", "orders_above_customer_avg",
+    "except_all_click_days", "fact_fact_smj_rollup",
+    # timeseries / labels / io tails (never driver-checked; forward_fill
+    # rewritten this round — wants a fresh verdict)
+    "forward_fill_user_values", "daily_revenue_7d_ma",
+    "label_fact_urljoin", "jsonl_roundtrip_counts",
+    # native strict-JSON path census (NEW r3 — the fast twin of
+    # udtf_json_path_stats)
+    "json_path_stats_native",
 )
 
 

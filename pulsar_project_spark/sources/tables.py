@@ -49,6 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin NTZ inference ON: with it off, naive-micros parquet reads
+        # as TimestampType and unix_micros() would shift by the session
+        # timezone — silently breaking the documented tz-proof parity of
+        # ts_us_expr. Runtime-settable, idempotent (true is the 4.x
+        # default, but a driver session may have flipped it).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     return spark.read.parquet(table_path(sf_dir, name))
 
 
@@ -74,16 +80,20 @@ def ts_us_expr(df: DataFrame, col: str = "ts"):
     on the driver session's timezone.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
         return F.expr(f"{col} div 1000")
     if isinstance(dt, TimestampType):
         return F.unix_micros(F.col(col))
-    return F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-    )
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    # Anything else is a schema drift we want NAMED, not silently coerced
+    # into a confusing analysis error downstream.
+    raise TypeError(f"unsupported events.{col} type: {dt}")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,9 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet. Schema is taken from
     a batch peek (file streams need an explicit schema); ``ts`` arrives
-    as BIGINT nanos and is normalized to ``ts_us`` like the batch path."""
+    as either BIGINT nanos (legacy corpus, via ``nanosAsLong``) or
+    TIMESTAMP micros and is normalized to ``ts_us`` by the same
+    schema-adaptive ``ts_us_expr`` the batch path uses."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema

@@ -132,3 +132,68 @@ def test_ts_us_normalization_both_corpus_generations(spark, tmp_path):
     b = {r["event_id"]: r["ts_us"]
          for r in load_events(spark, str(tmp_path / "micros")).collect()}
     assert a == b == {1: micros[0], 2: micros[1], 3: micros[2]}
+
+
+def test_ts_us_tz_adjusted_micros_branch(spark, tmp_path):
+    """ADVICE r2: the TimestampType (unix_micros) branch of ts_us_expr
+    was untested. Write isAdjustedToUTC=true micros (pyarrow tz-aware
+    timestamp) — Spark reads that as TimestampType regardless of NTZ
+    inference — and pin that ts_us equals the raw epoch micros even
+    with a non-UTC session timezone (instant semantics, no session-tz
+    dependence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_project_spark.sources.tables import load_events
+
+    micros = [1704067798778549, 1706657176220708, 0]
+    d = tmp_path / "tzadj" / "events.parquet"
+    d.parent.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"event_id": [1, 2, 3],
+                  "ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}),
+        str(d))
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_events(spark, str(tmp_path / "tzadj"))
+        from pyspark.sql.types import LongType
+        assert isinstance(ev.schema["ts_us"].dataType, LongType)
+        got = {r["event_id"]: r["ts_us"] for r in ev.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == {1: micros[0], 2: micros[1], 3: micros[2]}
+
+
+def test_ts_us_ntz_inference_pinned_and_unknown_type_named(spark, tmp_path):
+    """ADVICE r2: (a) load_table must pin
+    spark.sql.parquet.inferTimestampNTZ.enabled=true so naive-micros
+    parquet can't silently read as session-tz TimestampType; (b) an
+    unrecognized ts dtype must raise a NAMED TypeError, not fall through
+    to the NTZ expression."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pulsar_project_spark.sources.tables import load_table, ts_us_expr
+
+    d = tmp_path / "naive" / "events.parquet"
+    d.parent.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array([1704067798778549],
+                                                  pa.timestamp("us"))}),
+        str(d))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        ev = load_table(spark, str(tmp_path / "naive"), "events")
+        assert spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled") == "true"
+        from pyspark.sql.types import TimestampNTZType
+        assert isinstance(ev.schema["ts"].dataType, TimestampNTZType)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+
+    df = spark.createDataFrame([("x",)], "ts string")
+    with _pytest.raises(TypeError, match="unsupported events.ts type"):
+        ts_us_expr(df)

@@ -35,7 +35,7 @@ ALLOWED_NESTED_LOOP = {
     "hybrid_bm25_cosine_rerank", # bm25 consts + 1-row query-vector broadcasts
     "mmr_diverse_topk",          # bm25 consts broadcast (candidate stage)
     "skew_key_census",           # 1-row total/keys broadcast crossJoin
-    "forward_fill_user_values",  # users × days dense-grid crossJoin (the output IS the grid)
+    "forward_fill_user_values",  # 1-row global-max-day broadcast crossJoin (r3: the users×days grid is gone)
 }
 
 
