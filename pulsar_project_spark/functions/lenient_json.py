@@ -209,12 +209,27 @@ class _P:
 try:  # pragma: no cover - not shipped in this container
     import json5  # type: ignore
 
-    def _loads(s: str):
+    def _lenient_backend(s: str):
         return json5.loads(s)
 except ImportError:
 
-    def _loads(s: str):
+    def _lenient_backend(s: str):
         return _P(s).parse()
+
+
+def _loads(s: str):
+    """Strict-first parse: try the C-accelerated ``json.loads`` and fall
+    back to the json5 grammar only when it rejects. On any input strict
+    JSON accepts, both parsers produce identical Python values (same
+    int/float split, same last-key-wins objects, and Python's ``json``
+    already admits the Infinity/NaN literals the json5 path handles), so
+    this is purely a fast path: real-world corpora are overwhelmingly
+    strict JSON, and the Python recursive descent was the whole cost of
+    the lenient UDF/UDTF on such data (~10× per row)."""
+    try:
+        return json.loads(s)
+    except Exception:
+        return _lenient_backend(s)
 
 
 def lenient_parse(s: str | None) -> str | None:

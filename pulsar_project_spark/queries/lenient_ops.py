@@ -30,7 +30,11 @@ def q_lenient_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k"),
         F.lit(", tags: ['a', 'b',], }"),
     )
-    docs = ev.select("event_id", messy.alias("messy"))
+    # compute-bound Python stage: don't inherit the scan's (possibly
+    # single-file → single-partition) layout — see udtf twin below
+    docs = ev.select("event_id", messy.alias("messy")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     parsed = docs.select(
         "event_id", lenient_json_canonical(F.col("messy")).alias("canonical")
     )
@@ -107,8 +111,18 @@ def q_udtf_json_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     J = udtf(Json5PathsUDTF, returnType="path: string, value: string",
              useArrow=True)
     spark.udtf.register("json5_paths", J)
-    load_events(spark, sf_dir).select("props").createOrReplaceTempView(
-        "udtf_props_src"
+    # The UDTF stage is compute-bound Python (per-row generator across
+    # the Arrow boundary) — it must NOT inherit the scan's partitioning:
+    # a small single-file corpus scans as ONE partition, serializing the
+    # whole UDTF on one core (measured 11 s for 100k rows at sf0.1; the
+    # same rows in 32 partitions take well under a second). Repartition
+    # the 1-column projection to the session's parallelism before the
+    # lateral join — the shuffle moves only `props`.
+    n_slots = spark.sparkContext.defaultParallelism
+    (
+        load_events(spark, sf_dir).select("props")
+        .repartition(n_slots)
+        .createOrReplaceTempView("udtf_props_src")
     )
     return spark.sql("""
         SELECT p.path, count(*) AS n,

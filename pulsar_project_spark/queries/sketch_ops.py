@@ -57,6 +57,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-stratum sampling rates as md5 hex-prefix thresholds: a 4-hex-digit
+# prefix is uniform on [0x0000, 0xffff], so "prefix < '1999'" keeps
+# 0x1999/0x10000 ≈ 9.999% — and fixed-width lowercase-hex string
+# comparison IS numeric comparison, identically in Spark and DuckDB.
+_HASH_SAMPLE_RATES = {
+    "view": "1999",      # ~10%
+    "click": "1999",     # ~10%
+    "signup": "8000",    # 50%
+    "error": "ffffz",    # keep all ('ffffz' > any 4-hex prefix)
+    "purchase": "ffffz",  # keep all
+}
+
+_HASH_SAMPLE_SQL = (
+    "SELECT event_id, user_id, event_type, value FROM events WHERE "
+    "substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN '{th}'" for t, th in _HASH_SAMPLE_RATES.items())
+    + " ELSE '0000' END"
+)
+
+
+@declare("hash_stratified_sample", oracle=_HASH_SAMPLE_SQL)
+def q_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep decision =
+    md5(event_id) hex prefix under a per-type threshold. The
+    oracle-STRONG twin of ``stratified_sample_by_type``: ``sampleBy``
+    draws from a seeded RNG whose stream is partition-dependent — a
+    repartition, an AQE re-plan, or a Spark upgrade silently changes
+    WHICH rows survive, which is disqualifying for a training corpus
+    (the sample defines the dataset; reproducibility IS the spec).
+    Hashing the row key instead makes membership a pure function of the
+    data — identical on 1 executor or 1000, re-runnable forever, and
+    cheap (one map-side md5 per row, no shuffle, no state).
+
+    Plan: single scan → codegen'd CASE + substring compare; filter is a
+    non-pushable expression but evaluates pre-shuffle (there is no
+    shuffle). Output is the sampled relation itself, hash-compared."""
+    ev = load_events(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    thresh = F.lit("0000")
+    for t, th in _HASH_SAMPLE_RATES.items():
+        thresh = F.when(F.col("event_type") == t, F.lit(th)).otherwise(thresh)
+    return ev.filter(prefix < thresh).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 @declare("hll_rolling_distinct_users")
 def q_hll_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE bounded-memory pattern for

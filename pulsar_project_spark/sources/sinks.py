@@ -56,6 +56,16 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # Empty-update fast path: streaming's availableNow termination runs a
+    # final no-data micro-batch purely to advance the watermark; in update
+    # mode it emits zero rows, and re-merging an existing table with
+    # nothing costs a full read-union-rewrite (~0.8 s at sf0.1 — measured,
+    # and it scales with TABLE size, not batch size). Merging nothing into
+    # an existing table is a no-op; only fall through when the table does
+    # not exist yet so the empty-table-creation contract is preserved.
+    if os.path.isdir(path) and updates.isEmpty():
+        return
+
     updates = updates.withColumn("__upd", F.lit(1))
     if os.path.isdir(path):
         current = spark.read.parquet(path).withColumn("__upd", F.lit(0))

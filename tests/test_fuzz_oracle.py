@@ -1,0 +1,89 @@
+"""Oracle-boundary fuzz: random small corpora, Spark vs DuckDB LIVE.
+
+The per-round driver gate runs the declared queries against the FIXED
+sf corpora — tie and float edge cases that those corpora happen not to
+contain stay invisible until a regenerated corpus hits them. This test
+closes that gap for the retrieval family (the flagship + BM25, the
+queries whose cross-engine float parity is by explicit construction):
+hypothesis generates corpora designed to manufacture the nasty cases —
+score ties at the top-k boundary, empty texts, all-stopword texts,
+duplicate documents, single-doc corpora — writes them to parquet, and
+runs the REGISTERED query and its REGISTERED oracle side by side.
+
+Comparison is exact (==, no tolerance), including the double-typed BM25
+scores: the engine's claim is bit-exactness by construction (integer
+rational tf normalization + per-term idf quantized to micros — see
+operators/retrieval.py), and the driver hashes values, so anything less
+than bit-equal IS a failure.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pulsar_project_spark.registry import ORACLES, QUERIES
+
+# Vocabulary engineered for collisions: the flagship/BM25 query terms
+# (so scores are frequently nonzero and tied), stopwords (dropped by
+# both tokenizers), punctuation-bearing variants (exercises
+# clean_string's regex parity), and inert filler.
+_WORDS = [
+    "filter", "merge", "scan", "window",          # BM25_TERMS
+    "spark", "query", "data", "rollup",           # filler, sometimes matches flagship
+    "the", "and", "of", "a", "is", "to",          # stopwords
+    "Filter", "MERGE", "Scan!", "window,", "scan.",  # case/punct variants
+    "zzz", "qqq",                                  # never matches
+]
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=20,
+)
+
+_FUZZED = ("simple_rag_topk", "keyword_score_scan", "bm25_scores", "bm25_topk")
+
+
+def _write_corpus(texts: list[str]) -> str:
+    sf_dir = tempfile.mkdtemp(prefix="fuzz_sf_")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["fuzz"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+@given(texts=_doc_texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
+    import duckdb
+
+    sf_dir = _write_corpus(texts)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        for name in _FUZZED:
+            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, (
+                f"{name} diverged on corpus {texts!r}:\n"
+                f"  spark:  {got}\n  oracle: {want}"
+            )
+    finally:
+        con.close()
