@@ -475,3 +475,95 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train").alias("split"),
     )
     return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- Deterministic training-order shuffle ------------------------------------
+
+_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       ascii(substr(shuffle_key, 1, 1)) % 8 AS shard,
+       row_number() OVER (
+         PARTITION BY ascii(substr(shuffle_key, 1, 1)) % 8
+         ORDER BY shuffle_key, doc_id
+       ) AS pos
+FROM keyed
+"""
+
+
+@declare("training_order_shuffle", oracle=_SHUFFLE_SQL)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order: every document gets an
+    (epoch-salted) md5 shuffle key, a shard from the key's first hex
+    digit, and a position within its shard. The training-data
+    counterpart of ORDER BY random(): RNG order depends on engine,
+    partitioning, and seed plumbing, but a hash order is a pure
+    function of (epoch_salt, doc_id) — the same corpus yields the same
+    batch order on any cluster size, any engine, forever, and the next
+    epoch is just a different salt.
+
+    Scale shape: NO global sort — the expensive total order is never
+    materialized. One shuffle partitions by shard (16 hex digits % 8,
+    uniform), and each shard sorts independently inside its window; at
+    100 TB shards map to writer tasks emitting sorted shard files.
+    ``ascii(first_hex_char) % 8`` is used instead of a hex→int
+    conversion because Spark and DuckDB share ``ascii``/``substr``
+    semantics exactly, keeping the oracle bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+        .alias("shuffle_key"),
+    )
+    shard = (F.ascii(F.substring("shuffle_key", 1, 1)) % 8).alias("shard")
+    w = Window.partitionBy(F.ascii(F.substring("shuffle_key", 1, 1)) % 8).orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return keyed.select(
+        "doc_id", shard, F.row_number().over(w).alias("pos")
+    )
+
+
+# --- Length-bucket padding-waste census --------------------------------------
+
+_PADDING_SQL = """
+SELECT n_chars // 256 AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(n_chars) AS max_chars,
+       count(*) * max(n_chars) - CAST(sum(n_chars) AS BIGINT)
+         AS padding_waste_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@declare("length_bucket_padding_stats", oracle=_PADDING_SQL)
+def q_length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-packing efficiency census: bucket documents by length
+    (256-char granularity) and measure the padding a
+    pad-to-longest-in-batch collator would waste per bucket — the
+    number that motivates length-bucketed batching (and the
+    ``sequence_packing_bins`` operator) in the first place. All-integer
+    arithmetic → bit-exact across engines.
+
+    Scale shape: single scan → one low-cardinality grouped agg with
+    map-side partials; ``sum``/``max``/``count`` are mergeable, so this
+    is the canonical 100 TB-safe shape (no row ever leaves its
+    partition unaggregated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cents = F.expr("n_chars div 256").alias("bucket")
+    grouped = docs.groupBy(cents).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return grouped.select(
+        "bucket", "n_docs", "sum_chars", "max_chars",
+        (F.col("n_docs") * F.col("max_chars") - F.col("sum_chars"))
+        .alias("padding_waste_chars"),
+    )

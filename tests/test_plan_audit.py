@@ -68,3 +68,32 @@ def test_partitioned_prune_shows_partition_filters(spark):
     assert "PartitionFilters" in plan
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "event_type" in pf and "purchase" in pf
+
+
+# Queries whose scan must read a PRUNED schema — a scan fetching all
+# columns for a narrow projection means column pruning was lost (at
+# 100 TB the difference is reading `text` or not).
+_PRUNING_REQUIRED = {
+    "training_order_shuffle": {"doc_id"},           # never reads text
+    "length_bucket_padding_stats": {"n_chars"},     # never reads text
+    "simple_rag_topk": {"doc_id", "text"},          # not lang/source/n_chars
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PRUNING_REQUIRED))
+def test_column_pruning_reaches_scan(name, spark):
+    import re
+
+    df = e.queries()[name](spark, SF_SMOKE)
+    _, _, plan = audit(name, df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"{name}: no ReadSchema in plan\n{plan[:2000]}"
+    read_cols = {
+        c.split(":")[0].strip()
+        for s in schemas for c in s.split(",") if c.strip()
+    }
+    allowed = _PRUNING_REQUIRED[name]
+    assert read_cols <= allowed, (
+        f"{name}: scan reads {sorted(read_cols - allowed)} beyond the "
+        f"projection {sorted(allowed)}\n{plan[:2000]}"
+    )
