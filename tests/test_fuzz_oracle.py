@@ -62,13 +62,7 @@ def _write_corpus(texts: list[str]) -> str:
     return sf_dir
 
 
-@given(texts=_doc_texts)
-@settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
+def _assert_family_matches(spark, texts: list[str], names: tuple[str, ...]):
     import duckdb
 
     sf_dir = _write_corpus(texts)
@@ -78,7 +72,7 @@ def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
         f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
     try:
-        for name in _FUZZED:
+        for name in names:
             got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
             want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
             assert got == want, (
@@ -87,3 +81,46 @@ def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
             )
     finally:
         con.close()
+
+
+@given(texts=_doc_texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
+    _assert_family_matches(spark, texts, _FUZZED)
+
+
+# Dedup / corpus-pipeline family: duplicate documents are likely under
+# this vocabulary (20 docs over a 20-word alphabet), so fingerprint
+# collisions, first-seen-wins keepers, and the composed pipeline all
+# exercise their interesting paths; longer texts let the quality
+# filter's token-count window pass sometimes and fail sometimes.
+_PIPELINE_FUZZED = (
+    "exact_dedup_fingerprint",
+    "chunk_exact_dedup",
+    "quality_filter_audit",
+    "split_assignment_counts",
+    "vocab_min_max_df",
+    "corpus_pipeline_e2e",
+    "training_order_shuffle",
+    "length_bucket_padding_stats",
+)
+
+_long_doc_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=60).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=_long_doc_texts)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pipeline_family_matches_oracle_on_random_corpora(spark, texts):
+    _assert_family_matches(spark, texts, _PIPELINE_FUZZED)
