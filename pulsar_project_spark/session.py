@@ -31,6 +31,13 @@ def get_spark(app_name: str = "pulsar_project_spark",
       batches, not rows.
     * Session timezone pinned UTC so timestamp semantics are stable across
       driver/executor and match the DuckDB correctness oracle.
+    * Runtime bloom-filter join reduction is LEFT AT ITS DEFAULT (on,
+      ``spark.sql.optimizer.runtime.bloomFilter.enabled``): on shuffle
+      joins with a selective build side (the fact-fact rollup shapes
+      here), Catalyst injects a bloom probe into the stream side's scan
+      stage automatically — the correct engine-level form of the
+      "pre-filter the big side with a sketch of the small side" pattern,
+      so no operator in this package hand-rolls one.
     """
     n = str(cpus or _DEFAULT_CPUS)
     builder = (

@@ -124,3 +124,91 @@ _long_doc_texts = st.lists(
 )
 def test_pipeline_family_matches_oracle_on_random_corpora(spark, texts):
     _assert_family_matches(spark, texts, _PIPELINE_FUZZED)
+
+
+# --- Events family: windows / retention / sessions on random streams ---------
+#
+# Same contract as the corpus fuzz, over a generated events table: small
+# user-id and type alphabets force the interesting collisions (ties on
+# (ts, event_id) tiebreaks, single-event sessions, users with one day of
+# activity), and value is generated in exact cents so DECIMAL/microsecond
+# integer oracles stay bit-exact. ts spans ~3 days of 2024 at second granularity
+# so day-bucket and gap logic both cross boundaries.
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # user_id — tiny → collisions
+        st.integers(0, 3 * 86_400),             # ts offset seconds from epoch day
+        st.sampled_from(_EVENT_TYPES),
+        st.integers(0, 50_000),                 # value in exact cents
+        st.integers(0, 99),                     # props payload k
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_EVENTS_FUZZED = (
+    "keep_last_n_per_user",
+    "latest_event_per_user",
+    "evict_min_per_type",
+    "group_count_by_type",
+    "per_user_activity",
+    "sessionization",
+    "daily_user_series_gapfilled",
+    "forward_fill_user_values",
+    "debounce_events_1s",
+    "cumulative_new_users_by_day",
+    "user_event_gap_stats",
+    "user_session_stats",
+)
+
+
+def _write_events(rows) -> str:
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+    sf_dir = tempfile.mkdtemp(prefix="fuzz_ev_")
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(
+            [base_us + sec * 1_000_000 for (_, sec, _, _, _) in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([u for (u, _, _, _, _) in rows], pa.int64()),
+        "event_type": pa.array([t for (_, _, t, _, _) in rows], pa.string()),
+        "value": pa.array(
+            [cents / 100.0 for (_, _, _, cents, _) in rows], pa.float64()
+        ),
+        "props": pa.array(
+            ['{"k": %d}' % k for (_, _, _, _, k) in rows], pa.string()
+        ),
+    })
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+@given(rows=_events_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_events_family_matches_oracle_on_random_streams(spark, rows):
+    import duckdb
+
+    sf_dir = _write_events(rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    try:
+        for name in _EVENTS_FUZZED:
+            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, (
+                f"{name} diverged on events {rows!r}:\n"
+                f"  spark:  {got}\n  oracle: {want}"
+            )
+    finally:
+        con.close()
