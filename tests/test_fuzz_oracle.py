@@ -212,3 +212,162 @@ def test_events_family_matches_oracle_on_random_streams(spark, rows):
             )
     finally:
         con.close()
+
+
+# --- Star/relational family: random TPC-H-ish micro-warehouses ---------------
+#
+# This round's driver budget is exactly these queries, so pre-drive them
+# over randomized warehouses: tiny key spaces force the collision cases
+# (customers with no orders, orders with no lineitems, ties on rollup
+# cells, (brand, size) fuzzy-blocking collisions), and all money is
+# generated in exact cents so the DECIMAL oracles stay bit-exact.
+# region/nation are the real fixed catalogs, copied from the corpus.
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_STATUSES = ["O", "F", "P"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PART_NAMES = ["green tomato", "green tomatoes", "olive thistle",
+               "olive this", "navy lace", "navy face", "plum satin"]
+_BASE_2024_US = 1_704_067_200_000_000
+
+_warehouse_strategy = st.fixed_dictionaries({
+    "customers": st.lists(
+        st.tuples(st.integers(0, 24),            # c_nationkey
+                  st.integers(-100_000, 100_000),  # acctbal cents
+                  st.integers(0, 4)),            # segment idx
+        min_size=1, max_size=6),
+    "orders": st.lists(
+        st.tuples(st.integers(0, 5),             # custkey (mod n_cust)
+                  st.integers(0, 2),             # status idx
+                  st.integers(0, 4),             # priority idx
+                  st.integers(0, 5_000_000),     # totalprice cents
+                  st.integers(0, 364)),          # orderdate day
+        min_size=1, max_size=15),
+    "lineitems": st.lists(
+        st.tuples(st.integers(0, 14),            # orderkey (mod n_orders)
+                  st.integers(0, 6),             # partkey (mod n_parts)
+                  st.integers(1, 50),            # quantity
+                  st.integers(0, 2_000_00),      # extendedprice cents
+                  st.integers(0, 10),            # discount %
+                  st.integers(0, 400)),          # shipdate day
+        min_size=1, max_size=40),
+    "parts": st.lists(
+        st.tuples(st.integers(0, 6),             # name idx
+                  st.integers(0, 1),             # brand idx
+                  st.integers(1, 2),             # size
+                  st.integers(0, 100_000)),      # retailprice cents
+        min_size=1, max_size=7),
+})
+
+_STAR_FUZZED = (
+    "star_revenue_region_segment_month",
+    "revenue_rollup_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_region_priority",
+    "fuzzy_part_name_pairs",
+    "parts_no_bulk_order",
+    "orders_above_priority_mean",
+    "late_shipment_priority_counts",
+    "big_order_customers",
+    "customer_order_count_distribution",
+    "orders_above_customer_avg",
+    "fact_fact_smj_rollup",
+)
+
+
+def _write_warehouse(w) -> str:
+    import shutil
+
+    sf_dir = tempfile.mkdtemp(prefix="fuzz_wh_")
+    for t in ("region", "nation"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    f"{sf_dir}/{t}.parquet")
+
+    cs = w["customers"]
+    pa_c = pa.table({
+        "c_custkey": pa.array(range(len(cs)), pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(len(cs))]),
+        "c_nationkey": pa.array([n for (n, _, _) in cs], pa.int32()),
+        "c_acctbal": pa.array([b / 100.0 for (_, b, _) in cs], pa.float64()),
+        "c_mktsegment": pa.array([_SEGMENTS[s] for (_, _, s) in cs]),
+    })
+    pq.write_table(pa_c, f"{sf_dir}/customer.parquet")
+
+    os_ = w["orders"]
+    pa_o = pa.table({
+        "o_orderkey": pa.array(range(len(os_)), pa.int64()),
+        "o_custkey": pa.array([c % len(cs) for (c, _, _, _, _) in os_],
+                              pa.int64()),
+        "o_orderstatus": pa.array([_STATUSES[s] for (_, s, _, _, _) in os_]),
+        "o_totalprice": pa.array([p / 100.0 for (_, _, _, p, _) in os_],
+                                 pa.float64()),
+        "o_orderdate": pa.array(
+            [_BASE_2024_US + d * 86_400_000_000 for (_, _, _, _, d) in os_],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array([_PRIORITIES[p] for (_, _, p, _, _) in os_]),
+    })
+    pq.write_table(pa_o, f"{sf_dir}/orders.parquet")
+
+    ps = w["parts"]
+    pa_p = pa.table({
+        "p_partkey": pa.array(range(len(ps)), pa.int64()),
+        "p_name": pa.array([_PART_NAMES[n] for (n, _, _, _) in ps]),
+        "p_brand": pa.array([f"Brand#{b + 1}" for (_, b, _, _) in ps]),
+        "p_type": pa.array(["STANDARD ANODIZED TIN"] * len(ps)),
+        "p_size": pa.array([s for (_, _, s, _) in ps], pa.int32()),
+        "p_retailprice": pa.array([r / 100.0 for (_, _, _, r) in ps],
+                                  pa.float64()),
+    })
+    pq.write_table(pa_p, f"{sf_dir}/part.parquet")
+
+    ls = w["lineitems"]
+    pa_l = pa.table({
+        "l_orderkey": pa.array([o % len(os_) for (o, _, _, _, _, _) in ls],
+                               pa.int64()),
+        "l_partkey": pa.array([p % len(ps) for (_, p, _, _, _, _) in ls],
+                              pa.int64()),
+        "l_suppkey": pa.array([0] * len(ls), pa.int64()),
+        "l_linenumber": pa.array(range(len(ls)), pa.int32()),
+        "l_quantity": pa.array([float(q) for (_, _, q, _, _, _) in ls],
+                               pa.float64()),
+        "l_extendedprice": pa.array([e / 100.0 for (_, _, _, e, _, _) in ls],
+                                    pa.float64()),
+        "l_discount": pa.array([d / 100.0 for (_, _, _, _, d, _) in ls],
+                               pa.float64()),
+        "l_tax": pa.array([0.0] * len(ls), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(ls)),
+        "l_linestatus": pa.array(["O"] * len(ls)),
+        "l_shipdate": pa.array(
+            [_BASE_2024_US + d * 86_400_000_000 for (_, _, _, _, _, d) in ls],
+            pa.timestamp("us")),
+    })
+    pq.write_table(pa_l, f"{sf_dir}/lineitem.parquet")
+    return sf_dir
+
+
+@given(w=_warehouse_strategy)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_family_matches_oracle_on_random_warehouses(spark, w):
+    import duckdb
+
+    sf_dir = _write_warehouse(w)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        for name in _STAR_FUZZED:
+            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, (
+                f"{name} diverged on warehouse {w!r}:\n"
+                f"  spark:  {got}\n  oracle: {want}"
+            )
+    finally:
+        con.close()
