@@ -68,7 +68,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    """Zero-safe cosine: a zero-norm vector (empty doc, failed embedding
+    job — guaranteed to exist somewhere in 100 TB) scores 0.0 instead of
+    raising DIVIDE_BY_ZERO under ANSI mode / yielding NULL in DuckDB.
+    0.0 (not NULL) keeps top-k window ordering engine-independent —
+    NULLS FIRST/LAST defaults differ across engines. Mirror the CASE in
+    every oracle that divides by norms (found by the embedding fuzz
+    gate, tests/test_fuzz_oracle.py)."""
+    den = norm_a * norm_b
+    return F.when(den != 0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

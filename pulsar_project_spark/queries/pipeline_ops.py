@@ -312,9 +312,14 @@ SELECT doc_id,
        CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(least(len(tk) - start_tok, {_CHUNK_W}) AS BIGINT) AS n_tokens,
-       array_to_string(list_slice(tk, start_tok + 1, start_tok + {_CHUNK_W}), ' ') AS chunk_text
+       coalesce(array_to_string(list_slice(tk, start_tok + 1, start_tok + {_CHUNK_W}), ' '),
+                '') AS chunk_text
 FROM chunks
 """
+# ^ coalesce: DuckDB's array_to_string over an empty slice is NULL, but
+# the chunker contract is "every doc gets >=1 chunk carrying its full
+# text" — for a zero-token doc that text is '' (what concat_ws yields on
+# the Spark side). Found by the corpus fuzz gate on text=''.
 
 
 @declare("doc_chunks_overlapping", oracle=_CHUNK_SQL)

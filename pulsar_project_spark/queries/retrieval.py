@@ -153,7 +153,9 @@ base AS (
 ),
 q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = {_HYBRID_QVEC})
 SELECT bm.doc_id, bm.bm25,
-       {_dot_sql('b.embedding', 'q.qe')} / (b.nrm * q.qn) AS cosine
+       CASE WHEN b.nrm * q.qn = 0 THEN 0.0
+            ELSE {_dot_sql('b.embedding', 'q.qe')} / (b.nrm * q.qn)
+       END AS cosine
 FROM bm JOIN base b ON bm.doc_id = b.vec_id, q
 WHERE bm.doc_id <> {_HYBRID_QVEC}
 ORDER BY cosine DESC, bm.doc_id ASC

@@ -79,7 +79,9 @@ q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
       FROM base WHERE vec_id < {_KNN_QUERIES}),
 scored AS (
   SELECT q.query_id, b.vec_id,
-         {_dot_sql('q.qe', 'b.embedding')} / (q.qn * b.nrm) AS cosine
+         CASE WHEN q.qn * b.nrm = 0 THEN 0.0
+              ELSE {_dot_sql('q.qe', 'b.embedding')} / (q.qn * b.nrm)
+         END AS cosine
   FROM base b, q WHERE b.vec_id <> q.query_id
 )
 SELECT query_id, vec_id, cosine, rnk FROM (
@@ -123,9 +125,13 @@ cand AS (
 ),
 {_norm_base_sql()}
 SELECT c.vec_a, c.vec_b,
-       {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+       CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+            ELSE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+       END AS cosine
 FROM cand c JOIN base a ON c.vec_a = a.vec_id JOIN base b ON c.vec_b = b.vec_id
-WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_NEAR_THRESHOLD}
+WHERE CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+           ELSE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+      END >= {_NEAR_THRESHOLD}
 """,
 )
 def q_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

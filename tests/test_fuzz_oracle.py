@@ -371,3 +371,99 @@ def test_star_family_matches_oracle_on_random_warehouses(spark, w):
             )
     finally:
         con.close()
+
+
+# --- Embedding family: random vector tables ----------------------------------
+#
+# Vectors are dyadic rationals (k/128, k ∈ [-512, 512]): every dot
+# product, partial sum, and norm numerator is then EXACTLY representable
+# in float64, so summation order cannot perturb a single bit and the
+# float outputs (cosines, quantization scales) must equal DuckDB's
+# exactly — the fuzz extends the bit-exactness claim from the fixed
+# corpus to arbitrary vector content. Dimension is kept at the corpus's
+# 64; tiny label space forces centroid collisions.
+
+_embeddings_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),                                   # label
+        st.lists(st.integers(-512, 512), min_size=64, max_size=64),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+_EMBEDDING_FUZZED = (
+    "knn_cosine_topk",
+    "srp_lsh_buckets",
+    "srp_near_pairs",
+    "label_centroid_qsums",
+    "embedding_int8_quantize",
+)
+
+
+def _write_embeddings(rows, sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or tempfile.mkdtemp(prefix="fuzz_emb_")
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array(
+            [[k / 128.0 for k in vec] for (_, vec) in rows],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array([lb for (lb, _) in rows], pa.int32()),
+    })
+    pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+@given(rows=_embeddings_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_embedding_family_matches_oracle_on_random_vectors(spark, rows):
+    import duckdb
+
+    sf_dir = _write_embeddings(rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    try:
+        for name in _EMBEDDING_FUZZED:
+            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, (
+                f"{name} diverged on vectors:\n"
+                f"  spark:  {got[:6]}\n  oracle: {want[:6]}"
+            )
+    finally:
+        con.close()
+
+
+# --- Near-dup / text-mining tranche over the document corpus -----------------
+
+_NEARDUP_FUZZED = (
+    "ngram_jaccard_pairs",
+    "minhash_lsh_bands",
+    "minhash_candidate_pairs",
+    "rolling_fingerprint",
+    "neardup_components",
+    "cluster_best_representative",
+    "contamination_ngram_overlap",
+    "token_cooccurrence_top20",
+    "repetition_top_bigram",
+    "sequence_packing_bins",
+    "doc_chunks_overlapping",
+)
+
+
+@given(texts=_long_doc_texts)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_neardup_family_matches_oracle_on_random_corpora(spark, texts):
+    _assert_family_matches(spark, texts, _NEARDUP_FUZZED)
