@@ -162,6 +162,22 @@ _EVENTS_FUZZED = (
     "cumulative_new_users_by_day",
     "user_event_gap_stats",
     "user_session_stats",
+    # round-3 driver-budget tail + set-op/pivot/json shapes
+    "value_histogram_by_type",
+    "pivot_event_type_by_day",
+    "unpivot_event_matrix",
+    "except_click_days_no_purchase",
+    "intersect_click_and_purchase_days",
+    "except_all_click_days",
+    "daily_revenue_7d_ma",
+    "props_digit_redaction",
+    "json_path_stats_native",
+    "label_fact_urljoin",
+    "user_event_windows",
+    "user_value_ranks",
+    "asof_last_purchase",
+    "attribution_window_join",
+    "conversion_funnel",
 )
 
 
