@@ -99,7 +99,14 @@ def q_partitioned_prune_purchase_days(spark: SparkSession, sf_dir: str) -> DataF
     tmp = os.path.join(tempfile.mkdtemp(prefix="part_ev_"), "by_type")
     ev = load_events(spark, sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-    back = spark.read.parquet(tmp).filter(F.col("event_type") == "purchase")
+    # explicit schema: a zero-row source writes a partitioned dataset
+    # with no data files, and schema INFERENCE on the read-back would
+    # fail (UNABLE_TO_INFER_SCHEMA) — a real state at 100 TB, where a
+    # pruned or freshly-created layout can be momentarily empty
+    back = (
+        spark.read.schema(ev.schema).parquet(tmp)
+        .filter(F.col("event_type") == "purchase")
+    )
     return back.select(
         F.expr("ts_us div 86400000000").alias("day"), "user_id"
     ).groupBy("day").agg(

@@ -1,0 +1,74 @@
+"""Zero-row-input robustness gate.
+
+At 100 TB, planning-time partition pruning, a fresh layout, or a
+filtered ingest routinely hand an operator a schema-correct EMPTY
+relation — queries must plan and execute on one, returning zero rows,
+not crash. (Round-3 sweep over all 139 declared queries found exactly
+three raisers: the partitioned-layout roundtrip, fixed by reading back
+with an explicit schema, and kmeans/ivf, whose "need at least k input
+vectors" contract is a deliberate NAMED error for an impossible fit —
+pinned as such below.)
+
+A representative query per family keeps the gate fast; the fixed
+regression (`partitioned_prune_purchase_days`) is always included.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pulsar_project_spark.registry import QUERIES
+from pulsar_project_spark.sources.tables import TABLE_NAMES
+
+_REPRESENTATIVE = (
+    "partitioned_prune_purchase_days",  # the fixed regression
+    "simple_rag_topk",                  # retrieval
+    "bm25_scores",                      # bm25 corpus constants on 0 docs
+    "hybrid_bm25_cosine_rerank",        # retrieval x embeddings compose
+    "knn_cosine_topk",                  # vector search
+    "exact_dedup_fingerprint",          # dedup
+    "minhash_candidate_pairs",          # LSH banding
+    "neardup_components",               # iterative fixpoint on 0 edges
+    "corpus_pipeline_e2e",              # composed pipeline
+    "training_order_shuffle",           # hash shuffle
+    "revenue_rollup_region_nation",     # star rollup
+    "fact_fact_smj_rollup",             # fact-fact SMJ
+    "sessionization",                   # windows
+    "forward_fill_user_values",         # gap fill (sequence on empty span)
+    "daily_revenue_7d_ma",              # moving average
+    "json_path_stats_native",           # JSON census
+    "udtf_json_path_stats",             # Python UDTF on 0 rows
+    "hash_stratified_sample",           # deterministic sampling
+    "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
+)
+
+_NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir() -> str:
+    src = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="empty_sf_")
+    for t in TABLE_NAMES:
+        s = pq.read_schema(f"{src}/{t}.parquet")
+        s = pa.schema([f.remove_metadata() for f in s])
+        pq.write_table(
+            pa.table({f.name: pa.array([], f.type) for f in s}),
+            f"{d}/{t}.parquet",
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVE)
+def test_runs_and_returns_zero_rows_on_empty_tables(name, spark, empty_sf_dir):
+    assert QUERIES[name](spark, empty_sf_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", sorted(_NAMED_RAISERS))
+def test_impossible_fit_raises_named_contract(name, spark, empty_sf_dir):
+    with pytest.raises(Exception, match="need at least k="):
+        QUERIES[name](spark, empty_sf_dir).count()
