@@ -68,6 +68,12 @@ def as_assets(docs: DataFrame, id_col: str = "doc_id",
     as the opaque payload, modality assigned round-robin by id. This is
     the fixture builder — a real pipeline reads parquet with the same
     schema directly."""
+    # A row with no payload is not an asset: drop it at the catalog
+    # boundary (mirrored as WHERE text IS NOT NULL in every multimodal
+    # oracle). Without this, NULL content reaches the Arrow decode pass
+    # and len(None) blows up the Python worker — found by the NULL-input
+    # sweep; at 100 TB missing payloads are a certainty.
+    docs = docs.filter(F.col(text_col).isNotNull())
     modality = F.element_at(
         F.array(*[F.lit(m) for m in _MODS]), (F.col(id_col) % 4 + 1).cast("int")
     )

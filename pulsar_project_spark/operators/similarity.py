@@ -81,8 +81,14 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Materialize the L2 norm next to each vector (computed once — see
-    dedup module notes on lambda-expression inlining)."""
-    return emb.withColumn("nrm", norm(F.col(vec_col)))
+    dedup module notes on lambda-expression inlining). NULL vectors are
+    dropped here — a row without an embedding is not a point in the
+    space, so no similarity operator should see it (mirrored as WHERE
+    embedding IS NOT NULL in the oracles; found by the NULL-input
+    sweep — at 100 TB a failed embedding job guarantees such rows)."""
+    return emb.filter(F.col(vec_col).isNotNull()).withColumn(
+        "nrm", norm(F.col(vec_col))
+    )
 
 
 def knn_cosine(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -155,7 +161,7 @@ def srp_buckets(emb: DataFrame, id_col: str = "vec_id",
     candidate joins run on. (Sign dots use quantized ints: measured ~40×
     less per-vector CPU than 32 interpreted higher-order folds, and the
     quantization makes the buckets engine-portable bit-for-bit.)"""
-    return emb.select(
+    return emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(_srp_table_buckets(F.col(vec_col))).alias("table_id", "bucket"),
     )
@@ -208,7 +214,8 @@ def label_centroid_qsums(emb: DataFrame, label_col: str = "label",
     primitive for embedding clustering at scale: one explode + one
     shuffle on (label, pos)."""
     return (
-        emb.select(label_col, F.posexplode(vec_col).alias("pos0", "v"))
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(label_col, F.posexplode(vec_col).alias("pos0", "v"))
         .select(
             label_col,
             (F.col("pos0") + 1).alias("pos"),

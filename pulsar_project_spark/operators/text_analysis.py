@@ -55,9 +55,13 @@ def profile_hits(tokens: Column, words: tuple[str, ...]) -> Column:
 
 def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Per-doc language scores + argmax prediction."""
+    """Per-doc language scores + argmax prediction. NULL text reads as
+    the empty document → all-zero scores and 'und', matching the
+    oracle's semantics (without the coalesce, Spark's NULL-propagating
+    size() emits NULL scores for such rows — found by the NULL sweep)."""
     toks = docs.select(
-        F.col(id_col), tokenize(clean_string(text_col)).alias("tk")
+        F.col(id_col),
+        tokenize(clean_string(F.coalesce(F.col(text_col), F.lit("")))).alias("tk"),
     )
     scored = toks.select(
         id_col,

@@ -18,8 +18,13 @@ from pulsar_project_spark.sources.tables import load_events
 # the op's declared input schema: key → type (memory.py:155-165 shape)
 _SCHEMA_KEYS = ("k", "verbose")
 
+# json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+# JSON where Spark's get_json_object returns NULL — the guard (NULL j →
+# NULL extractions, no error) gives the oracle Spark's semantics on
+# dirty props. Found by the NULL/malformed-input sweep.
 _ARGS_SQL = (
-    """'{"k": ' || json_extract_string(props, '$.k') || """
+    """'{"k": ' || CASE WHEN json_valid(props) """
+    """THEN json_extract_string(props, '$.k') END || """
     """', "verbose": true, "debug": "on"}'"""
 )
 

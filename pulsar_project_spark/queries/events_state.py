@@ -77,7 +77,8 @@ SELECT event_type, event_id, user_id, value
 FROM (
   SELECT event_type, event_id, user_id, value,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY value ASC, epoch_us(ts) ASC, event_id ASC) AS rn
+                            ORDER BY value ASC NULLS LAST,
+                                     epoch_us(ts) ASC, event_id ASC) AS rn
   FROM events
 )
 WHERE rn = 1
@@ -85,12 +86,16 @@ WHERE rn = 1
 )
 def q_evict_min_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin by composite key = eviction pick (memory.py:326-335: ascending
-    (frequency, last_updated), delete head)."""
+    (frequency, last_updated), delete head). NULL ordering is PINNED
+    (NULLS LAST both sides): Spark's ASC default is NULLS FIRST,
+    DuckDB's is NULLS LAST, so an unpinned order silently evicts a
+    different row the moment a NULL value appears — found by the NULL
+    sweep. Semantics: an unknown value is never the eviction pick."""
     ev = load_events(spark, sf_dir)
     return evict_candidates(
         ev.select("event_type", "event_id", "user_id", "value", "ts_us"),
         ["event_type"],
-        [F.asc("value"), F.asc("ts_us"), F.asc("event_id")],
+        [F.asc_nulls_last("value"), F.asc("ts_us"), F.asc("event_id")],
     ).drop("ts_us")
 
 
@@ -204,7 +209,10 @@ def q_memory_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "json_props_extract",
     oracle="""
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+SELECT event_id,
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INT)
+       END AS k_val
 FROM events
 """,
 )

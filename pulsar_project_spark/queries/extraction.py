@@ -35,10 +35,16 @@ _DOC_SQL = (
 WITH docs AS (
   SELECT event_id, {_DOC_SQL} AS response FROM events
 ), extracted AS (
-  SELECT event_id,
-         regexp_extract(response,
-           '```(?:json|html|css|python|javascript|xml)?\\s*([\\{{\\[].*?[\\}}\\]])\\s*```', 1) AS payload
-  FROM docs
+  -- json_valid guard: a malformed props payload rides into the fence,
+  -- and DuckDB's json_extract_string ERRORS on it where Spark's
+  -- get_json_object returns NULL; NULLing invalid payloads here gives
+  -- the oracle Spark's semantics on dirty data
+  SELECT event_id, CASE WHEN json_valid(p) THEN p END AS payload FROM (
+    SELECT event_id,
+           regexp_extract(response,
+             '```(?:json|html|css|python|javascript|xml)?\\s*([\\{{\\[].*?[\\}}\\]])\\s*```', 1) AS p
+    FROM docs
+  )
 )
 SELECT event_id,
        json_extract_string(payload, '$.think') AS think,

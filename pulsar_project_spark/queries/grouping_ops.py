@@ -131,8 +131,12 @@ SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
        event_type,
        count(*) AS n
 FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
 GROUP BY 1, 2
 """
+# ^ the IN mirrors the pivot's EXPLICIT column list (the scale-correct
+# pivot form): a value outside the pinned list — including NULL — never
+# becomes a matrix column, so the long-form oracle must exclude it too.
 
 
 @declare("unpivot_event_matrix", oracle=_UNPIVOT_SQL)

@@ -51,9 +51,16 @@ SELECT '$.' || k AS path,
        count(*) AS n,
        min(json_extract_string(props, '$.' || k)) AS min_v,
        max(json_extract_string(props, '$.' || k)) AS max_v
-FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events
+      WHERE props IS NOT NULL AND json_valid(props))
 GROUP BY 1
 """
+# ^ json_valid guard: DuckDB's json_keys ERRORS on malformed JSON;
+# Spark's from_json returns NULL → the row silently drops. The guard
+# gives the oracle the native twin's drop semantics. (The UDTF twin is
+# MORE permissive on dirty data — JSON5 grammar, and a '$error' row for
+# the unparseable remainder — so on non-strict corpora only the native
+# twin matches this oracle; the driver corpus is strict-valid.)
 
 
 @declare("json_path_stats_native", oracle=_PATHS_SQL)

@@ -39,6 +39,7 @@ SELECT doc_id,
        CASE WHEN {_MOD_SQL} = 'audio' THEN 16000 END AS sample_rate,
        CASE WHEN {_MOD_SQL} <> 'image' THEN {_NB} * 10 END AS duration_ms
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def q_asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +69,7 @@ SELECT doc_id,
        {_NB} % 640 + 1 AS dec_width,
        {_NB} % 480 + 1 AS dec_height
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def q_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +84,7 @@ def q_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte_histogram_features",
     oracle="""
 WITH pos AS (
-  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, ascii(substring(text, i, 1)) // 16 AS bin, count(*) AS n
 FROM pos GROUP BY doc_id, bin
@@ -101,7 +103,7 @@ def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id, dur AS duration_ms,
        unnest(generate_series(0, greatest(dur - 1, 0), 1000)) AS frame_ts_ms
-FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE doc_id % 4 = 2)
+FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 2)
 """,
 )
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +122,7 @@ SELECT doc_id, dur AS duration_ms, 16000 AS sample_rate,
        CAST(least(s + 5000, dur) - s AS BIGINT) * 16000 // 1000 AS n_samples
 FROM (
   SELECT doc_id, dur, unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS s
-  FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE doc_id % 4 = 1)
+  FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 1)
 )
 """,
 )

@@ -44,7 +44,8 @@ def _dot_sql(a: str, b: str) -> str:
 def _norm_base_sql() -> str:
     return (
         "base AS (SELECT vec_id, embedding, "
-        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings)"
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings "
+        "WHERE embedding IS NOT NULL)"
     )
 
 
@@ -65,7 +66,8 @@ def _bucket_expr(t: int) -> str:
 
 def _buckets_sql() -> str:
     parts = [
-        f"SELECT vec_id, {t} AS table_id, {_bucket_expr(t)} AS bucket FROM embeddings"
+        f"SELECT vec_id, {t} AS table_id, {_bucket_expr(t)} AS bucket "
+        f"FROM embeddings WHERE embedding IS NOT NULL"
         for t in range(SRP_TABLES)
     ]
     return "buckets AS (" + " UNION ALL ".join(parts) + ")"
@@ -171,6 +173,7 @@ SELECT label, i AS pos,
        CAST(sum(CAST(floor(embedding[i]::DOUBLE * {QUANT_SCALE}) AS BIGINT)) AS BIGINT) AS qsum,
        count(*) AS n_vecs
 FROM embeddings, generate_series(1, {SRP_DIM}) AS t(i)
+WHERE embedding IS NOT NULL
 GROUP BY label, i
 """,
 )
@@ -196,6 +199,7 @@ WITH absmax AS (
          list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
                      (a, b) -> greatest(a, b)) AS m
   FROM embeddings
+  WHERE embedding IS NOT NULL
 )
 SELECT vec_id, label,
        m AS absmax,
@@ -217,16 +221,22 @@ FROM (
 @declare("embedding_int8_quantize", oracle=_QUANT_SQL)
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absmax int8 quantization of every embedding: per-vector scale
-    127/max|v|, an md5 digest of the int codes, and their L1 mass\n    (arrays are digested because the hash gate compares scalars). A 100 TB embedding corpus
-    stores/ships 4× less for ANN candidate generation (exact rerank
-    reads the float originals for the shortlist only).
+    127/max|v|, an md5 digest of the int codes, and their L1 mass
+    (arrays are digested because the hash gate compares scalars). A
+    100 TB embedding corpus stores/ships 4× less for ANN candidate
+    generation (exact rerank reads the float originals for the
+    shortlist only).
 
     The max fold is order-safe (max is associative/commutative over
     actual element values) and every emitted float is one
     correctly-rounded op from exact inputs — bit-equal across engines.
+    NULL vectors are dropped (nothing to quantize; mirrored in the
+    oracle).
 
     Scale shape: pure map-side projection, zero shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     m = F.aggregate(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),

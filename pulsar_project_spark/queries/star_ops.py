@@ -127,10 +127,21 @@ def q_mergeable_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_halves[0].unionByName(pair_halves[1])
         .distinct()
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_users"))
+        # count the COLUMN, not the rows: a (type, NULL-user) pair
+        # survives the distinct, but COUNT DISTINCT user_id ignores
+        # NULLs in both engines — found by the NULL sweep
+        .agg(F.count("user_id").alias("n_users"))
     )
-    return merged.join(users, "event_type").select(
-        "event_type", "n_events", "first_us", "last_us", "n_users"
+    # null-safe equality: a NULL event_type is a legitimate group key
+    # (GROUP BY keeps it in both engines), but a plain join on the key
+    # drops it (NULL <> NULL) — the merge must preserve every group
+    merged_u = users.withColumnRenamed("event_type", "event_type_u")
+    return (
+        merged.join(
+            merged_u,
+            merged["event_type"].eqNullSafe(merged_u["event_type_u"]),
+        )
+        .select("event_type", "n_events", "first_us", "last_us", "n_users")
     )
 
 

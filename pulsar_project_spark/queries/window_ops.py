@@ -84,7 +84,8 @@ def q_winsorize_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECILE_SQL = """
 WITH ranked AS (
   SELECT event_type, value,
-         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value NULLS LAST, event_id) AS decile
   FROM events
 )
 SELECT event_type, decile,
@@ -109,7 +110,9 @@ def q_equidepth_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Exact per-key quantiles need the per-key sort; keys are
     processed independently so skew spreads across types."""
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     ranked = ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
     return ranked.groupBy("event_type", "decile").agg(
         F.count("*").alias("n"),
