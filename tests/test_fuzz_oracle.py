@@ -107,6 +107,26 @@ _PIPELINE_FUZZED = (
     "corpus_pipeline_e2e",
     "training_order_shuffle",
     "length_bucket_padding_stats",
+    # text scalar family
+    "clean_string_projection",
+    "truncate_display_200",
+    "filename_sanitize",
+    "title_extraction",
+    "marker_extraction",
+    # text analysis family
+    "lang_corpus_stats",
+    "langid_profile_scores",
+    "langid_confusion_matrix",
+    "lang_sampling_weights",
+    "bpe_token_counts",
+    "feature_hash_embeddings",
+    "simhash_fingerprints",
+    # multimodal family (payload = text bytes)
+    "multimodal_asset_catalog",
+    "image_decode_stub",
+    "byte_histogram_features",
+    "video_frame_sample_plan",
+    "audio_chunk_plan",
 )
 
 _long_doc_texts = st.lists(
@@ -178,6 +198,26 @@ _EVENTS_FUZZED = (
     "asof_last_purchase",
     "attribution_window_join",
     "conversion_funnel",
+    # args / coercion / json extraction family
+    "arg_whitelist_projection",
+    "arg_schema_casting",
+    "boolean_normalize",
+    "numeric_convertibility",
+    "json_props_extract",
+    "fenced_json_roundtrip",
+    "extension_lookup_default",
+    # state / rollup / distribution family
+    "microbatch_rollup",
+    "memory_state_snapshot",
+    "mergeable_state_rollup",
+    "snapshot_diff_counts",
+    "skew_key_census",
+    "winsorize_tail_counts",
+    "equidepth_deciles_by_type",
+    "user_value_trend",
+    "hash_stratified_sample",
+    "jsonl_roundtrip_counts",
+    "partitioned_prune_purchase_days",
 )
 
 
@@ -483,3 +523,41 @@ _NEARDUP_FUZZED = (
 )
 def test_neardup_family_matches_oracle_on_random_corpora(spark, texts):
     _assert_family_matches(spark, texts, _NEARDUP_FUZZED)
+
+
+# --- Hybrid retrieval: documents + embeddings with ALIGNED ids ---------------
+
+@given(data=st.tuples(_long_doc_texts, st.integers(0, 2**31 - 1)))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hybrid_rerank_matches_oracle_on_joint_corpora(spark, data):
+    """hybrid_bm25_cosine_rerank joins documents to embeddings on
+    doc_id = vec_id — fuzz both tables together, ids aligned, vectors
+    derived deterministically from the seed (dyadic rationals again, so
+    the cosine stage stays bit-exact)."""
+    import duckdb
+
+    texts, seed = data
+    sf_dir = _write_corpus(texts)
+    rows = [
+        (i % 10, [((seed >> (j % 31)) + i * 64 + j) % 1025 - 512
+                  for j in range(64)])
+        for i in range(len(texts))
+    ]
+    _write_embeddings(rows, sf_dir)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        name = "hybrid_bm25_cosine_rerank"
+        got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+        assert got == want, f"{name}:\n  spark:  {got}\n  oracle: {want}"
+    finally:
+        con.close()
