@@ -77,6 +77,64 @@ def mmr_select(pdf: pd.DataFrame, k: int, lam: float) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=["doc_id", "rel", "mmr_score", "rank"])
 
 
+MMR_Q_SCHEMA = StructType([
+    StructField("rank", IntegerType()),
+    StructField("doc_id", LongType()),
+    StructField("rel_q", LongType()),
+    StructField("mmr_q", LongType()),
+])
+
+
+def mmr_select_q(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Integer-exact MMR greedy, λ = 7/10: columns (doc_id, rel_q, qv)
+    where qv is the floor(v·1e6) BIGINT quantization and rel_q the
+    integer dot against the query vector. All arithmetic is int64 —
+    bitwise engine-independent — so unlike the float ``mmr_select``
+    this variant IS oracle-checkable: a DuckDB recursive CTE replays
+    the same greedy argmax exactly (queries/retrieval.py).
+
+    Scores: rank 1 picks argmax rel (emitted ×10 to share the λ-scaled
+    integer scale); rank n>1 picks argmax of ``7·rel − 3·max_{s∈S}
+    dot(c, s)``. Ties break (score desc, doc_id asc) — the engine-wide
+    top-k rule."""
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    rel = pdf["rel_q"].to_numpy(dtype=np.int64)
+    qv = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+    n = len(ids)
+    k = min(k, n)
+    sims = qv @ qv.T  # pairwise integer dots; |v_i| ≤ 1e6·√dim ⇒ fits int64
+    remaining = np.ones(n, dtype=bool)
+    selected: list[int] = []
+    rows = []
+    for rank in range(1, k + 1):
+        if selected:
+            max_sim = sims[:, selected].max(axis=1)
+            score = 7 * rel - 3 * max_sim
+        else:
+            score = 10 * rel
+        best = min(
+            (i for i in range(n) if remaining[i]),
+            key=lambda i: (-int(score[i]), int(ids[i])),
+        )
+        rows.append((rank, int(ids[best]), int(rel[best]), int(score[best])))
+        remaining[best] = False
+        selected.append(best)
+    return pd.DataFrame(rows, columns=["rank", "doc_id", "rel_q", "mmr_q"])
+
+
+def mmr_rerank_q(cands: DataFrame, k: int = 5) -> DataFrame:
+    """Integer-exact MMR over a candidate DataFrame (doc_id, rel_q, qv).
+    Same single-Arrow-batch execution shape as ``mmr_rerank``."""
+    def apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return mmr_select_q(pdf.sort_values("doc_id", kind="stable"), k)
+
+    return (
+        cands.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(apply, schema=MMR_Q_SCHEMA)
+    )
+
+
 def mmr_rerank(cands: DataFrame, k: int = 10, lam: float = 0.7) -> DataFrame:
     """Rerank a candidate DataFrame (doc_id, rel, embedding) with MMR.
     The whole candidate set is one group (it is small by construction —

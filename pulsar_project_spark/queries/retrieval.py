@@ -237,3 +237,85 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
     return mmr_rerank(with_vec, k=10, lam=0.7)
+
+
+_QDOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+_MMR_Q_SQL = f"""
+WITH RECURSIVE
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+qry AS (SELECT qv AS query_qv FROM q WHERE vec_id = 0),
+cand AS (
+  SELECT q.vec_id AS doc_id, q.qv,
+         {_QDOT.format(a='q.qv', b='qry.query_qv')} AS rel_q
+  FROM q, qry WHERE q.vec_id <> 0
+  ORDER BY rel_q DESC, doc_id ASC LIMIT 20
+),
+sims AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         {_QDOT.format(a='a.qv', b='b.qv')} AS s
+  FROM cand a, cand b WHERE a.doc_id <> b.doc_id
+),
+pick(rank, doc_id, rel_q, mmr_q, sel) AS (
+  SELECT 1, doc_id, rel_q, 10 * rel_q, [doc_id]
+  FROM (SELECT * FROM cand ORDER BY rel_q DESC, doc_id ASC LIMIT 1)
+  UNION ALL
+  SELECT p.rank + 1, nxt.doc_id, nxt.rel_q, nxt.score, list_append(p.sel, nxt.doc_id)
+  FROM pick p, LATERAL (
+    SELECT c.doc_id, c.rel_q,
+           7 * c.rel_q - 3 * (SELECT max(s.s) FROM sims s
+                              WHERE s.a_id = c.doc_id
+                                AND list_contains(p.sel, s.b_id)) AS score
+    FROM cand c WHERE NOT list_contains(p.sel, c.doc_id)
+    ORDER BY score DESC, c.doc_id ASC LIMIT 1
+  ) nxt
+  WHERE p.rank < 5
+)
+SELECT rank, doc_id, rel_q, mmr_q FROM pick
+"""
+
+
+@declare("mmr_rerank_exact", oracle=_MMR_Q_SQL)
+def q_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact MMR (λ=7/10, k=5) over the top-20 candidates of
+    query vec_id=0 by quantized-dot relevance — the oracle-checkable
+    twin of ``mmr_diverse_topk``. The float MMR's greedy argmax can't
+    be hash-compared across engines (normalization order differs at
+    the last bit); this variant runs the SAME greedy loop in int64
+    (operators/mmr.py ``mmr_select_q``) and the oracle replays it as a
+    DuckDB recursive CTE — so the driver verdict covers the MMR
+    algorithm shape, not just its candidate stage.
+
+    Scale shape: candidate generation is a 1-row broadcast dot + top-k
+    (TakeOrderedAndProject); the greedy loop is one 20-row Arrow batch
+    on one executor — identical to the production float path."""
+    from pulsar_project_spark.operators.kmeans import _quantize
+    from pulsar_project_spark.operators.mmr import mmr_rerank_q
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = _quantize(emb, "vec_id", "embedding")
+    qry = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("query_qv"))
+    rel = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qry))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "qv",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("query_qv"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("rel_q"),
+        )
+    )
+    cands = rel.orderBy(F.desc("rel_q"), F.asc("doc_id")).limit(20)
+    return mmr_rerank_q(cands, k=5)

@@ -155,6 +155,51 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k_clusters=8, iters=2, nprobe=3)
 
 
+_IVF_CELL_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label, qv AS qc
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT q.vec_id, cent.label,
+         list_reduce(list_transform(generate_series(1, 64),
+           i -> (q.qv[i] - cent.qc[i]) * (q.qv[i] - cent.qc[i])), (x, y) -> x + y) AS sq_dist
+  FROM q, cent
+)
+SELECT vec_id, label, sq_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist ASC, label ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@declare("ivf_cell_assignment", oracle=_IVF_CELL_SQL)
+def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell assignment with DETERMINISTIC fixed
+    centroids (the k=8 lowest-vec_id vectors — kmeans' init, zero Lloyd
+    rounds): every vector → its nearest centroid by integer-quantized
+    sq-distance, ties to the lower label. This is the SQL-expressible
+    core of ``ivf_cosine_topk`` (the cell relation IS the partition-
+    pruning axis at 100 TB), split out so the IVF family gets a
+    hash-level oracle verdict, not just recall tests.
+
+    Scale shape: one 8-row centroid broadcast, one narrow scan, one
+    per-vector window argmin — no shuffle of the big side beyond the
+    window's hash partitioning on vec_id."""
+    from pulsar_project_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    assign, _ = kmeans_fit(emb, k=8, iters=1)
+    return assign
+
+
 @declare("kmeans_clusters")
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized Lloyd's k-means (operators/kmeans.py): iterative, so no

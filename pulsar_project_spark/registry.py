@@ -36,48 +36,63 @@ def declare(name: str, oracle: str | None = None):
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries. Module import order alone proved fragile (appending a query
 # to a core module silently displaces later core entries), so the core
-# set is pinned BY NAME. Round 3 ROTATES the budget: the 50 round-2
-# entries are all proven driver-green (CORRECTNESS_r02.json, 50/50,
-# rows+schema+hash), so this round's slots go to the highest-value
-# queries that have never been inside a driver budget window —
-# BM25/hybrid retrieval, the dedup/similarity family, corpus-pipeline,
-# star/relational analytics — keeping ``simple_rag_topk`` as the slot-1
-# canary. tests/test_registry_order.py regression-gates this list.
+# set is pinned BY NAME. Round 4 rotation closes the LAST certification
+# gap: after rounds 1-3 (45 ∪ 50 ∪ 50 distinct = 104 driver-green),
+# exactly 18 oracle-backed queries have never been inside a driver
+# budget window — they take slots 2-19. Slots 20-21 are the NEW
+# deterministic oracle twins of the rows-only ANN family (IVF cell
+# assignment, integer-exact MMR). The remaining slots re-certify every
+# r1/r2-green query whose module changed after its last driver verdict
+# (the round-3 NULL-handling + fuzz fixes: commits e0da201/b6f93ac
+# touched events_state, args, extraction, multimodal, text-analysis,
+# timeseries, window, catalog, retrieval), plus asof/sessionization as
+# streaming-twin anchors. ``simple_rag_topk`` stays the slot-1 canary.
+# tests/test_registry_order.py regression-gates this list.
+NEVER_CHECKED_R4: tuple[str, ...] = (
+    "udtf_json_path_stats", "user_session_stats", "user_event_gap_stats",
+    "salted_segment_event_counts", "skew_key_census",
+    "snapshot_diff_counts", "mergeable_state_rollup",
+    "partitioned_prune_purchase_days", "nation_revenue_share",
+    "cumulative_new_users_by_day", "debounce_events_1s",
+    "equidepth_deciles_by_type", "langid_confusion_matrix",
+    "lang_sampling_weights", "winsorize_tail_counts",
+    "training_order_shuffle", "hash_stratified_sample",
+    "length_bucket_padding_stats",
+)
+
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1+r2 — if THIS flips, the harness broke
+    # canary: flagship, green r1+r2+r3 — if THIS flips, the harness broke
     "simple_rag_topk",
-    # retrieval + similarity search (never driver-checked)
-    "bm25_scores", "bm25_topk", "hybrid_bm25_cosine_rerank",
-    "knn_cosine_topk", "srp_lsh_buckets", "srp_near_pairs",
-    "label_centroid_qsums", "embedding_int8_quantize",
-    # dedup family (re-certs after the r2 shingle rewrite + never-checked)
-    "exact_dedup_fingerprint", "ngram_jaccard_pairs",
-    "minhash_lsh_bands", "minhash_candidate_pairs",
-    "rolling_fingerprint", "neardup_components",
-    "cluster_best_representative",
-    # corpus / training-data pipeline (never driver-checked)
-    "contamination_ngram_overlap", "vocab_min_max_df",
-    "split_assignment_counts", "quality_filter_audit",
-    "token_cooccurrence_top20", "repetition_top_bigram",
-    "sequence_packing_bins", "props_digit_redaction",
-    "doc_chunks_overlapping", "chunk_exact_dedup", "corpus_pipeline_e2e",
-    # star / relational analytics (never driver-checked)
-    "star_revenue_region_segment_month", "revenue_rollup_region_nation",
-    "cube_orders_status_priority", "grouping_sets_region_priority",
-    "unpivot_event_matrix", "pivot_event_type_by_day",
-    "except_click_days_no_purchase", "intersect_click_and_purchase_days",
-    "fuzzy_part_name_pairs", "value_histogram_by_type",
-    "parts_no_bulk_order", "orders_above_priority_mean",
-    "late_shipment_priority_counts", "big_order_customers",
-    "customer_order_count_distribution", "orders_above_customer_avg",
-    "except_all_click_days", "fact_fact_smj_rollup",
-    # timeseries / labels / io tails (never driver-checked; forward_fill
-    # rewritten this round — wants a fresh verdict)
-    "forward_fill_user_values", "daily_revenue_7d_ma",
-    "label_fact_urljoin", "jsonl_roundtrip_counts",
-    # native strict-JSON path census (NEW r3 — the fast twin of
-    # udtf_json_path_stats)
-    "json_path_stats_native",
+    # the final 18 oracle-backed queries with no driver verdict yet
+    *NEVER_CHECKED_R4,
+    # NEW r4: deterministic oracle twins for the rows-only ANN ops
+    "ivf_cell_assignment", "mmr_rerank_exact",
+    # re-certs: r2-green, module changed by the r3 NULL/fuzz fixes
+    # (events_state.py: NULLS LAST eviction, json_valid guards)
+    "keep_last_n_per_user", "latest_event_per_user", "evict_min_per_type",
+    "microbatch_rollup", "memory_state_snapshot", "json_props_extract",
+    # (args_ops.py / extraction.py: json_valid + try_cast guards)
+    "arg_whitelist_projection", "arg_schema_casting",
+    "fenced_json_roundtrip",
+    # (multimodal_ops.py: NULL-payload boundary drop — r1 verdicts)
+    "multimodal_asset_catalog", "image_decode_stub",
+    "byte_histogram_features", "video_frame_sample_plan",
+    "audio_chunk_plan",
+    # (text_analysis: NULL text as empty doc)
+    "langid_profile_scores", "quality_scores",
+    "feature_hash_embeddings", "bpe_token_counts",
+    # (timeseries_ops.py: gap-fill cartesian → sequence() rewrite)
+    "daily_user_series_gapfilled", "user_value_trend",
+    "median_order_cents_by_priority",
+    # (window_ops.py: NULLS LAST decile pinning)
+    "user_value_ranks",
+    # (operators/catalog.py changed)
+    "tool_catalog_last_wins", "tool_routing_first_match",
+    "extension_lookup_default", "kv_lookup_miss_message",
+    # (queries/retrieval.py: zero-norm cosine fix)
+    "keyword_score_scan",
+    # streaming-twin anchors for the twin-pairing certification
+    "asof_last_purchase", "sessionization",
 )
 
 
