@@ -38,12 +38,15 @@ def _sq_dist(a, b):
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
-               id_col: str = "vec_id", vec_col: str = "embedding"
-               ) -> tuple[DataFrame, DataFrame]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               require_k: bool = True) -> tuple[DataFrame, DataFrame]:
     """Lloyd rounds returning BOTH the assignment ``(vec_id, label,
     sq_dist)`` and the final quantized centroids ``(label, qc
     ARRAY<BIGINT>)`` — the coarse quantizer IVF search probes against.
-    Init: centroids = the first k vectors by id (deterministic, no RNG)."""
+    Init: centroids = the first k vectors by id (deterministic, no RNG).
+    ``require_k=False`` degrades to min(k, n) centroids on a tiny input
+    instead of raising — the oracle-checked cell-assignment query needs
+    that (its SQL ``LIMIT k`` naturally takes fewer rows)."""
     q = _quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
     # First k BY ORDER (TakeOrderedAndProject), not `id < k`: sparse or
     # offset id spaces would silently yield < k centroids under a filter.
@@ -53,7 +56,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
         (F.row_number().over(w0) - 1).cast("int").alias("label"),
         F.col("qv").alias("qc"),
     ).localCheckpoint(eager=True)
-    if cent.count() < k:
+    if require_k and cent.count() < k:
         raise ValueError(
             f"kmeans_fit: need at least k={k} input vectors, "
             f"got {cent.count()}"

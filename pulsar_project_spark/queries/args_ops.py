@@ -18,14 +18,21 @@ from pulsar_project_spark.sources.tables import load_events
 # the op's declared input schema: key → type (memory.py:155-165 shape)
 _SCHEMA_KEYS = ("k", "verbose")
 
-# json_valid guard: DuckDB's json_extract_string ERRORS on malformed
-# JSON where Spark's get_json_object returns NULL — the guard (NULL j →
-# NULL extractions, no error) gives the oracle Spark's semantics on
-# dirty props. Found by the NULL/malformed-input sweep.
-_ARGS_SQL = (
+# json_valid guards: DuckDB's json_extract_string ERRORS on malformed
+# JSON where Spark's get_json_object returns NULL — the guards (NULL j →
+# NULL extractions, no error) give the oracle Spark's semantics on
+# dirty props. Found by the NULL/malformed-input sweep. The OUTER guard
+# matters too: a non-numeric k (props '{"k": "abc"}') splices an
+# unquoted token into the constructed args string, making j ITSELF
+# malformed — Spark's from_json/get_json_object then yield NULL, so the
+# oracle NULLs out any j that isn't valid JSON before extracting.
+_ARGS_RAW_SQL = (
     """'{"k": ' || CASE WHEN json_valid(props) """
     """THEN json_extract_string(props, '$.k') END || """
     """', "verbose": true, "debug": "on"}'"""
+)
+_ARGS_SQL = (
+    f"CASE WHEN json_valid({_ARGS_RAW_SQL}) THEN {_ARGS_RAW_SQL} END"
 )
 
 

@@ -211,16 +211,19 @@ def q_memory_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN json_valid(props)
-            THEN CAST(json_extract_string(props, '$.k') AS INT)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
        END AS k_val
 FROM events
 """,
 )
 def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy JSON payload parse (the reference parses JSON payloads on
-    demand, utils.py:134-163) — ``get_json_object`` stays JVM-side."""
+    demand, utils.py:134-163) — ``get_json_object`` stays JVM-side.
+    try_cast, not cast: valid JSON with a non-numeric ``k`` (e.g.
+    ``{"k": "abc"}``) must yield NULL, not fail the whole query under
+    ANSI mode (DuckDB's plain CAST errors the same way)."""
     ev = load_events(spark, sf_dir)
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
     )

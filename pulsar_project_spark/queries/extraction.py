@@ -53,7 +53,7 @@ SELECT event_id,
             WHEN try_cast(json_extract_string(payload, '$.finished') AS DOUBLE) = 1.0 THEN true
             WHEN try_cast(json_extract_string(payload, '$.finished') AS DOUBLE) = 0.0 THEN false
             ELSE NULL END AS finished,
-       CAST(json_extract_string(payload, '$.payload.k') AS INT) AS k_val
+       TRY_CAST(json_extract_string(payload, '$.payload.k') AS INT) AS k_val
 FROM extracted
 """,
 )
@@ -81,5 +81,6 @@ def q_fenced_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("payload", "$.think").alias("think"),
         to_boolean(F.get_json_object("payload", "$.finished")).alias("finished"),
-        F.get_json_object("payload", "$.payload.k").cast("int").alias("k_val"),
+        # try_cast: a non-numeric k is dirty data, not a query failure
+        F.get_json_object("payload", "$.payload.k").try_cast("int").alias("k_val"),
     )

@@ -61,6 +61,12 @@ GROUP BY 1
 # MORE permissive on dirty data — JSON5 grammar, and a '$error' row for
 # the unparseable remainder — so on non-strict corpora only the native
 # twin matches this oracle; the driver corpus is strict-valid.)
+#
+# Assumes UNIQUE top-level keys as well as flat ones: on a duplicate
+# key ('{"k":1,"k":2}') Spark's from_json map keeps one last-wins entry
+# while DuckDB's json_keys unnests BOTH occurrences, so n/min/max would
+# diverge. Valid by construction for the events corpus (props is
+# object-serialized); dup-key JSON belongs to the UDTF twin's turf.
 
 
 @declare("json_path_stats_native", oracle=_PATHS_SQL)

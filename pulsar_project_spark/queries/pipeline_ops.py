@@ -536,7 +536,7 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Length-bucket padding-waste census --------------------------------------
 
 _PADDING_SQL = """
-SELECT n_chars // 256 AS bucket,
+SELECT CAST(n_chars // 256 AS BIGINT) AS bucket,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        max(n_chars) AS max_chars,
@@ -554,14 +554,20 @@ def q_length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     pad-to-longest-in-batch collator would waste per bucket — the
     number that motivates length-bucketed batching (and the
     ``sequence_packing_bins`` operator) in the first place. All-integer
-    arithmetic → bit-exact across engines.
+    arithmetic → bit-exact across engines. The bucket uses FLOOR
+    division on both sides (Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors toward -inf, so a corrupt negative n_chars
+    would otherwise land in different buckets per engine — the corpus
+    contract additionally pins n_chars >= 0).
 
     Scale shape: single scan → one low-cardinality grouped agg with
     map-side partials; ``sum``/``max``/``count`` are mergeable, so this
     is the canonical 100 TB-safe shape (no row ever leaves its
     partition unaggregated)."""
     docs = load_table(spark, sf_dir, "documents")
-    cents = F.expr("n_chars div 256").alias("bucket")
+    # floor(), not `div`: floor division matches DuckDB `//` on
+    # negatives; n_chars < 2^53 so the double division is exact
+    cents = F.floor(F.col("n_chars") / F.lit(256)).alias("bucket")
     grouped = docs.groupBy(cents).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),

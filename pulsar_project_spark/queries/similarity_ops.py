@@ -196,7 +196,9 @@ def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    assign, _ = kmeans_fit(emb, k=8, iters=1)
+    # require_k=False: a tiny corpus yields min(8, n) centroids, exactly
+    # like the oracle's LIMIT 8
+    assign, _ = kmeans_fit(emb, k=8, iters=1, require_k=False)
     return assign
 
 

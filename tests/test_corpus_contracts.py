@@ -11,7 +11,11 @@ scale factor:
   (every temporal window orders by it; the NULL-ordering pins in this
   repo cover VALUE columns, not time itself);
 * ``events.event_type``/``documents.lang`` may be null-bearing in the
-  wild (the NULL-input gate covers that); ids may not.
+  wild (the NULL-input gate covers that); ids may not;
+* ``documents.n_chars`` is non-null and non-negative — the padding
+  census buckets by floor(n_chars/256) on both engines, and a negative
+  length is corrupt data (both sides now floor identically, but the
+  contract keeps the invariant visible).
 
 If a future corpus generation breaks one of these, this test names the
 broken contract instead of letting a hash mismatch surface it.
@@ -41,5 +45,10 @@ def test_ids_are_keys_and_ts_is_total(sf_dir):
             "WHERE ts IS NULL"
         ).fetchone()[0]
         assert null_ts == 0, f"{sf_dir}: events.ts carries NULLs"
+        bad_len = con.execute(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE n_chars IS NULL OR n_chars < 0"
+        ).fetchone()[0]
+        assert bad_len == 0, f"{sf_dir}: documents.n_chars null/negative"
     finally:
         con.close()

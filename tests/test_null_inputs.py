@@ -57,19 +57,23 @@ def null_sf_dir() -> str:
         "source": pa.array(["s1"] * 8, pa.string()),
         "n_chars": pa.array([17, None, 15, None, 11, None, 0, 3], pa.int64()),
     }), f"{d}/documents.parquet")
+    # row 10 carries VALID JSON with a non-numeric k — '{"k": "abc"}'
+    # must yield NULL via try_cast on both engines, not fail the query
+    # (ADVICE r3: the fuzz corpus only ever generated integer k)
     pq.write_table(pa.table({
-        "event_id": pa.array(range(10), pa.int64()),
-        "ts": pa.array([_BASE_US + i * 1_000_000 for i in range(10)],
+        "event_id": pa.array(range(11), pa.int64()),
+        "ts": pa.array([_BASE_US + i * 1_000_000 for i in range(11)],
                        pa.timestamp("us")),
-        "user_id": pa.array([1, 2, 1, None, 2, 1, 2, 1, 2, 1], pa.int64()),
+        "user_id": pa.array([1, 2, 1, None, 2, 1, 2, 1, 2, 1, 2],
+                            pa.int64()),
         "event_type": pa.array(["view", "click", "purchase", "view", None,
-                                "click", "purchase", "view", "click", "view"],
-                               pa.string()),
+                                "click", "purchase", "view", "click", "view",
+                                "click"], pa.string()),
         "value": pa.array([1.0, 2.5, None, 4.0, 5.0, None, 7.25, 8.0, 9.0,
-                           10.0], pa.float64()),
+                           10.0, 2.0], pa.float64()),
         "props": pa.array(['{"k": 1}', None, '{"k": 3}', 'not json',
                            '{"k": 5}', None, '{"k": 7}', '{}', '{"k": 9}',
-                           '{"k": 10}'], pa.string()),
+                           '{"k": 10}', '{"k": "abc"}'], pa.string()),
     }), f"{d}/events.parquet")
     pq.write_table(pa.table({
         "vec_id": pa.array(range(4), pa.int64()),
