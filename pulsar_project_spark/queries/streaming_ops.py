@@ -75,9 +75,10 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("streaming_stream_stream_join")
 def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join (clicks → purchases within
-    30 min): state-store-bounded on both sides. Batch twin:
-    attribution_window_join (oracle-checked); test asserts parity."""
-    return run_stream_stream_join(spark, sf_dir)
+    1 hour — the SAME lookback as the oracle-checked batch twin
+    ``attribution_window_join``, so the twin-pairing test can assert
+    exact per-purchase parity): state-store-bounded on both sides."""
+    return run_stream_stream_join(spark, sf_dir, horizon_minutes=60)
 
 
 @declare("mq_pipeline_roundtrip")
