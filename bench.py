@@ -100,6 +100,18 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Steady-state mode (opt-in): one untimed preflight pass over every
+    # query before the timed loop. tools/bench_order_probe.py measured a
+    # 1.5-2x first-run penalty (query-family codegen/JIT) that lands on
+    # whichever queries sit EARLY in registry order — rotating the
+    # registry between rounds therefore shows spurious per-query
+    # "regressions" (BENCH_NOTES.md). Preflight removes the position
+    # artifact at the cost of ~2x bench wall time; default-off so the
+    # driver's recorded numbers keep their historical semantics.
+    if os.environ.get("SPARK_GRAFT_BENCH_STEADY"):
+        for name, fn in e.queries().items():
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.perf_counter()

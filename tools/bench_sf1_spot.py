@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""One-decade scaling spot bench (VERDICT r3 ask #5).
+
+Times the 15 most expensive declared queries (by the round-3 bench) at
+sf0.1 AND at the 10x-derived sf1.0 corpus (tools/make_sf1_derived.py)
+in one warmed session, and reports the per-query scaling ratio. A
+scan-bound query should land near 10x; anything super-linear needs a
+reason (the near-dup family's is documented: the derived corpus is ten
+near-identical copies of every doc, so its candidate-pair graph is
+deliberately worst-case dense, not 10x of independent docs).
+
+Writes BENCH_sf1_spot.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+TOP15 = (
+    "streaming_debounce", "neardup_components",
+    "revenue_rollup_region_nation", "udtf_json_path_stats",
+    "cluster_best_representative", "streaming_stream_stream_join",
+    "token_cooccurrence_top20", "mq_pipeline_roundtrip",
+    "ngram_jaccard_pairs", "bm25_scores", "streaming_exact_dedup",
+    "streaming_topic_frequencies", "hybrid_bm25_cosine_rerank",
+    "mmr_diverse_topk", "kv_lookup_miss_message",
+)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SF1_DERIVED_DIR", "/tmp/sf1_derived")
+
+
+def _warm_payloads(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+    for tbl, expr in (("documents", F.max(F.length("text"))),
+                      ("events", F.max(F.length("props"))),
+                      ("embeddings", F.max(F.size("embedding")))):
+        (load_table(spark, sf_dir, tbl).select(expr.alias("m"))
+         .write.format("noop").mode("overwrite").save())
+
+
+def _time_set(queries, spark, sf_dir):
+    out = {}
+    for name in TOP15:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pulsar_project_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("bench-sf1-spot", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = e.queries()
+
+    _warm_payloads(spark, SF01)
+    # one untimed full pass at sf0.1 warms every codegen/worker path the
+    # 15 queries touch, so BOTH timed passes run in a hot session
+    _time_set(queries, spark, SF01)
+    t_sf01 = _time_set(queries, spark, SF01)
+
+    _warm_payloads(spark, SF1)
+    t_sf1 = _time_set(queries, spark, SF1)
+
+    ratios = {n: (round(t_sf1[n] / t_sf01[n], 2) if t_sf01[n] > 0 else None)
+              for n in TOP15}
+    result = {
+        "sf01_sec": t_sf01,
+        "sf1_sec": t_sf1,
+        "ratio_10x_data": ratios,
+        "sf01_total": round(sum(t_sf01.values()), 2),
+        "sf1_total": round(sum(t_sf1.values()), 2),
+        "note": ("sf1 corpus derived by tools/make_sf1_derived.py: facts "
+                 "x10 with id offsets, dims unchanged; near-dup queries "
+                 "see a worst-case-dense duplicate graph by construction"),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_sf1_spot.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"sf01_total": result["sf01_total"],
+                      "sf1_total": result["sf1_total"],
+                      "ratio": ratios}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
