@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     "kv_lookup_miss_message",   # 5-row probe side
     "kmeans_clusters",          # crossJoin(broadcast(k=8 centroids)) — Lloyd's
     "ivf_cosine_topk",          # same centroid crossJoin inside kmeans_fit
+    "ivf_cell_assignment",      # same k=8 centroid broadcast (iters=1 fit)
+    "mmr_rerank_exact",         # 1-row query-vector broadcast crossJoin
     "bm25_scores",              # 1-row corpus-constants broadcast crossJoin
     "bm25_topk",                # same
     "vocab_min_max_df",         # 1-row corpus-count broadcast crossJoin
