@@ -163,7 +163,12 @@ _events_strategy = st.lists(
         st.integers(0, 3 * 86_400),             # ts offset seconds from epoch day
         st.sampled_from(_EVENT_TYPES),
         st.integers(0, 50_000),                 # value in exact cents
-        st.integers(0, 99),                     # props payload k
+        # props payload k: numeric OR a non-numeric string (ADVICE r3:
+        # integer-only k left the try_cast/dirty-JSON paths unfuzzed —
+        # string k also makes the args fixtures splice MALFORMED
+        # constructed JSON, exercising the json_valid outer guards)
+        st.one_of(st.integers(0, 99),
+                  st.sampled_from(["abc", "12x", "", "7.5.3"])),
     ),
     min_size=1,
     max_size=60,
@@ -236,7 +241,8 @@ def _write_events(rows) -> str:
             [cents / 100.0 for (_, _, _, cents, _) in rows], pa.float64()
         ),
         "props": pa.array(
-            ['{"k": %d}' % k for (_, _, _, _, k) in rows], pa.string()
+            ['{"k": %d}' % k if isinstance(k, int) else '{"k": "%s"}' % k
+             for (_, _, _, _, k) in rows], pa.string()
         ),
     })
     pq.write_table(tbl, f"{sf_dir}/events.parquet")
