@@ -286,3 +286,118 @@ def rolling_fingerprint(tokens: Column) -> Column:
         lambda acc, t: (acc * 31 + portable_hash(t)) % ROLLING_P,
     )
     return F.when(F.size(tokens) > 0, folded).otherwise(F.lit(0).cast("bigint"))
+
+
+def incremental_dedup(incoming: DataFrame, historical: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Classify an INCOMING shard against a HISTORICAL fingerprint store
+    — the daily-ingest shape of exact dedup at 100 TB, where the corpus
+    is append-only and re-fingerprinting the whole archive per batch is
+    off the table. Verdict per incoming doc:
+
+    * ``dup_historical`` — fingerprint already in the store (wins over
+      any intra-batch duplication: the archived copy is the keeper);
+    * ``dup_internal`` — new to the store but not first-seen (min id)
+      within the batch;
+    * ``new`` — first-seen, becomes the store's keeper.
+
+    Scale shape: the store side carries ONE distinct md5 column (32
+    bytes/doc — ~3 TB of store per 100 G docs), the classify join is a
+    plain equi hash join on the fingerprint, and the intra-batch
+    first-seen is a window over the same shuffle key, so AQE can plan
+    both off one exchange. A bloom-filter prefilter on the store is the
+    production add-on when the batch is tiny relative to the archive."""
+    from pyspark.sql.window import Window
+
+    inc = incoming.withColumn("fingerprint", fingerprint_md5(text_col))
+    hist = (
+        historical.select(fingerprint_md5(text_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("__in_store", F.lit(1))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        inc.withColumn("rn", F.row_number().over(w))
+        .join(hist, "fingerprint", "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("__in_store").isNotNull(), "dup_historical")
+            .when(F.col("rn") > 1, "dup_internal")
+            .otherwise("new"),
+        )
+        .drop("__in_store", "rn")
+    )
+
+
+MAX_LEV_BLOCK = 1_000  # blocking guard: a (lang, size-bin) block larger
+# than this is non-discriminative and would expand quadratically — the
+# cap is declared in the oracle SQL too, part of the semantics.
+
+
+def blocked_levenshtein_pairs(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              block_cols: tuple[str, ...] = ("lang",),
+                              size_col: str | None = "n_chars",
+                              size_bin: int = 64, probe_len: int = 80,
+                              threshold: int = 20,
+                              max_block: int = MAX_LEV_BLOCK) -> DataFrame:
+    """Near-dup confirm #3 (after Jaccard and MinHash): bounded edit
+    distance on a normalized prefix probe, candidate pairs from
+    BLOCKING on (block_cols..., size_col div size_bin) — the classic
+    blocking+verify record-linkage shape. Docs differing in the block
+    key can't be confirmed pairs by construction (an edit-distance-close
+    pair has close lengths, so only adjacent-bin misses occur — accepted
+    recall trade, same as LSH banding).
+
+    Scale shape: pair generation is a codegen'd EQUI SELF-JOIN on the
+    block key (a block of b docs streams b²/2 pairs through whole-stage
+    codegen — measured 4× faster here than collect_list + interpreted
+    HOF pair expansion, whose parallelism is capped at the block count),
+    and the O(probe_len²) DP runs JVM-side via
+    ``levenshtein(l, r, threshold)`` — the bounded variant bails out at
+    ``threshold``, turning the DP O(len·threshold). Blocks over
+    ``max_block`` docs are dropped via a window count on the same
+    shuffle key (declared, mirrored in oracles)."""
+    from pyspark.sql.window import Window
+
+    bin_expr = (
+        [F.expr(f"{size_col} div {size_bin}").alias("__szbin")]
+        if size_col else []
+    )
+    keys = [*block_cols] + (["__szbin"] if size_col else [])
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        *bin_expr,
+        F.substring(clean_string(text_col), 1, probe_len).alias("__probe"),
+    ).withColumn(
+        "__bn", F.count("*").over(Window.partitionBy(*keys))
+    ).filter(F.col("__bn") <= max_block).drop("__bn")
+    # The DP is the cost center (~30µs/pair bounded; the threshold
+    # filter pushes into the join residual, so it executes WITH pair
+    # generation). Parallelism therefore equals the join's task count —
+    # and a broadcast join inherits the LEFT side's partitioning, which
+    # for one parquet file is ONE task. Hash the left side across the
+    # cluster by id first (any distribution works under a broadcast
+    # right side; per-task DP work is then uniform in docs, not in
+    # block² sizes). Left to AQE the tiny byte size would coalesce back
+    # to one partition, so the count is pinned to core count. If the
+    # planner instead picks a shuffle join (big inputs at real scale),
+    # this exchange is simply replaced by the join's own — with AQE
+    # skew-split handling oversized blocks.
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_cpu, id_col).alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.levenshtein(F.col("a.__probe"), F.col("b.__probe"),
+                      threshold).alias("lev"),
+    )
+    # bounded levenshtein returns -1 when the distance exceeds threshold
+    return pairs.filter(F.col("lev") >= 0)

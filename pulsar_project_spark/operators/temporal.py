@@ -76,6 +76,57 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     )
 
 
+def interval_join_bucketed(intervals: DataFrame, points: DataFrame,
+                           start: str, end: str, ts: str,
+                           bucket_us: int) -> DataFrame:
+    """KEYLESS interval containment join — match every point row whose
+    ``ts`` falls in ``[start, end]`` of every interval row — rewritten
+    as a hash equi-join on a coarse time bucket.
+
+    The naive form (``ON p.ts BETWEEN i.start AND i.end`` with no
+    equality conjunct) gives Catalyst nothing to hash on, so it plans a
+    BroadcastNestedLoopJoin — O(|points| × |intervals|) comparisons,
+    the plan-audit-banned shape that dies first at 100 TB. Instead:
+
+    * each interval EXPLODES to the buckets it overlaps
+      (``sequence(start div B, end div B)`` — ``ceil(len/B)+1`` rows,
+      a constant ≤ 2 when ``B >= end - start``);
+    * each point lands in exactly ONE bucket (``ts div B``), so no
+      match can duplicate and no post-join dedup is needed;
+    * the join is a plain equi hash join on the BIGINT bucket with the
+      containment predicate as a residual filter — broadcastable when
+      the interval side is small, shuffle-partitionable when it isn't,
+      and AQE-skewable either way.
+
+    LEFT join from the interval side: intervals with no points survive
+    (every exploded bucket row misses → NULL point columns; COUNT over
+    point columns ignores them), so callers can aggregate per interval
+    and see true zeros. Caller contract: ``start``/``end``/``ts`` are
+    non-negative BIGINTs (epoch micros) — ``div`` truncation equals
+    floor there, matching the oracle's ``//``."""
+    iv = intervals.withColumn(
+        "__bucket",
+        # greatest(start, 0): a window reaching left of the epoch keeps
+        # its true (negative) start for the residual predicate, but the
+        # bucket walk starts at 0 — no point can sit in a negative
+        # bucket, and clamping keeps `div` truncation == floor.
+        F.explode(F.sequence(F.expr(f"greatest({start}, 0) div {bucket_us}"),
+                             F.expr(f"{end} div {bucket_us}"))),
+    )
+    pt = points.withColumn("__bucket", F.expr(f"{ts} div {bucket_us}"))
+    joined = iv.alias("i").join(
+        pt.alias("p"),
+        (F.col("i.__bucket") == F.col("p.__bucket"))
+        & (F.col(f"p.{ts}") >= F.col(f"i.{start}"))
+        & (F.col(f"p.{ts}") <= F.col(f"i.{end}")),
+        "left",
+    )
+    return joined.select(
+        *[F.col(f"i.{c}").alias(c) for c in intervals.columns],
+        *[F.col(f"p.{c}").alias(f"p_{c}") for c in points.columns],
+    )
+
+
 def range_attribution(left: DataFrame, right: DataFrame, key: str, ts: str,
                       lookback: int, agg_cols: list[Column]) -> DataFrame:
     """Per left row, aggregate right rows with

@@ -17,7 +17,9 @@ from pulsar_project_spark.operators.dedup import (
     MINHASH_NUM,
     MINHASH_P,
     MINHASH_ROWS,
+    blocked_levenshtein_pairs,
     exact_dedup,
+    incremental_dedup,
     minhash_bands,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -204,3 +206,80 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = token_table(docs)
     return toks.select("doc_id", rolling_fingerprint(F.col("tk")).alias("fingerprint"))
+
+
+@declare(
+    "incremental_dedup_counts",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), incoming AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id % 10 < 3
+), hist AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 >= 3
+)
+SELECT i.source,
+       CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_historical'
+            WHEN i.rn > 1 THEN 'dup_internal'
+            ELSE 'new' END AS verdict,
+       count(*) AS n_docs
+FROM incoming i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+GROUP BY i.source, verdict
+""",
+)
+def q_incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a 30% incoming shard (doc_id % 10 < 3 —
+    a deterministic stand-in for today's crawl batch) classified against
+    the remaining 70% as the historical fingerprint store; per
+    (source, verdict) census. The archived copy wins over intra-batch
+    first-seen (operators/dedup.py:incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 < 3).select(
+        "doc_id", "source", "text"
+    )
+    historical = docs.filter(F.col("doc_id") % 10 >= 3).select("text")
+    return (
+        incremental_dedup(incoming, historical)
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@declare(
+    "levenshtein_confirm_pairs",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars // 64 AS szbin,
+         substr(regexp_replace(lower(text), '[^\w\s]', '', 'g'), 1, 80) AS probe
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    AND lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+), qual AS (
+  SELECT lang, szbin FROM base GROUP BY lang, szbin HAVING count(*) <= 1000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.probe, b.probe) AS lev
+FROM base a
+JOIN base b ON a.lang = b.lang AND a.szbin = b.szbin AND a.doc_id < b.doc_id
+JOIN qual q ON a.lang = q.lang AND a.szbin = q.szbin
+WHERE levenshtein(a.probe, b.probe) <= 20
+""",
+)
+def q_levenshtein_confirm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking + edit-distance near-dup confirm: candidate pairs from
+    (lang, n_chars div 64) blocks, verified by BOUNDED levenshtein
+    (threshold 20) on an 80-char normalized prefix probe. One shuffle,
+    local pair expansion, JVM-side banded DP
+    (operators/dedup.py:blocked_levenshtein_pairs). Oracle: DuckDB's
+    unbounded levenshtein with the same threshold as a filter."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") >= 0)
+    )
+    return blocked_levenshtein_pairs(docs)

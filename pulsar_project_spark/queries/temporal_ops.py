@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pulsar_project_spark.operators.temporal import asof_join, range_attribution
+from pulsar_project_spark.operators.temporal import (
+    asof_join,
+    interval_join_bucketed,
+    range_attribution,
+)
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_events
 
@@ -90,4 +94,66 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("r.ts_us")).alias("n_clicks"),
             F.max(F.col("r.ts_us")).alias("last_click_ts_us"),
         ],
+    )
+
+
+_WINDOW_US = 1_800_000_000  # 30-minute containment window == bucket width
+
+
+@declare(
+    "interval_join_bucketed",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND epoch_us(ts) >= 0
+), anchors AS (
+  SELECT event_id AS anchor_event_id,
+         ts_us - {_WINDOW_US} AS start_us,
+         ts_us AS end_us
+  FROM ev
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  ORDER BY value DESC, event_id ASC LIMIT 20
+)
+SELECT a.anchor_event_id, a.start_us, a.end_us,
+       count(e.event_id) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM anchors a LEFT JOIN ev e
+  ON e.ts_us >= a.start_us AND e.ts_us <= a.end_us
+GROUP BY a.anchor_event_id, a.start_us, a.end_us
+""",
+)
+def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval containment join — all-stream activity inside the
+    30-minute window ending at each of the top-20 purchases by value.
+    No equality conjunct exists, so naive Spark plans a BNLJ; the
+    operator rewrites it as explode-to-buckets + hash equi-join on the
+    bucket with containment as residual (operators/temporal.py). Oracle:
+    DuckDB's native inequality join, same window."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("ts_us").isNotNull() & F.col("event_id").isNotNull()
+            & (F.col("ts_us") >= 0)
+        )
+        .select("event_id", "user_id", "ts_us", "event_type", "value")
+    )
+    anchors = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            F.col("event_id").alias("anchor_event_id"),
+            (F.col("ts_us") - _WINDOW_US).alias("start_us"),
+            F.col("ts_us").alias("end_us"),
+        )
+    )
+    points = ev.select("event_id", "user_id", "ts_us")
+    joined = interval_join_bucketed(
+        anchors, points, start="start_us", end="end_us", ts="ts_us",
+        bucket_us=_WINDOW_US,
+    )
+    return joined.groupBy("anchor_event_id", "start_us", "end_us").agg(
+        F.count("p_event_id").alias("n_events"),
+        F.countDistinct("p_user_id").alias("n_users"),
     )

@@ -287,3 +287,117 @@ def q_forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day",
         F.last("cents", ignorenulls=True).over(w_fill).alias("carried_cents"),
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@declare(
+    "ordered_funnel_stages",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_viewed,
+       (SELECT count(*) FROM s2) AS n_clicked_after_view,
+       (SELECT count(*) FROM s3) AS n_purchased_after_click
+""",
+)
+def q_ordered_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel — users whose first view precedes a
+    click that precedes a purchase (strict event-sequence semantics; the
+    unordered per-user counter funnel is ``conversion_funnel``). The
+    oracle walks stage CTEs with joins; the engine needs NO join at all:
+    three STACKED window minimums over the same (user) partition — t1 =
+    min view ts, t2 = min click ts > t1, t3 = min purchase ts > t2 —
+    chained selects reuse ONE shuffle+sort, then a global conditional
+    count. At 100 TB the funnel costs one exchange of (user, type, ts)
+    triples."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = t3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+@declare(
+    "cohort_retention_matrix",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND epoch_us(ts) >= 0
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY c.cohort_day, day_offset
+""",
+)
+def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-seen day, distinct
+    actives per (cohort_day, day_offset) cell. The oracle joins a cohort
+    CTE back to the stream; the engine computes cohort_day as a window
+    min over the SAME user partition the distinct-count shuffle needs —
+    no join, no second scan of the 100 TB stream."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("ts_us").isNotNull() & F.col("user_id").isNotNull()
+            & (F.col("ts_us") >= 0)
+        )
+        .select("user_id", F.expr(f"ts_us div {_DAY_US}").alias("day"))
+    )
+    w = Window.partitionBy("user_id")
+    withc = ev.withColumn("cohort_day", F.min("day").over(w))
+    return withc.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))

@@ -44,6 +44,10 @@ _REPRESENTATIVE = (
     "udtf_json_path_stats",             # Python UDTF on 0 rows
     "hash_stratified_sample",           # deterministic sampling
     "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
+    "interval_join_bucketed",           # keyless interval join, 0 anchors
+    "incremental_dedup_counts",         # incoming vs empty store
+    "levenshtein_confirm_pairs",        # blocking + bounded edit distance
+    "cohort_retention_matrix",          # window-min cohort on 0 users
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
