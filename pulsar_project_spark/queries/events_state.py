@@ -227,3 +227,41 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
     )
+
+
+@declare(
+    "latest_event_argmax",
+    oracle="""
+SELECT user_id, event_id, ts_us, event_type, value
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+)
+WHERE rn = 1
+""",
+)
+def q_latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``latest_event_per_user`` (argmax by (ts, id)
+    per user), DIFFERENT physical strategy: ONE grouped ``max`` over a
+    sortable struct instead of a window ``row_number``. The window form
+    must full-sort every user partition; the struct-max form is a plain
+    aggregate — map-side partial combine shrinks the shuffle to one row
+    per (input partition, user) and nothing ever sorts. At 100 TB this
+    is the shape to prefer whenever only the argmax row (not a rank) is
+    needed. Declared separately so both strategies stay oracle-pinned.
+    Unknown-time/-id rows are excluded up front: a NULL can't be
+    "latest", and the filter keeps struct comparison NULL-free."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts_us").isNotNull() & F.col("event_id").isNotNull()
+    )
+    m = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("m")
+    )
+    return m.select(
+        "user_id", F.col("m.event_id").alias("event_id"),
+        F.col("m.ts_us").alias("ts_us"),
+        F.col("m.event_type").alias("event_type"),
+        F.col("m.value").alias("value"),
+    )

@@ -113,3 +113,79 @@ def q_partitioned_prune_purchase_days(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+_CSV_SCHEMA = _JSONL_SCHEMA  # same integer/string-only projection
+
+_CSV_RT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("csv_roundtrip_counts", oracle=_CSV_RT_SQL)
+def q_csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write CSV → read CSV roundtrip with an explicit schema — the
+    landing-zone format after JSONL (utils.py persistence surface,
+    generalized). CSV's classic loss modes are pinned shut: floats are
+    projected to integer cents BEFORE the write (no float-repr
+    freedom), and NULL vs empty-string is disambiguated with an
+    explicit nullValue sentinel on BOTH write and read (the default ""
+    conflates them). The aggregate over the roundtripped rows must
+    hash-match the oracle's aggregate over the ORIGINAL parquet."""
+    tmp = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "events_csv")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    ev.write.mode("overwrite").option("header", True) \
+        .option("nullValue", "\\N").csv(tmp)
+    back = (
+        spark.read.schema(_CSV_SCHEMA).option("header", True)
+        .option("nullValue", "\\N").csv(tmp)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("total_cents"),
+        F.min("ts_us").alias("first_us"),
+    )
+
+
+_ORC_RT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("orc_roundtrip_counts", oracle=_ORC_RT_SQL)
+def q_orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write ORC → read ORC roundtrip — the second columnar warehouse
+    format beside parquet. ORC is typed and self-describing, so unlike
+    the text formats no sentinel games are needed; the query proves the
+    full write/read path (compression, stripes, schema) preserves every
+    row and value against the parquet-sourced oracle, and the read-back
+    filter pushdown works the same as parquet's."""
+    tmp = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "events_orc")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    ev.write.mode("overwrite").orc(tmp)
+    back = spark.read.schema(_JSONL_SCHEMA).orc(tmp)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )

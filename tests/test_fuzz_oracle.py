@@ -177,6 +177,7 @@ _events_strategy = st.lists(
 _EVENTS_FUZZED = (
     "keep_last_n_per_user",
     "latest_event_per_user",
+    "latest_event_argmax",
     "evict_min_per_type",
     "group_count_by_type",
     "per_user_activity",
@@ -222,7 +223,13 @@ _EVENTS_FUZZED = (
     "user_value_trend",
     "hash_stratified_sample",
     "jsonl_roundtrip_counts",
+    "csv_roundtrip_counts",
+    "orc_roundtrip_counts",
     "partitioned_prune_purchase_days",
+    # round-4 additions: ordered funnel / cohort / keyless interval join
+    "ordered_funnel_stages",
+    "cohort_retention_matrix",
+    "interval_join_bucketed",
 )
 
 
@@ -513,6 +520,8 @@ def test_embedding_family_matches_oracle_on_random_vectors(spark, rows):
 
 _NEARDUP_FUZZED = (
     "ngram_jaccard_pairs",
+    "incremental_dedup_counts",
+    "levenshtein_confirm_pairs",
     "minhash_lsh_bands",
     "minhash_candidate_pairs",
     "rolling_fingerprint",
