@@ -127,8 +127,12 @@ def main() -> None:
     # Full per-query map goes to a file; the stdout line stays compact
     # (driver round 1 recorded "parsed": null — the 86-entry map
     # overflowed its line capture) with just the slowest 10.
+    detail_name = (
+        "bench_detail_steady.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_STEADY") else "bench_detail.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -145,7 +149,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
-        "detail": "bench_detail.json",
+        "detail": detail_name,
     }, separators=(",", ":"))
     print(line, flush=True)
 
