@@ -401,3 +401,80 @@ def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withc.groupBy(
         "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
     ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+# Query pattern for the series-similarity scan: a one-week "ramp up,
+# ramp down" purchase shape in exact cents, matched against each user's
+# daily purchase-cents series over one fixed calendar week of the
+# corpus (days 19723+10 .. +16 = 2024-01-11 .. 2024-01-17).
+_PATTERN_CENTS = (500, 1500, 3000, 5000, 3000, 1500, 500)
+_WEEK_START_DAY = 19733
+
+
+@declare(
+    "series_pattern_distance_topk",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) // {_DAY_US} - {_WEEK_START_DAY} AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+), wk AS (
+  SELECT user_id,
+         {", ".join(
+             f"CAST(coalesce(sum(CASE WHEN d = {i} THEN cents END), 0) AS BIGINT) AS v{i}"
+             for i in range(7))}
+  FROM ev WHERE d BETWEEN 0 AND 6
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST({" + ".join(
+           f"(v{i} - {p}) * (v{i} - {p})"
+           for i, p in enumerate(_PATTERN_CENTS))} AS BIGINT) AS sq_dist
+FROM wk
+ORDER BY sq_dist ASC, user_id ASC
+LIMIT 20
+""",
+)
+def q_series_pattern_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search against a fixed query pattern:
+    each user's one-week daily purchase-cents series, distance =
+    squared euclidean to the pattern in EXACT BIGINT (cents in, integer
+    squares out — no float drift), top-20 closest with a total-order
+    tiebreak. The weekly series materializes via SEVEN conditional sums
+    in ONE groupBy (no gap-fill explode, no pivot shuffle, no window):
+    a linear scan with map-side partials — the same plan answers "which
+    users look like this load shape" at any corpus size. Users with no
+    purchase that week simply have no series (matching the oracle);
+    zeros fill only MISSING DAYS of active users."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts_us").isNotNull() & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            (F.expr(f"ts_us div {_DAY_US}") - _WEEK_START_DAY).alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("d").between(0, 6))
+    )
+    wk = ev.groupBy("user_id").agg(*[
+        F.coalesce(
+            F.sum(F.when(F.col("d") == i, F.col("cents"))), F.lit(0)
+        ).cast("bigint").alias(f"v{i}")
+        for i in range(7)
+    ])
+    dist = None
+    for i, p in enumerate(_PATTERN_CENTS):
+        term = (F.col(f"v{i}") - p) * (F.col(f"v{i}") - p)
+        dist = term if dist is None else dist + term
+    return (
+        wk.select("user_id", dist.cast("bigint").alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col("user_id").asc())
+        .limit(20)
+    )

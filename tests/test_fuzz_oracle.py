@@ -160,7 +160,8 @@ _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 _events_strategy = st.lists(
     st.tuples(
         st.integers(0, 5),                      # user_id — tiny → collisions
-        st.integers(0, 3 * 86_400),             # ts offset seconds from epoch day
+        st.integers(0, 18 * 86_400),            # ts offset seconds from epoch day
+        # (18 days reaches the series-similarity week at day offset 10-16)
         st.sampled_from(_EVENT_TYPES),
         st.integers(0, 50_000),                 # value in exact cents
         # props payload k: numeric OR a non-numeric string (ADVICE r3:
@@ -178,6 +179,7 @@ _EVENTS_FUZZED = (
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",
+    "series_pattern_distance_topk",
     "evict_min_per_type",
     "group_count_by_type",
     "per_user_activity",
