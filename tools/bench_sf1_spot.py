@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """One-decade scaling spot bench (VERDICT r3 ask #5).
 
-Times the 15 most expensive declared queries (by the round-3 bench) at
+Times the 15 most expensive declared queries (by the round-3 bench),
+plus the round-4 session additions, at
 sf0.1 AND at the 10x-derived sf1.0 corpus (tools/make_sf1_derived.py)
 in one warmed session, and reports the per-query scaling ratio. A
 scan-bound query should land near 10x; anything super-linear needs a
@@ -27,6 +28,12 @@ TOP15 = (
     "ngram_jaccard_pairs", "bm25_scores", "streaming_exact_dedup",
     "streaming_topic_frequencies", "hybrid_bm25_cosine_rerank",
     "mmr_diverse_topk", "kv_lookup_miss_message",
+    # round-4 session additions: scaling evidence for the new operators
+    "interval_join_bucketed", "incremental_dedup_counts",
+    "levenshtein_confirm_pairs", "ordered_funnel_stages",
+    "cohort_retention_matrix", "csv_roundtrip_counts",
+    "orc_roundtrip_counts", "latest_event_argmax",
+    "series_pattern_distance_topk",
 )
 
 SF01 = "/root/testdata/sf0.1"
