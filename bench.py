@@ -16,6 +16,11 @@ import sys
 import time
 
 
+# "0"/"false"/"" all mean OFF — a raw truthiness test would flip
+# SPARK_GRAFT_BENCH_STEADY=0 into steady mode.
+_STEADY = os.environ.get("SPARK_GRAFT_BENCH_STEADY", "").lower() not in ("", "0", "false")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -108,7 +113,7 @@ def main() -> None:
     # "regressions" (BENCH_NOTES.md). Preflight removes the position
     # artifact at the cost of ~2x bench wall time; default-off so the
     # driver's recorded numbers keep their historical semantics.
-    if os.environ.get("SPARK_GRAFT_BENCH_STEADY"):
+    if _STEADY:
         for name, fn in e.queries().items():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -128,8 +133,7 @@ def main() -> None:
     # (driver round 1 recorded "parsed": null — the 86-entry map
     # overflowed its line capture) with just the slowest 10.
     detail_name = (
-        "bench_detail_steady.json"
-        if os.environ.get("SPARK_GRAFT_BENCH_STEADY") else "bench_detail.json"
+        "bench_detail_steady.json" if _STEADY else "bench_detail.json"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name

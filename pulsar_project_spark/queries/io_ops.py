@@ -24,13 +24,36 @@ from pyspark.sql.types import (
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_events
 
-_JSONL_SCHEMA = StructType([
+_RT_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("ts_us", LongType()),
     StructField("value_cents", LongType()),
 ])
+
+def _rt_path(kind: str) -> str:
+    """Per-process SCRATCH path for a roundtrip query. Deliberately NOT a
+    fresh mkdtemp per invocation: the returned DataFrame reads the files
+    LAZILY (the driver/bench executes it after this function returns), so
+    the directory cannot be deleted here — and repeated invocations
+    (bench loops, fuzz examples, steady preflights) would otherwise
+    accumulate one corpus copy each until /tmp fills. A fixed path +
+    mode("overwrite") bounds the footprint at one copy per format per
+    process."""
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{os.getpid()}", kind
+    )
+
+
+def _events_int_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared integer/string-only roundtrip record (see module
+    docstring): floats leave the plan as exact cents BEFORE any write."""
+    return load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+
 
 _ROUNDTRIP_SQL = """
 SELECT event_type,
@@ -57,13 +80,10 @@ def q_jsonl_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials. In production the JSON side is the landing zone and the
     parquet side the warehouse — this query is the ingestion-parity
     audit between them."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "events_jsonl")
-    ev = load_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts_us",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
-    )
+    tmp = _rt_path("events_jsonl")
+    ev = _events_int_projection(spark, sf_dir)
     ev.write.mode("overwrite").json(tmp)
-    back = spark.read.schema(_JSONL_SCHEMA).json(tmp)
+    back = spark.read.schema(_RT_SCHEMA).json(tmp)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
@@ -96,7 +116,7 @@ def q_partitioned_prune_purchase_days(spark: SparkSession, sf_dir: str) -> DataF
     Scale shape: the write is one pass (static partitionBy — in
     production this is the table's standing layout, not per-query
     work); the pruned read scans 1/5 of the data; one grouped count."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="part_ev_"), "by_type")
+    tmp = _rt_path("events_by_type")
     ev = load_events(spark, sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     # explicit schema: a zero-row source writes a partitioned dataset
@@ -114,8 +134,6 @@ def q_partitioned_prune_purchase_days(spark: SparkSession, sf_dir: str) -> DataF
         F.count_distinct("user_id").alias("n_users"),
     )
 
-
-_CSV_SCHEMA = _JSONL_SCHEMA  # same integer/string-only projection
 
 _CSV_RT_SQL = """
 SELECT event_type,
@@ -138,15 +156,12 @@ def q_csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit nullValue sentinel on BOTH write and read (the default ""
     conflates them). The aggregate over the roundtripped rows must
     hash-match the oracle's aggregate over the ORIGINAL parquet."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "events_csv")
-    ev = load_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts_us",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
-    )
+    tmp = _rt_path("events_csv")
+    ev = _events_int_projection(spark, sf_dir)
     ev.write.mode("overwrite").option("header", True) \
         .option("nullValue", "\\N").csv(tmp)
     back = (
-        spark.read.schema(_CSV_SCHEMA).option("header", True)
+        spark.read.schema(_RT_SCHEMA).option("header", True)
         .option("nullValue", "\\N").csv(tmp)
     )
     return back.groupBy("event_type").agg(
@@ -176,13 +191,10 @@ def q_orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     full write/read path (compression, stripes, schema) preserves every
     row and value against the parquet-sourced oracle, and the read-back
     filter pushdown works the same as parquet's."""
-    tmp = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "events_orc")
-    ev = load_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts_us",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
-    )
+    tmp = _rt_path("events_orc")
+    ev = _events_int_projection(spark, sf_dir)
     ev.write.mode("overwrite").orc(tmp)
-    back = spark.read.schema(_JSONL_SCHEMA).orc(tmp)
+    back = spark.read.schema(_RT_SCHEMA).orc(tmp)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("total_cents"),

@@ -152,7 +152,7 @@ def test_pipeline_family_matches_oracle_on_random_corpora(spark, texts):
 # user-id and type alphabets force the interesting collisions (ties on
 # (ts, event_id) tiebreaks, single-event sessions, users with one day of
 # activity), and value is generated in exact cents so DECIMAL/microsecond
-# integer oracles stay bit-exact. ts spans ~3 days of 2024 at second granularity
+# integer oracles stay bit-exact. ts spans 18 days of 2024 at second granularity
 # so day-bucket and gap logic both cross boundaries.
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

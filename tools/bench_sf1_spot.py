@@ -20,7 +20,7 @@ import os
 import sys
 import time
 
-TOP15 = (
+TOP15 = (  # the round-3 top-15 (kept intact so sf01/sf1 totals stay comparable)
     "streaming_debounce", "neardup_components",
     "revenue_rollup_region_nation", "udtf_json_path_stats",
     "cluster_best_representative", "streaming_stream_stream_join",
@@ -28,13 +28,18 @@ TOP15 = (
     "ngram_jaccard_pairs", "bm25_scores", "streaming_exact_dedup",
     "streaming_topic_frequencies", "hybrid_bm25_cosine_rerank",
     "mmr_diverse_topk", "kv_lookup_miss_message",
-    # round-4 session additions: scaling evidence for the new operators
+)
+
+# round-4 session additions: scaling evidence for the new operators
+ROUND4_ADDITIONS = (
     "interval_join_bucketed", "incremental_dedup_counts",
     "levenshtein_confirm_pairs", "ordered_funnel_stages",
     "cohort_retention_matrix", "csv_roundtrip_counts",
     "orc_roundtrip_counts", "latest_event_argmax",
     "series_pattern_distance_topk",
 )
+
+SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SF1_DERIVED_DIR", "/tmp/sf1_derived")
@@ -56,7 +61,7 @@ def _warm_payloads(spark, sf_dir):
 
 def _time_set(queries, spark, sf_dir):
     out = {}
-    for name in TOP15:
+    for name in SPOT_QUERIES:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
@@ -83,7 +88,7 @@ def main() -> None:
     t_sf1 = _time_set(queries, spark, SF1)
 
     ratios = {n: (round(t_sf1[n] / t_sf01[n], 2) if t_sf01[n] > 0 else None)
-              for n in TOP15}
+              for n in SPOT_QUERIES}
     result = {
         "sf01_sec": t_sf01,
         "sf1_sec": t_sf1,
