@@ -201,3 +201,103 @@ def q_orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+_EVOLUTION_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+       CAST(sum(CASE WHEN event_id % 2 = 1
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS total_cents
+FROM events
+WHERE event_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@declare("schema_evolution_union_counts", oracle=_EVOLUTION_SQL)
+def q_schema_evolution_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the standing reality of
+    a 100 TB landing zone, where yesterday's files lack the column added
+    today. Batch A (even event_id) is written WITHOUT the value column;
+    batch B (odd) carries ``value_cents``. The read unifies both with
+    ``mergeSchema`` — A's rows surface a NULL ``value_cents`` — and the
+    aggregate proves no row or value is lost or fabricated across the
+    schema seam. The oracle replays the same split rule on the original
+    events, so any merge artifact (dropped batch, misaligned column,
+    default-filled value) breaks the hash."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    old_batch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type",
+    )
+    new_batch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    base = _rt_path("events_evolution")
+    old_batch.write.mode("overwrite").parquet(os.path.join(base, "batch_a"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(base, "batch_b"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch_a"), os.path.join(base, "batch_b")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value_cents").isNotNull(), 1).otherwise(0))
+         .alias("n_with_value"),
+        F.sum(F.coalesce(F.col("value_cents"), F.lit(0))).alias("total_cents"),
+    )
+
+
+_CORRUPT_SQL = """
+SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt
+FROM events
+WHERE event_id IS NOT NULL
+GROUP BY 1
+"""
+
+
+@declare("corrupt_json_lines_census", oracle=_CORRUPT_SQL)
+def q_corrupt_json_lines_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSON ingestion: every 7th event is
+    serialized as a deliberately TRUNCATED JSON line; the read runs
+    PERMISSIVE with ``_corrupt_record``, so bad lines surface as rows
+    (type NULL, corrupt column set) instead of failing the 100 TB job
+    or silently vanishing. The census groups good rows by type and
+    counts corrupt ones; the oracle replays the corruption rule on the
+    original events — a reader that dropped or double-counted bad lines
+    hash-mismatches."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id"),
+                     F.lit(', "event_type": ')),  # truncated mid-value
+        ).otherwise(
+            F.to_json(F.struct("event_id", "event_type"))
+        ).alias("value")
+    )
+    tmp = _rt_path("events_corrupt_jsonl")
+    lines.write.mode("overwrite").text(tmp)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+         .alias("n_corrupt"),
+    )

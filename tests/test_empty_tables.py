@@ -48,6 +48,8 @@ _REPRESENTATIVE = (
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance
     "cohort_retention_matrix",          # window-min cohort on 0 users
+    "schema_evolution_union_counts",    # mergeSchema over 0-row batches
+    "corrupt_json_lines_census",        # PERMISSIVE read of 0 lines
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -49,6 +49,15 @@ _doc_texts = st.lists(
 _FUZZED = ("simple_rag_topk", "keyword_score_scan", "bm25_scores", "bm25_topk")
 
 
+def _rowkey(rows):
+    """NULL-safe order-insensitive compare key: raw-tuple sorting raises
+    TypeError the moment a query legitimately emits NULL next to strings
+    in the same column (e.g. the corrupt-line census's NULL group); the
+    repr of each cell keeps exact values while staying totally ordered.
+    Same convention as tests/test_null_inputs.py."""
+    return sorted(tuple(repr(x) for x in r) for r in rows)
+
+
 def _write_corpus(texts: list[str]) -> str:
     sf_dir = tempfile.mkdtemp(prefix="fuzz_sf_")
     tbl = pa.table({
@@ -73,8 +82,8 @@ def _assert_family_matches(spark, texts: list[str], names: tuple[str, ...]):
     )
     try:
         for name in names:
-            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
-            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+            want = _rowkey(con.execute(ORACLES[name]).fetchall())
             assert got == want, (
                 f"{name} diverged on corpus {texts!r}:\n"
                 f"  spark:  {got}\n  oracle: {want}"
@@ -226,6 +235,8 @@ _EVENTS_FUZZED = (
     "hash_stratified_sample",
     "jsonl_roundtrip_counts",
     "csv_roundtrip_counts",
+    "schema_evolution_union_counts",
+    "corrupt_json_lines_census",
     "orc_roundtrip_counts",
     "partitioned_prune_purchase_days",
     # round-4 additions: ordered funnel / cohort / keyless interval join
@@ -275,8 +286,8 @@ def test_events_family_matches_oracle_on_random_streams(spark, rows):
     )
     try:
         for name in _EVENTS_FUZZED:
-            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
-            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+            want = _rowkey(con.execute(ORACLES[name]).fetchall())
             assert got == want, (
                 f"{name} diverged on events {rows!r}:\n"
                 f"  spark:  {got}\n  oracle: {want}"
@@ -434,8 +445,8 @@ def test_star_family_matches_oracle_on_random_warehouses(spark, w):
         )
     try:
         for name in _STAR_FUZZED:
-            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
-            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+            want = _rowkey(con.execute(ORACLES[name]).fetchall())
             assert got == want, (
                 f"{name} diverged on warehouse {w!r}:\n"
                 f"  spark:  {got}\n  oracle: {want}"
@@ -508,8 +519,8 @@ def test_embedding_family_matches_oracle_on_random_vectors(spark, rows):
     )
     try:
         for name in _EMBEDDING_FUZZED:
-            got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
-            want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+            got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+            want = _rowkey(con.execute(ORACLES[name]).fetchall())
             assert got == want, (
                 f"{name} diverged on vectors:\n"
                 f"  spark:  {got[:6]}\n  oracle: {want[:6]}"
@@ -578,8 +589,8 @@ def test_hybrid_rerank_matches_oracle_on_joint_corpora(spark, data):
         )
     try:
         name = "hybrid_bm25_cosine_rerank"
-        got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
-        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+        got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+        want = _rowkey(con.execute(ORACLES[name]).fetchall())
         assert got == want, f"{name}:\n  spark:  {got}\n  oracle: {want}"
     finally:
         con.close()
