@@ -9,8 +9,9 @@ Arrow-batched ``mapInPandas`` (one Python roundtrip per batch, zero
 driver involvement, embarrassingly parallel across partitions — the
 only sane shape for per-image work on a 1000-executor cluster).
 
-The image/audio codec libraries are not in this container, so the codec
-call itself is STUBBED: ``decode_image_meta`` ships a deterministic
+The image/video codec libraries are not in this container, so those
+codec calls are STUBBED (the AUDIO path is REAL — stdlib ``wave``
+encode/decode, see ``synthesize_wav``/``decode_wav_features`` below): ``decode_image_meta`` ships a deterministic
 fake decoder (byte-length-derived dimensions + md5 checksum) and the
 real-codec hook raises ``NotImplementedError`` behind an import-try.
 Everything AROUND the codec — schemas, binary handling, Arrow batch
@@ -201,3 +202,95 @@ def audio_chunk_plan(assets: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
           - F.col("chunk_start_ms")) * F.col("sample_rate") / 1000)
         .cast("bigint").alias("n_samples"),
     )
+
+
+# --- REAL audio codec path (stdlib `wave` — no external libs) ----------------
+#
+# The image/video codecs stay gated (no PIL/libav in the container), but
+# WAV is decodable with the standard library, so the audio modality runs
+# a REAL synthesize → encode → decode → feature-extract pipeline:
+# deterministic integer sawtooth PCM, packaged as actual RIFF/WAVE bytes
+# by `wave`, decoded back by `wave`, features in exact int64 — every
+# number SQL-replayable from the generation rule alone, so the oracle
+# transitively proves header handling, sample packing, and the decode.
+
+WAV_SR = 8_000  # mono 16-bit PCM
+
+WAV_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("sum_sq", LongType()),
+    StructField("peak", IntegerType()),
+])
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(freq_hz, amplitude, n_frames) — all derived from the id."""
+    return (
+        100 + doc_id % 40,
+        1_000 + (doc_id % 20) * 100,
+        800 + (doc_id % 8) * 100,
+    )
+
+
+def synthesize_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, wav BINARY): integer sawtooth PCM —
+    ``s_t = ((t·f) mod sr)·2A div sr − A`` — written as real WAV bytes
+    via the stdlib ``wave`` encoder inside Arrow-batched mapInPandas."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("wav", BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                f, a, n = _wav_params(int(doc_id))
+                t = np.arange(n, dtype=np.int64)
+                s = ((t * f) % WAV_SR) * 2 * a // WAV_SR - a
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SR)
+                    w.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "wav": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, out_schema)
+
+
+def decode_wav_features(wavs: DataFrame) -> DataFrame:
+    """REAL decode: parse the RIFF/WAVE header with stdlib ``wave``,
+    unpack int16 PCM via numpy, emit exact integer features (frame
+    count, energy as Σs², peak). Any header/packing bug upstream makes
+    the decode fail or the features drift off the closed form."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with _wave.open(io.BytesIO(payload), "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append((int(doc_id), sr, n,
+                             int((s * s).sum()), int(s.max())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_frames",
+                               "sum_sq", "peak"])
+
+    return wavs.mapInPandas(batches, WAV_FEATURES_SCHEMA)

@@ -16,7 +16,9 @@ from pulsar_project_spark.operators.multimodal import (
     audio_chunk_plan,
     byte_histogram,
     decode_image_meta,
+    decode_wav_features,
     frame_sample_plan,
+    synthesize_wav,
 )
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_table
@@ -132,3 +134,43 @@ def q_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-sample plan."""
     assets = as_assets(load_table(spark, sf_dir, "documents"))
     return audio_chunk_plan(assets, chunk_ms=5_000)
+
+
+@declare(
+    "wav_codec_roundtrip_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         100 + doc_id % 40 AS f,
+         1000 + (doc_id % 20) * 100 AS a,
+         800 + (doc_id % 8) * 100 AS n
+  FROM documents WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT d.doc_id,
+         ((t.t * d.f) % 8000) * 2 * d.a // 8000 - d.a AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS t) t
+)
+SELECT s.doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       count(*) AS n_frames,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(v) AS INTEGER) AS peak
+FROM s GROUP BY s.doc_id
+""",
+)
+def q_wav_codec_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end — the one modality the container can
+    decode with the standard library alone: per doc, an integer
+    sawtooth PCM signal is synthesized and packaged as genuine
+    RIFF/WAVE bytes (stdlib ``wave`` encoder), then DECODED back
+    (header parse + int16 frame unpack) and feature-extracted (frame
+    count, Σs² energy, peak) in exact int64 — all inside Arrow-batched
+    ``mapInPandas``. The oracle replays the closed-form generation rule
+    in SQL, so a wrong header, byte order, or sample packing anywhere
+    in the encode/decode path breaks the hash. Image/video codecs
+    remain gated stubs (no PIL/libav here); this query is the evidence
+    that the multimodal plumbing carries a real codec when one exists."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return decode_wav_features(synthesize_wav(docs))
