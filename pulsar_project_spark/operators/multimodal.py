@@ -294,3 +294,78 @@ def decode_wav_features(wavs: DataFrame) -> DataFrame:
                                "sum_sq", "peak"])
 
     return wavs.mapInPandas(batches, WAV_FEATURES_SCHEMA)
+
+
+# --- REAL image path: PGM (netpbm) — trivial header + raw bytes --------------
+#
+# No PIL needed: P5 PGM is a 3-token ASCII header followed by row-major
+# raw bytes, so synthesize → encode → decode → RESIZE runs for real.
+# The resize is 2×2 block averaging with floor division — exact integer
+# math the oracle replays pixel-by-pixel from the generation rule.
+
+PGM_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("n_px", LongType()),
+    StructField("sum_px", LongType()),
+    StructField("max_px", IntegerType()),
+])
+
+
+def _pgm_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) of the synthesized gradient image."""
+    return 32 + (doc_id % 4) * 16, 24 + (doc_id % 3) * 16
+
+
+def synthesize_pgm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pgm BINARY): deterministic gradient image
+    ``p(x, y) = (3x + 5y + id) mod 256`` encoded as genuine P5 PGM."""
+    import numpy as np
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("pgm", BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                w, h = _pgm_params(int(doc_id))
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)[:, None]
+                img = ((3 * x + 5 * y + int(doc_id)) % 256).astype(np.uint8)
+                payloads.append(b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "pgm": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, out_schema)
+
+
+def decode_pgm_resize_features(pgms: DataFrame) -> DataFrame:
+    """REAL decode + resize: parse the P5 header, reshape the raw bytes,
+    halve the image by 2×2 block averaging (floor), emit exact integer
+    features of the RESIZED image. A wrong header, stride, or rounding
+    anywhere diverges from the oracle's closed-form replay."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["pgm"]):
+                magic, dims, maxval, raw = payload.split(b"\n", 3)
+                assert magic == b"P5" and maxval == b"255", "not 8-bit P5"
+                w, h = (int(v) for v in dims.split())
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                img = img.astype(np.int64)
+                h2, w2 = h // 2, w // 2
+                blocks = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
+                resized = blocks.sum(axis=(1, 3)) // 4
+                rows.append((int(doc_id), w2, h2, int(resized.size),
+                             int(resized.sum()), int(resized.max())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_width", "out_height",
+                               "n_px", "sum_px", "max_px"])
+
+    return pgms.mapInPandas(batches, PGM_FEATURES_SCHEMA)

@@ -174,3 +174,53 @@ def q_wav_codec_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id").isNotNull()
     )
     return decode_wav_features(synthesize_wav(docs))
+
+
+@declare(
+    "pgm_resize_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         (32 + (doc_id % 4) * 16) // 2 AS w2,
+         (24 + (doc_id % 3) * 16) // 2 AS h2
+  FROM documents WHERE doc_id IS NOT NULL
+), g AS (
+  SELECT d.doc_id, d.w2, d.h2, x.x, y.y
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.w2 - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h2 - 1)) AS y) y
+), px AS (
+  SELECT doc_id, w2, h2,
+         (  (3 * (2 * x)     + 5 * (2 * y)     + doc_id) % 256
+          + (3 * (2 * x + 1) + 5 * (2 * y)     + doc_id) % 256
+          + (3 * (2 * x)     + 5 * (2 * y + 1) + doc_id) % 256
+          + (3 * (2 * x + 1) + 5 * (2 * y + 1) + doc_id) % 256) // 4 AS v
+  FROM g
+)
+SELECT doc_id,
+       CAST(w2 AS INTEGER) AS out_width,
+       CAST(h2 AS INTEGER) AS out_height,
+       count(*) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INTEGER) AS max_px
+FROM px GROUP BY doc_id, w2, h2
+""",
+)
+def q_pgm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + RESIZE — PGM needs no codec library (3-token
+    header + raw bytes), so the image modality runs an actual pipeline:
+    synthesize a deterministic gradient, encode as genuine P5 bytes,
+    decode (header parse + stride-correct reshape), halve by 2×2
+    block-average with floor division, and aggregate exact integer
+    features of the RESIZED image. The oracle replays the closed form
+    per pixel, so a wrong stride, header, or rounding breaks the hash.
+    Together with ``wav_codec_roundtrip_features`` this upgrades two of
+    the four modalities from stubbed to real codecs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    from pulsar_project_spark.operators.multimodal import (
+        decode_pgm_resize_features,
+        synthesize_pgm,
+    )
+    return decode_pgm_resize_features(synthesize_pgm(docs))

@@ -51,6 +51,7 @@ _REPRESENTATIVE = (
     "schema_evolution_union_counts",    # mergeSchema over 0-row batches
     "corrupt_json_lines_census",        # PERMISSIVE read of 0 lines
     "wav_codec_roundtrip_features",     # real codec on 0 assets
+    "pgm_resize_features",              # real image resize on 0 assets
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

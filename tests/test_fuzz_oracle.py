@@ -534,6 +534,7 @@ def test_embedding_family_matches_oracle_on_random_vectors(spark, rows):
 _NEARDUP_FUZZED = (
     "ngram_jaccard_pairs",
     "wav_codec_roundtrip_features",
+    "pgm_resize_features",
     "incremental_dedup_counts",
     "levenshtein_confirm_pairs",
     "minhash_lsh_bands",
