@@ -224,3 +224,45 @@ def q_pgm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_pgm,
     )
     return decode_pgm_resize_features(synthesize_pgm(docs))
+
+
+@declare(
+    "rawv_frame_sample_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 4 AS k
+  FROM documents WHERE doc_id IS NOT NULL
+), fr AS (
+  SELECT d.doc_id, f.f
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.k - 1, 2)) AS f) f
+), px AS (
+  SELECT fr.doc_id, fr.f,
+         (3 * x.x + 5 * y.y + 7 * fr.f + fr.doc_id) % 256 AS v
+  FROM fr,
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, 11)) AS y) y
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INTEGER) AS max_px
+FROM px GROUP BY doc_id, f
+""",
+)
+def q_rawv_frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: a synthesized multi-frame
+    raw clip (ASCII header + concatenated grayscale planes) is parsed
+    and every 2nd frame sliced out BY BYTE OFFSET — the skipped frames
+    are never materialized, which is the point of frame sampling at
+    100 TB — then feature-extracted in exact integers. The oracle
+    replays the generation rule per sampled pixel. With this, three of
+    the four modalities (audio, image, video-container) run real
+    byte-level pipelines; only compressed-codec decode (H.264 etc.)
+    remains a gated stub."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    from pulsar_project_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_raw_video,
+    )
+    return sample_video_frames(synthesize_raw_video(docs))

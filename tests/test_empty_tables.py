@@ -52,6 +52,7 @@ _REPRESENTATIVE = (
     "corrupt_json_lines_census",        # PERMISSIVE read of 0 lines
     "wav_codec_roundtrip_features",     # real codec on 0 assets
     "pgm_resize_features",              # real image resize on 0 assets
+    "rawv_frame_sample_features",       # container frame slice on 0 clips
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

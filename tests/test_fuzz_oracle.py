@@ -535,6 +535,7 @@ _NEARDUP_FUZZED = (
     "ngram_jaccard_pairs",
     "wav_codec_roundtrip_features",
     "pgm_resize_features",
+    "rawv_frame_sample_features",
     "incremental_dedup_counts",
     "levenshtein_confirm_pairs",
     "minhash_lsh_bands",
