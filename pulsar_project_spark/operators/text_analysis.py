@@ -165,3 +165,94 @@ def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
     )
+
+
+def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Learn a byte-pair-encoding merge table from the corpus — the REAL
+    iterative BPE trainer (Sennrich et al.), not a tokenizer heuristic.
+
+    Scale shape: the 100 TB corpus is touched ONCE — a word-frequency
+    groupBy — and every training iteration then runs on the VOCAB table
+    (thousands of rows, not billions): explode adjacent symbol pairs,
+    weight by word frequency, take the argmax pair (total-order
+    tiebreak: weight DESC, left ASC, right ASC) as a ONE-ROW DataFrame,
+    and apply the merge greedily left-to-right inside each word via one
+    array fold over a broadcast of that row — no ``collect``, nothing
+    ever reaches the driver (the package-wide invariant). The loop
+    mirrors the k-means pattern: ``localCheckpoint`` truncates lineage
+    per round.
+
+    Returns (rank BIGINT, left STRING, right STRING, merged STRING) —
+    rank 1 is the first-learned merge; fewer rows than ``n_merges``
+    when the vocab runs out of pairs. Deterministic by construction;
+    ``tests/test_bpe_merges.py`` pins it against an independent
+    pure-Python replica."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.functions.text import clean_string, tokenize
+
+    words = (
+        docs.select(F.explode(tokenize(clean_string(text_col))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    # word -> symbol array: characters, with an end-of-word marker </w>
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1,
+                            F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice(F.col("syms"), 2,
+                            F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p").agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("p.l").asc(),
+                     F.col("p.r").asc())
+            .limit(1)
+            .select(
+                F.col("p.l").alias("__l"), F.col("p.r").alias("__r"),
+                F.concat("p.l", "p.r").alias("__m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(best.select(
+            F.lit(rank).cast("bigint").alias("rank"),
+            F.col("__l").alias("left"), F.col("__r").alias("right"),
+            F.col("__m").alias("merged"),
+        ))
+        # greedy non-overlapping left-to-right merge inside each word;
+        # F.get is NULL-safe out of bounds (ANSI-proof on empty acc)
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.get(acc, F.size(acc) - 1) == F.col("__l"))
+                    & (s == F.col("__r")),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.col("__m"))),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    out = merge_rows[0]
+    for df in merge_rows[1:]:
+        out = out.unionByName(df)
+    return out

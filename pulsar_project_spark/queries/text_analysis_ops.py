@@ -168,3 +168,20 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@declare("bpe_learned_merges")
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE training (Sennrich merges) on the corpus — rows-only by
+    design: the merge table is the fixpoint of an 8-round iterative
+    argmax, not a SQL expression (same class as kmeans/IVF). The
+    independent pure-Python replica in ``tests/test_bpe_merges.py``
+    pins every (rank, left, right, merged) row exactly; the corpus scan
+    happens once, and each round runs on the vocab table only
+    (operators/text_analysis.py:learn_bpe_merges)."""
+    from pulsar_project_spark.operators.text_analysis import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return learn_bpe_merges(docs, n_merges=8)

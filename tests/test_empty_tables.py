@@ -53,6 +53,7 @@ _REPRESENTATIVE = (
     "wav_codec_roundtrip_features",     # real codec on 0 assets
     "pgm_resize_features",              # real image resize on 0 assets
     "rawv_frame_sample_features",       # container frame slice on 0 clips
+    "bpe_learned_merges",               # BPE training on an empty corpus
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

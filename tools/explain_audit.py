@@ -38,6 +38,7 @@ ALLOWED_NESTED_LOOP = {
     "mmr_diverse_topk",          # bm25 consts broadcast (candidate stage)
     "skew_key_census",           # 1-row total/keys broadcast crossJoin
     "forward_fill_user_values",  # 1-row global-max-day broadcast crossJoin (r3: the users×days grid is gone)
+    "bpe_learned_merges",        # 1-row argmax-pair broadcast crossJoin per training round
 }
 
 
