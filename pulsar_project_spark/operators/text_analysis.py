@@ -256,3 +256,57 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
     for df in merge_rows[1:]:
         out = out.unionByName(df)
     return out
+
+
+def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """APPLY the learned BPE merge table: encode every word by folding
+    the ranked merges (outer fold) over its symbol array (inner greedy
+    fold — the same left-to-right pass as training), then census the
+    result per doc: word count, total BPE tokens, compression vs
+    character count. The ranked merge table rides in as ONE broadcast
+    array row — training output never touches the driver, and encoding
+    is a single nested higher-order fold per word, no UDF."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.functions.text import clean_string, tokenize
+
+    merges = learn_bpe_merges(docs, n_merges, id_col, text_col)
+    merge_arr = merges.orderBy("rank").agg(
+        F.collect_list(F.struct("left", "right", "merged")).alias("__ms")
+    )
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(clean_string(text_col))).alias("w"),
+    ).withColumn(
+        "syms",
+        F.concat(F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+                 F.array(F.lit("</w>"))),
+    )
+
+    def apply_one(syms, m):
+        return F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.get(acc, F.size(acc) - 1) == m["left"])
+                & (s == m["right"]),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(m["merged"])),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    encoded = words.crossJoin(F.broadcast(merge_arr)).select(
+        id_col,
+        F.length("w").alias("n_chars"),
+        F.size(F.aggregate(
+            "__ms", F.col("syms"), lambda acc, m: apply_one(acc, m)
+        )).alias("n_tokens"),
+    )
+    return encoded.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        (F.sum("n_chars") + F.count("*")).cast("bigint").alias("n_symbols_pre"),
+    )

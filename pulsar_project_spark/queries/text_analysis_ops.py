@@ -185,3 +185,21 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return learn_bpe_merges(docs, n_merges=8)
+
+
+@declare("bpe_encode_token_census")
+def q_bpe_encode_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→APPLY BPE end to end: the 8 learned merges encode every
+    word via one nested higher-order fold (outer: ranked merges;
+    inner: the same greedy left-to-right pass as training), and the
+    per-doc census reports words, BPE tokens, and pre-merge symbol
+    count (chars + one </w> per word). Rows-only by design (depends on
+    the iteratively learned table); the pure-Python replica in
+    ``tests/test_bpe_merges.py`` pins the full train→encode→census
+    chain exactly."""
+    from pulsar_project_spark.operators.text_analysis import bpe_encode_census
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return bpe_encode_census(docs, n_merges=8)

@@ -67,3 +67,43 @@ def test_spark_bpe_matches_pure_python_replica(spark, texts):
     )
     want = sorted(_replica(texts, 6))
     assert got == want
+
+
+def _replica_encode_census(texts: list[str], n_merges: int):
+    merges = _replica(texts, n_merges)
+    census = {}
+    for i, t in enumerate(texts):
+        cleaned = re.sub(r"[^\w\s]", "", t.lower())
+        ws = [w for w in cleaned.split() if w]
+        if not ws:
+            continue
+        n_tokens = 0
+        n_symbols_pre = 0
+        for w in ws:
+            syms = list(w) + ["</w>"]
+            n_symbols_pre += len(syms)
+            for _rank, l, r, merged in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                syms = out
+            n_tokens += len(syms)
+        census[i] = (len(ws), n_tokens, n_symbols_pre)
+    return census
+
+
+@pytest.mark.parametrize("texts", _CORPORA)
+def test_spark_bpe_encode_census_matches_replica(spark, texts):
+    from pulsar_project_spark.operators.text_analysis import bpe_encode_census
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_symbols_pre"])
+        for r in bpe_encode_census(docs, n_merges=6).collect()
+    }
+    assert got == _replica_encode_census(texts, 6)

@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP = {
     "skew_key_census",           # 1-row total/keys broadcast crossJoin
     "forward_fill_user_values",  # 1-row global-max-day broadcast crossJoin (r3: the users×days grid is gone)
     "bpe_learned_merges",        # 1-row argmax-pair broadcast crossJoin per training round
+    "bpe_encode_token_census",   # 1-row ranked-merge-array broadcast crossJoin
 }
 
 
