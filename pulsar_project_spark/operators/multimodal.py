@@ -265,7 +265,12 @@ def synthesize_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "wav": payloads})
 
-    return docs.select(id_col).mapInPandas(batches, out_schema)
+    # Python synthesis/decode is CPU-bound and must not inherit the
+    # scan's file-granular layout (one file -> one task): pin the
+    # stage's parallelism to core count (repo-wide principle, README).
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select(id_col).repartition(n_cpu, id_col)
+            .mapInPandas(batches, out_schema))
 
 
 def decode_wav_features(wavs: DataFrame) -> DataFrame:
@@ -340,7 +345,12 @@ def synthesize_pgm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "pgm": payloads})
 
-    return docs.select(id_col).mapInPandas(batches, out_schema)
+    # Python synthesis/decode is CPU-bound and must not inherit the
+    # scan's file-granular layout (one file -> one task): pin the
+    # stage's parallelism to core count (repo-wide principle, README).
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select(id_col).repartition(n_cpu, id_col)
+            .mapInPandas(batches, out_schema))
 
 
 def decode_pgm_resize_features(pgms: DataFrame) -> DataFrame:
@@ -422,7 +432,12 @@ def synthesize_raw_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "clip": payloads})
 
-    return docs.select(id_col).mapInPandas(batches, out_schema)
+    # Python synthesis/decode is CPU-bound and must not inherit the
+    # scan's file-granular layout (one file -> one task): pin the
+    # stage's parallelism to core count (repo-wide principle, README).
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select(id_col).repartition(n_cpu, id_col)
+            .mapInPandas(batches, out_schema))
 
 
 def sample_video_frames(clips: DataFrame, every: int = 2) -> DataFrame:
