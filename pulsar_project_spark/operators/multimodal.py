@@ -127,8 +127,12 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
                 "dec_height": (n_bytes % 480 + 1).astype("int32"),
             })
 
-    flat = assets.select("doc_id", "content", F.col("meta.modality").alias("modality"))
-    return flat.mapInPandas(batches, DECODE_SCHEMA)
+    # pin parallelism to cores — a single-file asset scan would
+    # otherwise serialize the whole Python decode stage
+    n_cpu = assets.sparkSession.sparkContext.defaultParallelism
+    flat = assets.select("doc_id", "content",
+                         F.col("meta.modality").alias("modality"))
+    return flat.repartition(n_cpu, "doc_id").mapInPandas(batches, DECODE_SCHEMA)
 
 
 def byte_histogram(assets: DataFrame, bins: int = HISTOGRAM_BINS) -> DataFrame:
@@ -157,7 +161,10 @@ def byte_histogram(assets: DataFrame, bins: int = HISTOGRAM_BINS) -> DataFrame:
                 "n": pd.Series(ns, dtype="int64"),
             })
 
-    return assets.select("doc_id", "content").mapInPandas(batches, HIST_SCHEMA)
+    n_cpu = assets.sparkSession.sparkContext.defaultParallelism
+    return (assets.select("doc_id", "content")
+            .repartition(n_cpu, "doc_id")
+            .mapInPandas(batches, HIST_SCHEMA))
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
