@@ -63,3 +63,55 @@ def q_profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+_WINDOW_TOP3_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@declare("sql_window_top3_orders", oracle=_WINDOW_TOP3_SQL)
+def q_sql_window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL path #2 — CTE + ranking window: the IDENTICAL ANSI text
+    runs through ``spark.sql`` and as its own DuckDB oracle. Catalyst
+    plans the window exactly as the DataFrame API would (one shuffle on
+    the partition key; rank filter pushed into the window via the
+    ``rn <= 3`` limit-pushdown rule)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_TOP3_SQL)
+
+
+_NATION_LOYALTY_SQL = """
+WITH per_customer AS (
+  SELECT c_nationkey, o_custkey, count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+)
+SELECT n_name,
+       count(*) AS n_repeat_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders_total
+FROM per_customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_orders >= 3
+GROUP BY n_name
+HAVING count(*) >= 5
+"""
+
+
+@declare("sql_nation_repeat_customers", oracle=_NATION_LOYALTY_SQL)
+def q_sql_nation_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL path #3 — chained CTE, two joins, HAVING: repeat
+    customers (3+ orders) per nation, nations with 5+ of them. Same
+    verbatim-text contract as the other sql_* queries; the nation join
+    broadcasts, the orders⋈customer join shuffles on the customer key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NATION_LOYALTY_SQL)
