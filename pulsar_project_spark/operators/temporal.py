@@ -98,10 +98,14 @@ def interval_join_bucketed(intervals: DataFrame, points: DataFrame,
       the interval side is small, shuffle-partitionable when it isn't,
       and AQE-skewable either way.
 
-    LEFT join from the interval side: intervals with no points survive
-    (every exploded bucket row misses → NULL point columns; COUNT over
-    point columns ignores them), so callers can aggregate per interval
-    and see true zeros. Caller contract: ``start``/``end``/``ts`` are
+    Row semantics are EXACT, not aggregate-only: the match runs as an
+    INNER equi join (so an interval exploded over several buckets never
+    emits phantom NULL rows from its empty buckets), and intervals with
+    no point anywhere are re-added with NULL point columns via a
+    null-safe left_anti against the distinct matched interval rows —
+    one extra exchange on the (small) interval side, bought for
+    ``count(*)``/row-level consumers being correct, not just
+    ``count(col)``. Caller contract: ``start``/``end``/``ts`` are
     non-negative BIGINTs (epoch micros) — ``div`` truncation equals
     floor there, matching the oracle's ``//``."""
     iv = intervals.withColumn(
@@ -114,17 +118,30 @@ def interval_join_bucketed(intervals: DataFrame, points: DataFrame,
                              F.expr(f"{end} div {bucket_us}"))),
     )
     pt = points.withColumn("__bucket", F.expr(f"{ts} div {bucket_us}"))
-    joined = iv.alias("i").join(
+    matched = iv.alias("i").join(
         pt.alias("p"),
         (F.col("i.__bucket") == F.col("p.__bucket"))
         & (F.col(f"p.{ts}") >= F.col(f"i.{start}"))
         & (F.col(f"p.{ts}") <= F.col(f"i.{end}")),
-        "left",
-    )
-    return joined.select(
+        "inner",
+    ).select(
         *[F.col(f"i.{c}").alias(c) for c in intervals.columns],
         *[F.col(f"p.{c}").alias(f"p_{c}") for c in points.columns],
     )
+    # re-add intervals that matched NOWHERE (null-safe equality so an
+    # interval row carrying NULL attributes still anti-joins correctly;
+    # Catalyst plans <=> as an equi hash-join key, no BNLJ)
+    hit = matched.select(*intervals.columns).distinct()
+    anti_cond = None
+    for c in intervals.columns:
+        e = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        anti_cond = e if anti_cond is None else (anti_cond & e)
+    missed = intervals.alias("a").join(hit.alias("b"), anti_cond, "left_anti").select(
+        *[F.col(f"a.{c}").alias(c) for c in intervals.columns],
+        *[F.lit(None).cast(points.schema[c].dataType).alias(f"p_{c}")
+          for c in points.columns],
+    )
+    return matched.unionByName(missed)
 
 
 def range_attribution(left: DataFrame, right: DataFrame, key: str, ts: str,

@@ -272,8 +272,15 @@ def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
     from pulsar_project_spark.functions.text import clean_string, tokenize
 
     merges = learn_bpe_merges(docs, n_merges, id_col, text_col)
-    merge_arr = merges.orderBy("rank").agg(
-        F.collect_list(F.struct("left", "right", "merged")).alias("__ms")
+    # collect_list order is NOT guaranteed across the shuffle into the
+    # global aggregate (it only looks ordered on a local single
+    # partition) — a scrambled merge order would silently change BPE
+    # encodings at scale. Carry rank INTO the struct and array_sort:
+    # a rank-first struct sorts by rank, deterministically.
+    merge_arr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "left", "right", "merged"))
+        ).alias("__ms")
     )
 
     # The per-word nested fold runs INTERPRETED (HOFs sit outside

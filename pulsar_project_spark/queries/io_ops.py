@@ -206,9 +206,9 @@ def q_orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVOLUTION_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+       CAST(sum(CASE WHEN event_id % 2 != 0 AND value IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
-       CAST(sum(CASE WHEN event_id % 2 = 1
+       CAST(sum(CASE WHEN event_id % 2 != 0
                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
             AS BIGINT) AS total_cents
 FROM events
@@ -232,7 +232,11 @@ def q_schema_evolution_union_counts(spark: SparkSession, sf_dir: str) -> DataFra
     old_batch = ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "event_type",
     )
-    new_batch = ev.filter(F.col("event_id") % 2 == 1).select(
+    # != 0, not == 1: for a negative odd id both engines' % returns -1,
+    # so an ==1 split would silently DROP such rows from both batches
+    # while the oracle kept them in n_events — the two filters must
+    # partition ALL rows.
+    new_batch = ev.filter(F.col("event_id") % 2 != 0).select(
         "event_id", "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )

@@ -1,0 +1,107 @@
+"""Regression tests for the round-4 ADVICE.md dirty-input findings.
+
+Each test reconstructs the exact adversarial input the advisory named
+and checks the fixed behavior directly (plus oracle parity where the
+query is oracle-backed):
+
+* ``schema_evolution_union_counts`` — a NEGATIVE odd ``event_id``
+  yields ``% 2 == -1`` in both engines, so an ``== 1`` batch split
+  dropped the row from both batches while the oracle kept it in
+  ``n_events``. The split is now ``!= 0`` and must partition ALL rows.
+* ``interval_join_bucketed`` — exact row semantics: an interval
+  exploded over several buckets must NOT emit phantom all-NULL rows
+  from its empty buckets, and a fully-unmatched interval must surface
+  exactly ONE null-point row (not one per bucket).
+* ``bpe_encode_census`` — the ranked merge array must be ordered by
+  rank even when ``collect_list`` runs across a multi-partition
+  shuffle (Spark documents collect_list order as non-deterministic;
+  the fix carries rank in the struct and ``array_sort``s).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.registry import ORACLES, QUERIES
+
+
+def _write_events_with_negative_ids() -> str:
+    sf_dir = tempfile.mkdtemp(prefix="dirty_ev_")
+    base_us = 1_704_067_200_000_000
+    ids = [-3, -2, -1, 0, 1, 2, 3, 4]
+    tbl = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([base_us + i * 1_000_000 for i in range(len(ids))],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ids), pa.int64()),
+        "event_type": pa.array(["click", "purchase"] * 4, pa.string()),
+        "value": pa.array([float(i) for i in range(len(ids))], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(ids), pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_schema_evolution_split_partitions_negative_ids(spark):
+    name = "schema_evolution_union_counts"
+    sf_dir = _write_events_with_negative_ids()
+    got = QUERIES[name](spark, sf_dir).collect()
+    # every input row must survive the batch split: 8 rows total
+    assert sum(r["n_events"] for r in got) == 8
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+    finally:
+        con.close()
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_interval_join_row_semantics_exact(spark):
+    from pulsar_project_spark.operators.temporal import interval_join_bucketed
+
+    # bucket width 10: interval A [5, 25] spans buckets 0-2 but only
+    # bucket 1 holds its single matching point; interval B [40, 65]
+    # spans buckets 4-6 and matches nothing.
+    intervals = spark.createDataFrame(
+        [("A", 5, 25), ("B", 40, 65)], "name string, s long, e long"
+    )
+    points = spark.createDataFrame(
+        [(1, 12), (2, 30), (3, 99)], "pid long, ts long"
+    )
+    rows = interval_join_bucketed(
+        intervals, points, start="s", end="e", ts="ts", bucket_us=10
+    ).collect()
+    by_name: dict[str, list] = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(r)
+    # A: exactly its one match, NO phantom NULL rows from buckets 0/2
+    assert len(by_name["A"]) == 1 and by_name["A"][0]["p_pid"] == 1
+    # B: exactly ONE null-point row despite spanning 3 empty buckets
+    assert len(by_name["B"]) == 1 and by_name["B"][0]["p_pid"] is None
+
+
+def test_bpe_merge_order_survives_multipartition_shuffle(spark):
+    from pulsar_project_spark.operators.text_analysis import (
+        bpe_encode_census,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana cabana") for i in range(64)],
+        "doc_id long, text string",
+    ).repartition(16)
+    merges = learn_bpe_merges(docs, n_merges=4).orderBy("rank").collect()
+    assert [m["rank"] for m in merges] == list(range(1, len(merges) + 1))
+    census = bpe_encode_census(docs, n_merges=4).collect()
+    # identical docs ⇒ identical token counts regardless of partitioning
+    assert len({(r["n_words"], r["n_bpe_tokens"]) for r in census}) == 1
