@@ -266,3 +266,51 @@ def q_rawv_frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_raw_video,
     )
     return sample_video_frames(synthesize_raw_video(docs))
+
+
+@declare(
+    "png_decode_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 + (doc_id % 4) * 8 AS w,
+         12 + (doc_id % 3) * 8 AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (3 * x.x + 5 * y.y + d.doc_id) % 256 AS v
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       count(*) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INTEGER) AS max_px
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode with stdlib ``zlib`` only — the deliverable that
+    retires the codec stub for a real-world image format. Per doc, the
+    gradient image is encoded as a spec-compliant PNG (signature, IHDR,
+    CRC-carrying chunks, 512-byte-split IDAT, scanline filters cycling
+    through ALL FIVE spec filter types) and then decoded by a full
+    parser: chunk walk with CRC verification, multi-IDAT reassembly,
+    inflate, per-type unfiltering (None/Sub/Up/Average/Paeth). The
+    oracle replays the closed-form pixel rule, so a bug anywhere in the
+    container, compression, or filter pipeline breaks the hash.
+    ``n_idat_chunks`` (zlib-size-dependent, not SQL-replayable) is
+    checked by the unit test, not the oracle projection."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    from pulsar_project_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png,
+    )
+    return decode_png_features(synthesize_png(docs)).select(
+        "doc_id", "width", "height", "n_px", "sum_px", "max_px"
+    )

@@ -52,6 +52,7 @@ _REPRESENTATIVE = (
     "corrupt_json_lines_census",        # PERMISSIVE read of 0 lines
     "wav_codec_roundtrip_features",     # real codec on 0 assets
     "pgm_resize_features",              # real image resize on 0 assets
+    "png_decode_features",              # full PNG codec on 0 assets
     "rawv_frame_sample_features",       # container frame slice on 0 clips
     "bpe_learned_merges",               # BPE training on an empty corpus
     "bpe_encode_token_census",          # train-then-encode on 0 docs
