@@ -258,6 +258,86 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
     return out
 
 
+def apply_merge_pass(syms, m):
+    """ONE greedy left-to-right non-overlapping merge pass over a symbol
+    array: wherever (m.left, m.right) sit adjacent, fuse into m.merged
+    — the same recurrence training uses, shared by the learned-merge and
+    fixed-merge encoders. Exactly SQL ``replace()`` semantics when each
+    symbol maps to one fresh character (the fixed twin's oracle relies
+    on this equivalence)."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == m["left"])
+            & (s == m["right"]),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(m["merged"])),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+# Constant merge table for the deterministic oracle twin: rank-ordered,
+# with one CASCADING merge (rank-2 consumes rank-1's output) so the
+# symbol-level — not character-level — semantics are what's certified.
+FIXED_BPE_MERGES: tuple[tuple[str, str, str], ...] = (
+    ("t", "h", "th"),
+    ("th", "e", "the"),
+    ("e", "r", "er"),
+    ("a", "n", "an"),
+    ("i", "n", "in"),
+)
+
+
+def bpe_fixed_encode_census(docs, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """The learned-BPE encoder with the merge table pinned to
+    ``FIXED_BPE_MERGES`` — the SAME nested higher-order fold as
+    ``bpe_encode_census``, driver-certifiable because the oracle can
+    replay a constant merge table: one greedy symbol-level merge pass
+    equals one SQL ``replace()`` onto a fresh single character (both
+    are left-to-right non-overlapping), so k ranked passes are k
+    chained replaces, and ``n_tokens = length(final) + 1`` (the
+    ``</w>`` marker never participates in a merge). This gives the
+    rows-only learned pair a hash-level driver verdict on the encode
+    path (the ``ivf_cell_assignment`` certification pattern)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.functions.text import clean_string, tokenize
+
+    merge_arr = F.array(*[
+        F.struct(F.lit(l).alias("left"), F.lit(r).alias("right"),
+                 F.lit(m).alias("merged"))
+        for l, r, m in FIXED_BPE_MERGES
+    ])
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(clean_string(text_col))).alias("w"),
+    ).repartition(n_cpu, id_col).withColumn(
+        "syms",
+        F.concat(F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+                 F.array(F.lit("</w>"))),
+    )
+    encoded = words.select(
+        id_col,
+        F.length("w").alias("n_chars"),
+        F.size(F.aggregate(
+            merge_arr, F.col("syms"),
+            lambda acc, m: apply_merge_pass(acc, m),
+        )).alias("n_tokens"),
+    )
+    return encoded.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        (F.sum("n_chars") + F.count("*")).cast("bigint")
+        .alias("n_symbols_pre"),
+    )
+
+
 def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
                       text_col: str = "text"):
     """APPLY the learned BPE merge table: encode every word by folding
@@ -298,24 +378,11 @@ def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
                  F.array(F.lit("</w>"))),
     )
 
-    def apply_one(syms, m):
-        return F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.get(acc, F.size(acc) - 1) == m["left"])
-                & (s == m["right"]),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(m["merged"])),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-
     encoded = words.crossJoin(F.broadcast(merge_arr)).select(
         id_col,
         F.length("w").alias("n_chars"),
         F.size(F.aggregate(
-            "__ms", F.col("syms"), lambda acc, m: apply_one(acc, m)
+            "__ms", F.col("syms"), lambda acc, m: apply_merge_pass(acc, m)
         )).alias("n_tokens"),
     )
     return encoded.groupBy(id_col).agg(

@@ -203,3 +203,45 @@ def q_bpe_encode_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return bpe_encode_census(docs, n_merges=8)
+
+
+_FIXED_BPE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+), enc AS (
+  SELECT doc_id, length(w) AS n_chars,
+         length(
+           replace(replace(replace(replace(replace(w,
+             'th', chr(1)),
+             chr(1) || 'e', chr(2)),
+             'er', chr(3)),
+             'an', chr(4)),
+             'in', chr(5))
+         ) + 1 AS n_tokens
+  FROM words
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_chars) + count(*) AS BIGINT) AS n_symbols_pre
+FROM enc GROUP BY doc_id
+"""
+
+
+@declare("bpe_fixed_merge_encode_census", oracle=_FIXED_BPE_SQL)
+def q_bpe_fixed_merge_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic oracle twin for the BPE ENCODE path (the
+    ``ivf_cell_assignment`` certification pattern): the exact nested
+    higher-order merge fold of ``bpe_encode_token_census``, but with
+    the merge table pinned to five constant ranked merges — including
+    one CASCADE (rank 2 consumes rank 1's output), so symbol-level
+    semantics are what's tested. The oracle replays each greedy
+    left-to-right merge pass as a SQL ``replace()`` onto a fresh
+    control character (both are single-pass non-overlapping scans, so
+    they are the same function), then counts ``length + 1`` for the
+    never-merged ``</w>`` marker. A hash match certifies the fold the
+    learned pair shares; the learned pair itself stays pinned by the
+    pure-Python replica test."""
+    from pulsar_project_spark.operators.text_analysis import (
+        bpe_fixed_encode_census,
+    )
+    return bpe_fixed_encode_census(load_table(spark, sf_dir, "documents"))

@@ -56,6 +56,7 @@ _REPRESENTATIVE = (
     "rawv_frame_sample_features",       # container frame slice on 0 clips
     "bpe_learned_merges",               # BPE training on an empty corpus
     "bpe_encode_token_census",          # train-then-encode on 0 docs
+    "bpe_fixed_merge_encode_census",    # fixed-merge fold on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
