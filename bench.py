@@ -16,9 +16,13 @@ import sys
 import time
 
 
-# "0"/"false"/"" all mean OFF — a raw truthiness test would flip
-# SPARK_GRAFT_BENCH_STEADY=0 into steady mode.
-_STEADY = os.environ.get("SPARK_GRAFT_BENCH_STEADY", "").lower() not in ("", "0", "false")
+# Steady-state is the DEFAULT from round 5 (set SPARK_GRAFT_BENCH_STEADY=0
+# to opt out): tools/bench_order_probe.py proved a 1.5-2x first-run
+# session-position penalty that lands on whichever queries sit early in
+# registry order, so rotating the registry between rounds made headline
+# per-query numbers incomparable (BENCH_NOTES.md). The preflight pass
+# removes the artifact; the timed pass measures steady-state plans.
+_STEADY = os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1").lower() not in ("0", "false")
 
 
 def main() -> None:
@@ -105,20 +109,22 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # Steady-state mode (opt-in): one untimed preflight pass over every
-    # query before the timed loop. tools/bench_order_probe.py measured a
-    # 1.5-2x first-run penalty (query-family codegen/JIT) that lands on
-    # whichever queries sit EARLY in registry order — rotating the
-    # registry between rounds therefore shows spurious per-query
-    # "regressions" (BENCH_NOTES.md). Preflight removes the position
-    # artifact at the cost of ~2x bench wall time; default-off so the
-    # driver's recorded numbers keep their historical semantics.
-    if _STEADY:
-        for name, fn in e.queries().items():
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    # Steady-state mode (DEFAULT since round 5): run each query ONCE
+    # untimed immediately before its timed run. The order probe measured
+    # a 1.5-2x first-run penalty (query-family codegen/JIT) that lands
+    # on whichever queries sit EARLY in registry order — rotating the
+    # registry between rounds therefore showed spurious per-query
+    # "regressions" — and the round-4 GLOBAL-preflight variant proved
+    # insufficient for the iterative family (ivf/kmeans warm across ~4
+    # runs and decay over 148 intervening queries, BENCH_NOTES.md).
+    # Per-query immediate preflight fixes both: the timed run always
+    # measures a position-independent hot plan, at ~2x bench wall time.
+    # The JSON line carries "mode" so rounds 1-4 (cold) aren't compared
+    # 1:1; SPARK_GRAFT_BENCH_STEADY=0 restores the historical cold mode.
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
+        if _STEADY:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -153,6 +159,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
+        "mode": "steady" if _STEADY else "cold",
         "detail": detail_name,
     }, separators=(",", ":"))
     print(line, flush=True)

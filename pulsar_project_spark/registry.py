@@ -36,63 +36,59 @@ def declare(name: str, oracle: str | None = None):
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries. Module import order alone proved fragile (appending a query
 # to a core module silently displaces later core entries), so the core
-# set is pinned BY NAME. Round 4 rotation closes the LAST certification
-# gap: after rounds 1-3 (45 ∪ 50 ∪ 50 distinct = 104 driver-green),
-# exactly 18 oracle-backed queries have never been inside a driver
-# budget window — they take slots 2-19. Slots 20-21 are the NEW
-# deterministic oracle twins of the rows-only ANN family (IVF cell
-# assignment, integer-exact MMR). The remaining slots re-certify every
-# r1/r2-green query whose module changed after its last driver verdict
-# (the round-3 NULL-handling + fuzz fixes: commits e0da201/b6f93ac
-# touched events_state, args, extraction, multimodal, text-analysis,
-# timeseries, window, catalog, retrieval), plus asof/sessionization as
-# streaming-twin anchors. ``simple_rag_topk`` stays the slot-1 canary.
+# set is pinned BY NAME. Round-5 rotation: after rounds 1-4 (cumulative
+# 124 distinct driver-green, 0 ever-failed), exactly 16 oracle-backed
+# queries — all added late in round 4 — have never been inside a driver
+# budget window; they take slots 2-17. Slots 18-19 are the queries NEW
+# this round (the stdlib-zlib PNG codec, the fixed-merge BPE encode
+# twin). The remaining slots re-certify (a) every query whose module
+# changed THIS round after its last verdict (temporal/interval join
+# fix, text_analysis merge-order fix, io_ops split fix, multimodal PNG
+# addition), then (b) the stalest green queries (last verdict round 2).
+# ``simple_rag_topk`` stays the slot-1 canary.
 # tests/test_registry_order.py regression-gates this list.
-NEVER_CHECKED_R4: tuple[str, ...] = (
-    "udtf_json_path_stats", "user_session_stats", "user_event_gap_stats",
-    "salted_segment_event_counts", "skew_key_census",
-    "snapshot_diff_counts", "mergeable_state_rollup",
-    "partitioned_prune_purchase_days", "nation_revenue_share",
-    "cumulative_new_users_by_day", "debounce_events_1s",
-    "equidepth_deciles_by_type", "langid_confusion_matrix",
-    "lang_sampling_weights", "winsorize_tail_counts",
-    "training_order_shuffle", "hash_stratified_sample",
-    "length_bucket_padding_stats",
+NEVER_CHECKED_R5: tuple[str, ...] = (
+    "latest_event_argmax", "sql_window_top3_orders",
+    "sql_nation_repeat_customers", "interval_join_bucketed",
+    "ordered_funnel_stages", "cohort_retention_matrix",
+    "series_pattern_distance_topk", "incremental_dedup_counts",
+    "levenshtein_confirm_pairs", "wav_codec_roundtrip_features",
+    "pgm_resize_features", "rawv_frame_sample_features",
+    "csv_roundtrip_counts", "orc_roundtrip_counts",
+    "schema_evolution_union_counts", "corrupt_json_lines_census",
+)
+
+NEW_R5: tuple[str, ...] = (
+    "png_decode_features", "bpe_fixed_merge_encode_census",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1+r2+r3 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r4 — if THIS flips, the harness broke
     "simple_rag_topk",
-    # the final 18 oracle-backed queries with no driver verdict yet
-    *NEVER_CHECKED_R4,
-    # NEW r4: deterministic oracle twins for the rows-only ANN ops
-    "ivf_cell_assignment", "mmr_rerank_exact",
-    # re-certs: r2-green, module changed by the r3 NULL/fuzz fixes
-    # (events_state.py: NULLS LAST eviction, json_valid guards)
-    "keep_last_n_per_user", "latest_event_per_user", "evict_min_per_type",
-    "microbatch_rollup", "memory_state_snapshot", "json_props_extract",
-    # (args_ops.py / extraction.py: json_valid + try_cast guards)
-    "arg_whitelist_projection", "arg_schema_casting",
-    "fenced_json_roundtrip",
-    # (multimodal_ops.py: NULL-payload boundary drop — r1 verdicts)
+    # the 16 oracle-backed queries with no driver verdict yet
+    *NEVER_CHECKED_R5,
+    # NEW r5: PNG codec + deterministic BPE encode twin
+    *NEW_R5,
+    # re-certs: modules changed this round after their last verdict
+    # (operators/temporal.py: exact-row interval-join rewrite)
+    "asof_last_purchase", "attribution_window_join", "sessionization",
+    # (queries/io_ops.py: negative-odd-id split fix)
+    "jsonl_roundtrip_counts", "partitioned_prune_purchase_days",
+    # (operators/text_analysis.py: merge-order array_sort fix)
+    "bpe_token_counts", "langid_profile_scores", "quality_scores",
+    "feature_hash_embeddings",
+    # (operators/multimodal.py: PNG section + docstring re-scope)
     "multimodal_asset_catalog", "image_decode_stub",
     "byte_histogram_features", "video_frame_sample_plan",
     "audio_chunk_plan",
-    # (text_analysis: NULL text as empty doc)
-    "langid_profile_scores", "quality_scores",
-    "feature_hash_embeddings", "bpe_token_counts",
-    # (timeseries_ops.py: gap-fill cartesian → sequence() rewrite)
-    "daily_user_series_gapfilled", "user_value_trend",
-    "median_order_cents_by_priority",
-    # (window_ops.py: NULLS LAST decile pinning)
-    "user_value_ranks",
-    # (operators/catalog.py changed)
-    "tool_catalog_last_wins", "tool_routing_first_match",
-    "extension_lookup_default", "kv_lookup_miss_message",
-    # (queries/retrieval.py: zero-norm cosine fix)
-    "keyword_score_scan",
-    # streaming-twin anchors for the twin-pairing certification
-    "asof_last_purchase", "sessionization",
+    # stalest re-certs: last driver verdict round 2, two rounds ago
+    "boolean_normalize", "clean_string_projection", "conversion_funnel",
+    "customer_ltv_segments", "distinct_tokens_except_stopwords",
+    "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
+    "marker_extraction", "national_revenue", "numeric_convertibility",
+    "orders_by_month", "per_user_activity", "pricing_summary",
+    "profile_orders_table", "shipping_priority_top10",
+    "simhash_fingerprints",
 )
 
 
