@@ -1,0 +1,122 @@
+"""Data-layout operators: Z-order (Morton) clustering for data skipping.
+
+The reference's data plane persists per-task JSON files with no layout
+control at all (SURVEY.md §2.1 — ``manager.py`` writes one file per
+task); at 100 TB, LAYOUT is a first-class operator: parquet readers
+prune row groups by min/max statistics, and those statistics are only
+tight if rows that are close in QUERY space are close in FILE space.
+A sort on one column gives perfect skipping on that column and none on
+any other; interleaving the bits of TWO columns (the Z-order / Morton
+curve — the same technique Delta Lake's OPTIMIZE ZORDER BY and
+ClickHouse's mortonEncode expose) bounds BOTH dimensions in every file,
+so a predicate on either column (or a box on both) prunes most files.
+
+Everything here is deterministic closed-form bit arithmetic —
+shift/mask/or only, no UDF, fully inside whole-stage codegen, and
+replayable in ANSI SQL by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16 bits per dimension -> 32-bit Z-value: enough for 65k distinct
+# buckets per dim, which at 100 TB maps to ~row-group granularity.
+Z_BITS = 16
+
+
+def _spread_bits(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` so bit i lands at bit 2i —
+    the classic magic-mask ladder (each step doubles the gap). Input
+    is masked to 16 bits first, so any BIGINT is safe."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zvalue(col_a: Column, col_b: Column) -> Column:
+    """32-bit Morton code interleaving the low 16 bits of two
+    non-negative integer columns: ``a``'s bits land on even positions,
+    ``b``'s on odd. Pure shift/mask/or — codegen-friendly, and the
+    identical expression runs in the DuckDB oracle."""
+    return _spread_bits(col_a).bitwiseOR(
+        F.shiftleft(_spread_bits(col_b), 1)
+    )
+
+
+# The same ladder as ANSI SQL, for oracle strings (DuckDB & | << are
+# BIGINT-native). Templated on the input expression.
+def spread_sql(expr: str) -> str:
+    s = f"({expr} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def zvalue_sql(expr_a: str, expr_b: str) -> str:
+    return f"({spread_sql(expr_a)} | ({spread_sql(expr_b)} << 1))"
+
+
+def zorder_write(df: DataFrame, col_a: str, col_b: str, path: str,
+                 n_files: int = 64) -> None:
+    """Write ``df`` Z-ordered on (col_a, col_b): range-partition by the
+    Morton code (contiguous Z-ranges per output file — NOT hash, which
+    would scatter the curve) and sort within each partition, so every
+    parquet file covers one compact Z-range and its min/max stats bound
+    BOTH columns tightly. This is the write-side half of data skipping;
+    the read side is the engine's ordinary stats pruning."""
+    z = zvalue(F.col(col_a), F.col(col_b)).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def zorder_bucket_stats(df: DataFrame, col_a: str, col_b: str,
+                        n_buckets: int = 64) -> DataFrame:
+    """The measurable core of Z-ordering, as a relation: normalize each
+    dimension to the 16-bit Morton domain by its OBSERVED min/max (the
+    same range-scaling every real layout tool performs — raw values at
+    small scale factors would leave the curve's high bits empty and
+    collapse every row into bucket 0), assign every row to its Z-range
+    bucket (top ``log2(n_buckets)`` bits of the code — exactly the
+    per-file ranges ``zorder_write`` produces), and report each
+    bucket's row count and min/max of BOTH source columns. Tight
+    per-bucket spans on both dims — instead of one dim tight and the
+    other spanning its full domain, as any single-column sort gives —
+    IS the data-skipping win, stated as numbers the oracle verifies.
+
+    Scale shape: the bounds are ONE mergeable min/max aggregate
+    broadcast back as a single row (no window, no second wide
+    shuffle); the census is a scan → codegen bit-math projection →
+    ``n_buckets``-group aggregate with map-side partials."""
+    bucket_bits = max(n_buckets - 1, 1).bit_length()  # 64 -> 6
+    bounds = df.agg(
+        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    a16 = F.expr(
+        f"(({col_a} - __amin) * 65536) div (__amax - __amin + 1)"
+    )
+    b16 = F.expr(
+        f"(({col_b} - __bmin) * 65536) div (__bmax - __bmin + 1)"
+    )
+    bucket = F.shiftright(zvalue(a16, b16), 2 * Z_BITS - bucket_bits)
+    return (
+        j.groupBy(bucket.alias("z_bucket")).agg(
+            F.count("*").alias("n_rows"),
+            F.min(col_a).alias(f"min_{col_a}"),
+            F.max(col_a).alias(f"max_{col_a}"),
+            F.min(col_b).alias(f"min_{col_b}"),
+            F.max(col_b).alias(f"max_{col_b}"),
+        )
+    )

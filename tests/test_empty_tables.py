@@ -57,6 +57,7 @@ _REPRESENTATIVE = (
     "bpe_learned_merges",               # BPE training on an empty corpus
     "bpe_encode_token_census",          # train-then-encode on 0 docs
     "bpe_fixed_merge_encode_census",    # fixed-merge fold on 0 docs
+    "zorder_bucket_stats",              # bounds agg + bit math on 0 rows
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -39,7 +39,18 @@ ROUND4_ADDITIONS = (
     "series_pattern_distance_topk",
 )
 
-SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS
+# round-5 (VERDICT r4 ask #4): the heaviest new families were absent
+# from the spot set despite being 3 of the top-5 most expensive
+# queries — BPE train/encode and the real codecs — plus this round's
+# PNG codec and fixed-merge twin
+ROUND5_ADDITIONS = (
+    "bpe_encode_token_census", "bpe_learned_merges",
+    "wav_codec_roundtrip_features", "pgm_resize_features",
+    "rawv_frame_sample_features", "png_decode_features",
+    "bpe_fixed_merge_encode_census",
+)
+
+SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SF1_DERIVED_DIR", "/tmp/sf1_derived")

@@ -40,6 +40,7 @@ ALLOWED_NESTED_LOOP = {
     "forward_fill_user_values",  # 1-row global-max-day broadcast crossJoin (r3: the users×days grid is gone)
     "bpe_learned_merges",        # 1-row argmax-pair broadcast crossJoin per training round
     "bpe_encode_token_census",   # 1-row ranked-merge-array broadcast crossJoin
+    "zorder_bucket_stats",       # 1-row min/max-bounds broadcast crossJoin
 }
 
 
