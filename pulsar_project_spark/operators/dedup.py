@@ -401,3 +401,91 @@ def blocked_levenshtein_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     # bounded levenshtein returns -1 when the distance exceeds threshold
     return pairs.filter(F.col("lev") >= 0)
+
+
+# --- Bloom-filter store prefilter --------------------------------------------
+#
+# The production add-on incremental_dedup names: when today's batch is
+# tiny relative to the archive, shuffling the batch against a
+# multi-terabyte fingerprint store for an equi-join is almost entirely
+# wasted work — most incoming docs are NEW. A Bloom filter built over
+# the store answers "definitely new" without the join: k hash bits per
+# fingerprint, OR-ed into a fixed bit array; an incoming doc missing
+# ANY of its k bits cannot be in the store (no false negatives, by
+# construction), so only the "maybe" minority proceeds to the exact
+# join. The filter is pure relational algebra — no sketch library, no
+# driver state: the bit array IS a (word_idx, bits) relation built by
+# one bit_or aggregation and broadcast to the probe side.
+
+BLOOM_M_BITS = 1 << 17    # 131,072 bits -> ~2,114 words (~17 KB)
+BLOOM_WORD_BITS = 62      # 62, not 64: DuckDB overflow-checks 1<<63 (sign
+                          # bit), so capping the shift at 61 keeps the
+                          # oracle's bit array arithmetic legal and the
+                          # Spark side bit-identical to it
+_BLOOM_HASH_OFFSETS = (1, 9, 17)  # k=3 independent 32-bit lanes of the md5
+
+
+def _bloom_positions(fp_col: str) -> list:
+    """k bit positions from disjoint 8-hex-char lanes of the (md5)
+    fingerprint — `conv(hex,16,10)` here equals the oracle's
+    `CAST('0x'||hex AS BIGINT)` exactly (32 bits, never signed)."""
+    return [
+        F.expr(
+            f"cast(conv(substring({fp_col}, {off}, 8), 16, 10) as bigint) "
+            f"% {BLOOM_M_BITS}"
+        )
+        for off in _BLOOM_HASH_OFFSETS
+    ]
+
+
+def bloom_build(historical: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word_idx BIGINT, bits BIGINT): the store's Bloom bit array as a
+    relation — distinct fingerprints → k positions each → one bit_or
+    aggregation over at most ``BLOOM_M_BITS/64`` groups. At 100 TB the
+    store scan is the only big input; the result is ~16 KB,
+    broadcast-joinable everywhere."""
+    hist = historical.select(
+        fingerprint_md5(text_col).alias("fp")
+    ).distinct()
+    pos = hist.select(
+        F.explode(F.array(*_bloom_positions("fp"))).alias("pos")
+    )
+    return pos.groupBy(F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx")).agg(
+        F.expr(f"bit_or(shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int)))")
+        .alias("bits")
+    )
+
+
+def bloom_prefilter(incoming: DataFrame, bloom: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Probe the store's Bloom relation: per incoming doc, explode its
+    k positions, broadcast-join the (tiny) bit-array relation, and
+    reduce with min(hit) — ``bloom_maybe = 1`` iff ALL k bits are set.
+    A 0 is a GUARANTEE the doc is new (skip the store join); a 1 is a
+    candidate for the exact fingerprint join. Returns
+    (id, fingerprint, bloom_maybe)."""
+    inc = incoming.select(
+        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    probes = inc.select(
+        id_col, "fingerprint",
+        F.explode(F.array(*_bloom_positions("fingerprint"))).alias("pos"),
+    )
+    joined = probes.join(
+        F.broadcast(bloom),
+        F.expr(f"pos div {BLOOM_WORD_BITS}") == F.col("word_idx"),
+        "left",
+    ).select(
+        id_col, "fingerprint",
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))"))
+               != 0),
+            1,
+        ).otherwise(0).alias("hit"),
+    )
+    return joined.groupBy(id_col, "fingerprint").agg(
+        F.min("hit").alias("bloom_maybe")
+    )

@@ -283,3 +283,91 @@ def q_levenshtein_confirm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_chars") >= 0)
     )
     return blocked_levenshtein_pairs(docs)
+
+
+_BLOOM_POS = "[{}]".format(", ".join(
+    f"CAST(('0x' || substr(fingerprint, {off}, 8)) AS BIGINT) % 131072"
+    for off in (1, 9, 17)
+))
+
+_BLOOM_SQL = rf"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), inc AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 < 3
+), hist AS (
+  -- >= 2, NOT >= 3: bucket 2 deliberately sits in BOTH splits so the
+  -- census exercises bloom_tp (a disjoint split on a duplicate-free
+  -- corpus would collapse to a single bloom_negative row)
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 >= 2
+), hpos AS (
+  SELECT unnest({_BLOOM_POS}) AS pos FROM hist
+), bloom AS (
+  SELECT pos // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits
+  FROM hpos GROUP BY 1
+), ipos AS (
+  SELECT doc_id, fingerprint, unnest({_BLOOM_POS}) AS pos FROM inc
+), probe AS (
+  SELECT i.doc_id, i.fingerprint,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << CAST(i.pos % 62 AS INT))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ipos i LEFT JOIN bloom b ON i.pos // 62 = b.word_idx
+), verdicts AS (
+  SELECT p.doc_id, p.fingerprint, min(p.hit) AS bloom_maybe
+  FROM probe p GROUP BY 1, 2
+)
+SELECT CASE WHEN v.bloom_maybe = 0 THEN 'bloom_negative'
+            WHEN h.fingerprint IS NOT NULL THEN 'bloom_tp'
+            ELSE 'bloom_fp' END AS verdict,
+       count(*) AS n_docs
+FROM verdicts v LEFT JOIN hist h ON v.fingerprint = h.fingerprint
+GROUP BY 1
+"""
+
+
+@declare("bloom_prefilter_census", oracle=_BLOOM_SQL)
+def q_bloom_prefilter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter store prefilter — the production add-on
+    ``incremental_dedup`` names for the tiny-batch-vs-huge-archive
+    shape: the 70% historical store's distinct fingerprints are folded
+    into a 131,072-bit array BY RELATIONAL ALGEBRA (k=3 md5-lane
+    positions → one bit_or aggregation over ~2,114 62-bit BIGINT words), the
+    array is broadcast, and the 30% incoming shard probes it with a
+    broadcast join. Census of the three outcomes: ``bloom_negative``
+    (guaranteed new — the no-false-negative property means these skip
+    the store join entirely), ``bloom_tp`` (maybe, and truly in the
+    store), ``bloom_fp`` (maybe, but new — the ~ (1-e^{-kn/m})^k
+    false-positive tax). The oracle rebuilds the identical bit array in
+    SQL, so a single flipped bit anywhere diverges the hash. At 100 TB:
+    the store is scanned once to build 16 KB; only the maybe-minority
+    ever shuffles into the exact join."""
+    from pulsar_project_spark.operators.dedup import (
+        bloom_build,
+        bloom_prefilter,
+        fingerprint_md5,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id", "text")
+    # bucket 2 is in BOTH splits (see oracle comment): tp rows exist
+    historical = docs.filter(F.col("doc_id") % 10 >= 2).select("text")
+    bloom = bloom_build(historical)
+    verdicts = bloom_prefilter(incoming, bloom)
+    hist_fp = (
+        historical.select(fingerprint_md5("text").alias("fingerprint"))
+        .distinct().withColumn("__in_store", F.lit(1))
+    )
+    return (
+        verdicts.join(hist_fp, "fingerprint", "left")
+        .select(
+            F.when(F.col("bloom_maybe") == 0, "bloom_negative")
+            .when(F.col("__in_store").isNotNull(), "bloom_tp")
+            .otherwise("bloom_fp").alias("verdict")
+        )
+        .groupBy("verdict").agg(F.count("*").alias("n_docs"))
+    )

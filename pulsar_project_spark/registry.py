@@ -60,6 +60,7 @@ NEVER_CHECKED_R5: tuple[str, ...] = (
 
 NEW_R5: tuple[str, ...] = (
     "png_decode_features", "bpe_fixed_merge_encode_census",
+    "zorder_bucket_stats",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -82,7 +83,7 @@ CORE_FIRST: tuple[str, ...] = (
     "byte_histogram_features", "video_frame_sample_plan",
     "audio_chunk_plan",
     # stalest re-certs: last driver verdict round 2, two rounds ago
-    "boolean_normalize", "clean_string_projection", "conversion_funnel",
+    "boolean_normalize", "conversion_funnel",
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
     "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
     "marker_extraction", "national_revenue", "numeric_convertibility",

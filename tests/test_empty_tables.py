@@ -58,6 +58,7 @@ _REPRESENTATIVE = (
     "bpe_encode_token_census",          # train-then-encode on 0 docs
     "bpe_fixed_merge_encode_census",    # fixed-merge fold on 0 docs
     "zorder_bucket_stats",              # bounds agg + bit math on 0 rows
+    "bloom_prefilter_census",           # bloom build/probe on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
