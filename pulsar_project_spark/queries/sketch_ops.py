@@ -139,3 +139,64 @@ def q_hll_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("win_day", "day")
     )
+
+
+_CMS_LANE = ("CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), "
+             "CASE {d} WHEN 0 THEN 1 WHEN 1 THEN 9 ELSE 17 END, 8)) "
+             "AS BIGINT) % 4096")
+
+_CMS_SQL = f"""
+WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), cells AS (
+  SELECT d.d AS depth, {_CMS_LANE.format(k='user_id', d='d.d')} AS pos
+  FROM ev, (SELECT unnest([0, 1, 2]) AS d) d
+), cms AS (
+  SELECT depth, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1
+), probes AS (
+  SELECT user_id, exact_n FROM exact
+  ORDER BY exact_n DESC, user_id ASC LIMIT 20
+), est AS (
+  SELECT p.user_id, p.exact_n, min(c.cnt) AS cms_estimate
+  FROM probes p JOIN cms c
+    ON c.pos = {_CMS_LANE.format(k='p.user_id', d='c.depth')}
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_n, cms_estimate,
+       cms_estimate - exact_n AS overestimate
+FROM est
+"""
+
+
+@declare("cms_heavy_hitters", oracle=_CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates — the ORACLE-BACKED
+    member of the sketch family (HLL/KLL internals are engine-private,
+    rows-only; the CMS counter table is pure relational algebra, so
+    DuckDB rebuilds it counter-for-counter). Build: one explode (x3
+    md5 lanes) + one groupBy over <=12k cells, map-side combinable and
+    mergeable across shards by pointwise addition. Probe: the exact
+    top-20 users (deterministic tiebreak) against the broadcast
+    sketch; ``overestimate = estimate - exact`` is >= 0 BY THEOREM —
+    the oracle hash doubles as a machine check of the bound, and
+    tests/test_count_min.py pins it adversarially. At 100 TB the
+    sketch answers point frequency queries from ~100 KB instead of a
+    full per-key shuffle."""
+    from pulsar_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    ).select("user_id")
+    cms = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    ).limit(20)
+    return cms_estimate(probes, cms, "user_id").select(
+        "user_id", "exact_n", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
+    )

@@ -59,6 +59,7 @@ _REPRESENTATIVE = (
     "bpe_fixed_merge_encode_census",    # fixed-merge fold on 0 docs
     "zorder_bucket_stats",              # bounds agg + bit math on 0 rows
     "bloom_prefilter_census",           # bloom build/probe on 0 docs
+    "cms_heavy_hitters",                # sketch build/probe on 0 events
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
