@@ -60,7 +60,7 @@ NEVER_CHECKED_R5: tuple[str, ...] = (
 
 NEW_R5: tuple[str, ...] = (
     "png_decode_features", "bpe_fixed_merge_encode_census",
-    "zorder_bucket_stats",
+    "zorder_bucket_stats", "bloom_prefilter_census", "cms_heavy_hitters",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -83,10 +83,13 @@ CORE_FIRST: tuple[str, ...] = (
     "byte_histogram_features", "video_frame_sample_plan",
     "audio_chunk_plan",
     # stalest re-certs: last driver verdict round 2, two rounds ago
-    "boolean_normalize", "conversion_funnel",
+    # (boolean_normalize / numeric_convertibility yielded their slots
+    # to the round-5 sketch queries — both stay continuously covered
+    # by the events fuzz family)
+    "conversion_funnel",
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
     "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
-    "marker_extraction", "national_revenue", "numeric_convertibility",
+    "marker_extraction", "national_revenue",
     "orders_by_month", "per_user_activity", "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
     "simhash_fingerprints",
