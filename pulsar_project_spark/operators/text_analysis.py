@@ -390,3 +390,40 @@ def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
         F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
         (F.sum("n_chars") + F.count("*")).cast("bigint").alias("n_symbols_pre"),
     )
+
+
+def char_bigram_familiarity(docs, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Self-supervised statistical quality signal: how 'familiar' is
+    each document's character-bigram distribution relative to the
+    corpus it sits in? Rare-bigram documents (mojibake, binary spill,
+    wrong-language shards) score low — the LM-perplexity idea with the
+    log table replaced by raw corpus counts so every number is an
+    exact integer (no cross-engine float-log drift).
+
+    Scale shape: ONE explode to bigrams feeding both consumers — the
+    corpus table is a groupBy over a tiny domain (≤ ~4k ASCII bigrams,
+    map-side combinable to almost nothing), broadcast back onto the
+    per-doc bigram stream for the scoring join; no row ever shuffles
+    on doc_id. Docs shorter than 2 chars are dropped explicitly (also
+    keeps Spark's sequence() from its negative-step branch)."""
+    from pyspark.sql import functions as F
+
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
+        & F.col(id_col).isNotNull()
+    )
+    bi = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("i"),
+        F.col(text_col),
+    ).select(id_col, F.expr(f"substring({text_col}, i, 2)").alias("bg"))
+    table = bi.groupBy("bg").agg(F.count("*").alias("cnt"))
+    return (
+        bi.join(F.broadcast(table), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("familiarity_sum"),
+        )
+    )

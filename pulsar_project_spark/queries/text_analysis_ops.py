@@ -245,3 +245,36 @@ def q_bpe_fixed_merge_encode_census(spark: SparkSession, sf_dir: str) -> DataFra
         bpe_fixed_encode_census,
     )
     return bpe_fixed_encode_census(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 2 AND doc_id IS NOT NULL
+), bi AS (
+  SELECT doc_id, substr(text, i, 2) AS bg
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, length(text) - 1)) AS i
+  ) i
+), tab AS (
+  SELECT bg, count(*) AS cnt FROM bi GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(t.cnt) AS BIGINT) AS familiarity_sum
+FROM bi JOIN tab t USING (bg)
+GROUP BY doc_id
+"""
+
+
+@declare("char_bigram_familiarity", oracle=_BIGRAM_SQL)
+def q_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram familiarity per document — the
+    integer-exact stand-in for LM perplexity scoring (rare-bigram docs
+    = mojibake / binary spill / wrong-language shards). One explode
+    feeds both the corpus bigram table (tiny domain, map-side combine)
+    and the scoring join (table broadcast back); the oracle replays
+    the identical two-pass plan in SQL."""
+    from pulsar_project_spark.operators.text_analysis import (
+        char_bigram_familiarity,
+    )
+    return char_bigram_familiarity(load_table(spark, sf_dir, "documents"))

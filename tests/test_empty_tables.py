@@ -60,6 +60,7 @@ _REPRESENTATIVE = (
     "zorder_bucket_stats",              # bounds agg + bit math on 0 rows
     "bloom_prefilter_census",           # bloom build/probe on 0 docs
     "cms_heavy_hitters",                # sketch build/probe on 0 events
+    "char_bigram_familiarity",          # corpus-trained scoring on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
