@@ -314,3 +314,63 @@ def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(synthesize_png(docs)).select(
         "doc_id", "width", "height", "n_px", "sum_px", "max_px"
     )
+
+
+def _jpeg_oracle() -> str:
+    from pulsar_project_spark.operators.jpeg import JPEG_QTABLE
+    q0, q1, q5, q17, q42 = (JPEG_QTABLE[z] for z in (0, 1, 5, 17, 42))
+    nz = " + ".join(
+        f"CASE WHEN a{z} != 0 THEN 1 ELSE 0 END" for z in (1, 5, 17, 42)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ((16 + (doc_id % 2) * 16) // 8)
+       * ((16 + (doc_id % 3) * 8) // 8) AS nb
+  FROM documents WHERE doc_id IS NOT NULL
+), blocks AS (
+  SELECT doc_id, nb, b.b
+  FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS b) b
+), coefs AS (
+  SELECT doc_id, nb,
+         (doc_id + 3 * b) % 64 - 32 AS dc,
+         (doc_id + b) % 31 - 15 AS a1,
+         (2 * doc_id + 5 * b) % 31 - 15 AS a5,
+         (3 * doc_id + 7 * b) % 31 - 15 AS a17,
+         (5 * doc_id + 11 * b) % 31 - 15 AS a42
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(max(nb) AS INTEGER) AS n_blocks,
+       CAST(sum(dc) AS BIGINT) AS sum_dc,
+       CAST(sum(abs(a1) + abs(a5) + abs(a17) + abs(a42)) AS BIGINT)
+         AS sum_abs_ac,
+       CAST(sum({nz}) AS BIGINT) AS n_nonzero_ac,
+       CAST(sum(dc * {q0} + a1 * {q1} + a5 * {q5} + a17 * {q17}
+                + a42 * {q42}) AS BIGINT) AS dequant_sum
+FROM coefs GROUP BY doc_id
+"""
+
+
+@declare("jpeg_entropy_roundtrip_features", oracle=_jpeg_oracle())
+def q_jpeg_entropy_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG ENTROPY codec end-to-end, stdlib-only: per doc, a
+    closed-form plan of quantized DCT coefficients is packed into a
+    spec-compliant JFIF stream — DQT, SOF0, canonical-Huffman DHT, DRI,
+    SOS, DC-predicted (run,size) entropy coding with ZRL/EOB, 0xFF00
+    byte stuffing, RSTn restarts every 4 MCUs — then DECODED by a full
+    parser that rebuilds the Huffman tables from the stream and
+    recovers every coefficient exactly. The oracle replays the
+    closed form (including the dequantization against the DQT table),
+    so one wrong Huffman bit, stuffed byte, restart reset, or zigzag
+    index breaks the hash. The float IDCT is deliberately out of
+    scope: JPEG's structural complexity is the entropy layer, and that
+    layer is hash-certified here (operators/jpeg.py)."""
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_features,
+        synthesize_jpeg,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return decode_jpeg_features(synthesize_jpeg(docs))

@@ -61,6 +61,7 @@ _REPRESENTATIVE = (
     "bloom_prefilter_census",           # bloom build/probe on 0 docs
     "cms_heavy_hitters",                # sketch build/probe on 0 events
     "char_bigram_familiarity",          # corpus-trained scoring on 0 docs
+    "jpeg_entropy_roundtrip_features",  # JPEG entropy codec on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
