@@ -61,6 +61,7 @@ NEVER_CHECKED_R5: tuple[str, ...] = (
 NEW_R5: tuple[str, ...] = (
     "png_decode_features", "bpe_fixed_merge_encode_census",
     "zorder_bucket_stats", "bloom_prefilter_census", "cms_heavy_hitters",
+    "char_bigram_familiarity", "jpeg_entropy_roundtrip_features",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -88,8 +89,8 @@ CORE_FIRST: tuple[str, ...] = (
     # by the events fuzz family)
     "conversion_funnel",
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
-    "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
-    "marker_extraction", "national_revenue",
+    "group_count_by_type", "lang_corpus_stats",
+    "national_revenue",
     "orders_by_month", "per_user_activity", "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
     "simhash_fingerprints",
