@@ -62,6 +62,8 @@ _REPRESENTATIVE = (
     "cms_heavy_hitters",                # sketch build/probe on 0 events
     "char_bigram_familiarity",          # corpus-trained scoring on 0 docs
     "jpeg_entropy_roundtrip_features",  # JPEG entropy codec on 0 docs
+    "cdc_apply_net_state",              # change-log reduce on 0 rows
+    "scd2_user_type_history",           # SCD2 windows on 0 rows
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
