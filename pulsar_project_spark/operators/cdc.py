@@ -33,8 +33,11 @@ def cdc_net_state(changes: DataFrame, key: str, seq: str, tiebreak: str,
     (seq, tiebreak)-max row wins; keys whose winning op is a delete
     vanish. Emits (key, payload..., last_op, n_changes).
 
-    Scale: one hash shuffle on the key with map-side partial
-    ``max_by``/``count`` — no window sort, no per-key state."""
+    Scale: ONE exchange on the key; struct-max rules out Tungsten hash
+    aggregation (Spark plans SortAggregate) but partial aggregation
+    still runs map-side, so the shuffle carries one row per (partition,
+    key) — unlike the window form, which ships every change row
+    through a full partition sort."""
     winner = F.max(
         F.struct(F.col(seq), F.col(tiebreak), F.col(op).alias("__op"),
                  *[F.col(c).alias(f"__p_{c}") for c in payload])
