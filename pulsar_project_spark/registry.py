@@ -62,6 +62,7 @@ NEW_R5: tuple[str, ...] = (
     "png_decode_features", "bpe_fixed_merge_encode_census",
     "zorder_bucket_stats", "bloom_prefilter_census", "cms_heavy_hitters",
     "char_bigram_familiarity", "jpeg_entropy_roundtrip_features",
+    "cdc_apply_net_state", "scd2_user_type_history",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -87,11 +88,15 @@ CORE_FIRST: tuple[str, ...] = (
     # (boolean_normalize / numeric_convertibility yielded their slots
     # to the round-5 sketch queries — both stay continuously covered
     # by the events fuzz family)
+    # (group_count_by_type / per_user_activity / boolean_normalize /
+    # numeric_convertibility / filename_sanitize / marker_extraction /
+    # clean_string_projection ceded their slots to round-5 additions —
+    # all stay covered by the events fuzz family or r2 verdicts)
     "conversion_funnel",
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
-    "group_count_by_type", "lang_corpus_stats",
+    "lang_corpus_stats",
     "national_revenue",
-    "orders_by_month", "per_user_activity", "pricing_summary",
+    "orders_by_month", "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
     "simhash_fingerprints",
 )
