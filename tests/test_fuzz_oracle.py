@@ -130,6 +130,15 @@ _PIPELINE_FUZZED = (
     "bpe_token_counts",
     "feature_hash_embeddings",
     "simhash_fingerprints",
+    # round-5 additions: corpus scoring, dedup prefilter, real codecs
+    "char_bigram_familiarity",
+    "bloom_prefilter_census",
+    "bpe_fixed_merge_encode_census",
+    "png_decode_features",
+    "jpeg_entropy_roundtrip_features",
+    "wav_codec_roundtrip_features",
+    "pgm_resize_features",
+    "rawv_frame_sample_features",
     # multimodal family (payload = text bytes)
     "multimodal_asset_catalog",
     "image_decode_stub",
@@ -243,6 +252,10 @@ _EVENTS_FUZZED = (
     "ordered_funnel_stages",
     "cohort_retention_matrix",
     "interval_join_bucketed",
+    # round-5 additions: sketch probe + CDC/SCD2 change-log reductions
+    "cms_heavy_hitters",
+    "cdc_apply_net_state",
+    "scd2_user_type_history",
 )
 
 
@@ -354,6 +367,8 @@ _STAR_FUZZED = (
     "customer_order_count_distribution",
     "orders_above_customer_avg",
     "fact_fact_smj_rollup",
+    # round-5: Morton-bucket layout census (orders dims)
+    "zorder_bucket_stats",
 )
 
 
