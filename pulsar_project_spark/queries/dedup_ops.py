@@ -371,3 +371,66 @@ def q_bloom_prefilter_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("verdict").agg(F.count("*").alias("n_docs"))
     )
+
+
+_PRIORITY_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         -- unparseable source names rank LAST (coalesce to max), so
+         -- Spark's nulls-first struct-min and DuckDB's NULLS LAST can't
+         -- diverge on dirty feeds
+         COALESCE(TRY_CAST(substr(source, 4) AS BIGINT),
+                  9223372036854775807) AS prio,
+         md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY prio ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS n_copies,
+         count(DISTINCT source) OVER (PARTITION BY fingerprint) AS n_sources
+  FROM fp
+)
+SELECT fingerprint, doc_id AS keeper_doc_id, source AS keeper_source,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(n_sources AS BIGINT) AS n_sources
+FROM ranked WHERE rn = 1
+"""
+
+
+@declare("priority_source_dedup", oracle=_PRIORITY_SQL)
+def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source canonical dedup with SOURCE PRIORITY — the
+    training-corpus rule 'when the same document arrives from several
+    feeds, keep the most trusted feed's copy' (wiki > books > web;
+    here the numeric source suffix is the trust rank). Per
+    fingerprint: keeper = argmin (priority, doc_id) via one grouped
+    struct-min (map-side partials, no window for the keeper itself);
+    copy/source counts ride the same shuffle. first-seen-wins dedup
+    (`exact_dedup_fingerprint`) is the priority-free special case."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    from pulsar_project_spark.operators.dedup import fingerprint_md5
+    fp = docs.select(
+        "doc_id", "source",
+        F.expr("coalesce(try_cast(substring(source, 4) as bigint), "
+               "9223372036854775807L)").alias("prio"),
+        fingerprint_md5("text").alias("fingerprint"),
+    )
+    winner = F.min(
+        F.struct("prio", "doc_id", F.col("source").alias("__src"))
+    ).alias("w")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(winner, F.count("*").alias("n_copies"),
+             F.countDistinct("source").alias("n_sources"))
+        .select(
+            "fingerprint",
+            F.col("w.doc_id").alias("keeper_doc_id"),
+            F.col("w.__src").alias("keeper_source"),
+            "n_copies", "n_sources",
+        )
+    )

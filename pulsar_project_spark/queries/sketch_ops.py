@@ -200,3 +200,42 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "exact_n", "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
     )
+
+
+_EXACT_K_SQL = """
+SELECT event_id, event_type
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC
+         ) AS rn
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+) WHERE rn <= 50
+"""
+
+
+@declare("exact_k_per_group_sample", oracle=_EXACT_K_SQL)
+def q_exact_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling — the fixed-BUDGET
+    twin of the rate-based ``hash_stratified_sample``: per event type,
+    the 50 rows whose md5(event_id) sorts first. Membership is a pure
+    function of the data (survives reshuffles, engine versions, and
+    cluster size — a seeded RNG's stream does not), and the per-group
+    hash order means adding new rows displaces members uniformly at
+    random rather than biasing toward old or new data. One window over
+    a single (type) shuffle; at 100 TB, k rows per group is the shape
+    of eval-set carving and per-source inspection pulls."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("event_id", "event_type")
+    )

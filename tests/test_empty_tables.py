@@ -64,6 +64,8 @@ _REPRESENTATIVE = (
     "jpeg_entropy_roundtrip_features",  # JPEG entropy codec on 0 docs
     "cdc_apply_net_state",              # change-log reduce on 0 rows
     "scd2_user_type_history",           # SCD2 windows on 0 rows
+    "priority_source_dedup",            # priority argmin on 0 docs
+    "exact_k_per_group_sample",         # windowed budget on 0 rows
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -132,6 +132,7 @@ _PIPELINE_FUZZED = (
     "simhash_fingerprints",
     # round-5 additions: corpus scoring, dedup prefilter, real codecs
     "char_bigram_familiarity",
+    "priority_source_dedup",
     "bloom_prefilter_census",
     "bpe_fixed_merge_encode_census",
     "png_decode_features",
@@ -256,6 +257,7 @@ _EVENTS_FUZZED = (
     "cms_heavy_hitters",
     "cdc_apply_net_state",
     "scd2_user_type_history",
+    "exact_k_per_group_sample",
 )
 
 
