@@ -63,6 +63,7 @@ NEW_R5: tuple[str, ...] = (
     "zorder_bucket_stats", "bloom_prefilter_census", "cms_heavy_hitters",
     "char_bigram_familiarity", "jpeg_entropy_roundtrip_features",
     "cdc_apply_net_state", "scd2_user_type_history",
+    "priority_source_dedup", "exact_k_per_group_sample",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -94,11 +95,9 @@ CORE_FIRST: tuple[str, ...] = (
     # all stay covered by the events fuzz family or r2 verdicts)
     "conversion_funnel",
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
-    "lang_corpus_stats",
     "national_revenue",
     "orders_by_month", "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
-    "simhash_fingerprints",
 )
 
 

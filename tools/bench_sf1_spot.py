@@ -48,6 +48,11 @@ ROUND5_ADDITIONS = (
     "wav_codec_roundtrip_features", "pgm_resize_features",
     "rawv_frame_sample_features", "png_decode_features",
     "bpe_fixed_merge_encode_census",
+    "jpeg_entropy_roundtrip_features", "zorder_bucket_stats",
+    "bloom_prefilter_census", "cms_heavy_hitters",
+    "char_bigram_familiarity", "cdc_apply_net_state",
+    "scd2_user_type_history", "priority_source_dedup",
+    "exact_k_per_group_sample",
 )
 
 SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS
