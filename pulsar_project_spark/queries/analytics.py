@@ -271,3 +271,116 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")).otherwise(zero)
         ).cast("double").alias("purchase_value"),
     )
+
+
+@declare(
+    "nation_trade_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS ship_year,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: cross-border revenue per
+    (supplier nation, customer nation, ship year). Plan shape this adds
+    to the audit surface: the SAME dimension (nation) broadcast twice
+    under different roles — the fact stream passes one orderkey hash
+    join (fact-fact) and four broadcast hash joins, then a single
+    grouped aggregate; zero fact-side shuffles beyond the orderkey
+    join. Wall-clock year off the naive ship timestamp is
+    session-timezone-proof (same mechanism as ``orders_by_month``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_price() * _disc_factor()).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "market_share_by_year",
+    oracle=f"""
+WITH vol AS (
+  SELECT strftime(o_orderdate, '%Y') AS order_year,
+         n1.n_name AS supp_nation,
+         {_PRICE} * {_DISC} AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+)
+SELECT order_year,
+       CASE WHEN sum(volume) = 0 THEN NULL
+            ELSE CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) END AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume,
+       count(*) AS n_items
+FROM vol GROUP BY order_year
+""",
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_0's fraction of total sold
+    volume per order year — a conditional aggregate over the same
+    broadcast-snowflake stream as Q7, with the share emitted as ONE
+    double division over two exactly-summed DECIMAL totals (the
+    repo-wide float discipline: the only float op is the final
+    correctly-rounded division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            F.col("n_name").alias("supp_nation"),
+            (_price() * _disc_factor()).alias("volume"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    # all-zero-volume years yield NULL share, not a DIVIDE_BY_ZERO under
+    # ANSI (and not a NaN-vs-NULL hash mismatch) — guarded identically
+    # in the oracle
+    return vol.groupBy("order_year").agg(
+        F.when(
+            F.sum("volume") != 0,
+            F.sum(F.when(F.col("supp_nation") == "NATION_0",
+                         F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+        F.count("*").alias("n_items"),
+    )

@@ -66,6 +66,8 @@ _REPRESENTATIVE = (
     "scd2_user_type_history",           # SCD2 windows on 0 rows
     "priority_source_dedup",            # priority argmin on 0 docs
     "exact_k_per_group_sample",         # windowed budget on 0 rows
+    "nation_trade_volume",              # double-role dim joins on 0 facts
+    "market_share_by_year",             # conditional agg share on 0 facts
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

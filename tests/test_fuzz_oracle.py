@@ -369,8 +369,11 @@ _STAR_FUZZED = (
     "customer_order_count_distribution",
     "orders_above_customer_avg",
     "fact_fact_smj_rollup",
-    # round-5: Morton-bucket layout census (orders dims)
+    # round-5: Morton-bucket layout census (orders dims) + Q7/Q8 shapes
     "zorder_bucket_stats",
+    "nation_trade_volume",
+    "market_share_by_year",
+    "national_revenue",
 )
 
 
@@ -378,7 +381,9 @@ def _write_warehouse(w) -> str:
     import shutil
 
     sf_dir = tempfile.mkdtemp(prefix="fuzz_wh_")
-    for t in ("region", "nation"):
+    for t in ("region", "nation", "supplier"):
+        # static dims, catalog-sized; lineitem fuzz pins l_suppkey = 0,
+        # so supplier-side joins resolve to one real supplier row
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
                     f"{sf_dir}/{t}.parquet")
 
@@ -455,7 +460,8 @@ def test_star_family_matches_oracle_on_random_warehouses(spark, w):
 
     sf_dir = _write_warehouse(w)
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
+    for t in ("region", "nation", "supplier", "customer", "orders",
+              "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
