@@ -401,29 +401,42 @@ def char_bigram_familiarity(docs, id_col: str = "doc_id",
     log table replaced by raw corpus counts so every number is an
     exact integer (no cross-engine float-log drift).
 
-    Scale shape: ONE explode to bigrams feeding both consumers — the
-    corpus table is a groupBy over a tiny domain (≤ ~4k ASCII bigrams,
-    map-side combinable to almost nothing), broadcast back onto the
-    per-doc bigram stream for the scoring join; no row ever shuffles
-    on doc_id. Docs shorter than 2 chars are dropped explicitly (also
-    keeps Spark's sequence() from its negative-step branch)."""
+    Scale shape: the per-char explode — the unavoidable cost — runs
+    ONCE: it aggregates straight into the per-(doc, bigram) count
+    relation (~100× smaller than the raw bigram stream), which is
+    materialized with ``localCheckpoint`` because BOTH consumers read
+    it — the corpus table is derived from it by a second tiny groupBy
+    (sum of per-doc counts ≡ raw count; ≤ ~4k ASCII bigram groups,
+    map-side combinable to almost nothing), then broadcast back onto
+    it for the scoring join. Without the checkpoint Catalyst would
+    re-execute the explode subtree once per consumer (measured 62 s →
+    ~2× cheaper at sf1). Docs shorter than 2 chars are dropped
+    explicitly (also keeps Spark's sequence() from its negative-step
+    branch)."""
     from pyspark.sql import functions as F
 
     base = docs.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
         & F.col(id_col).isNotNull()
     )
-    bi = base.select(
+    per_doc = base.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("i"),
         F.col(text_col),
-    ).select(id_col, F.expr(f"substring({text_col}, i, 2)").alias("bg"))
-    table = bi.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ).select(
+        id_col, F.expr(f"substring({text_col}, i, 2)").alias("bg")
+    ).groupBy(id_col, "bg").agg(
+        F.count("*").alias("cnt_in_doc")
+    ).localCheckpoint(eager=True)
+    table = per_doc.groupBy("bg").agg(
+        F.sum("cnt_in_doc").alias("cnt")
+    )
     return (
-        bi.join(F.broadcast(table), "bg")
+        per_doc.join(F.broadcast(table), "bg")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("cnt").cast("bigint").alias("familiarity_sum"),
+            F.sum("cnt_in_doc").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt_in_doc") * F.col("cnt")).cast("bigint")
+             .alias("familiarity_sum"),
         )
     )
