@@ -90,3 +90,13 @@ def q_mq_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_project_spark.sources.mq import roundtrip_pipeline
 
     return roundtrip_pipeline(spark, sf_dir)
+
+
+@declare("streaming_cdc_apply")
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC: the change log as micro-batches, folded into a
+    state table by a seq-respecting max-struct MERGE (retry/out-of-order
+    safe); tombstoned deletes filtered at read. Named twin:
+    ``cdc_apply_net_state`` (oracle-backed)."""
+    from pulsar_project_spark.streaming.pipeline import run_streaming_cdc_apply
+    return run_streaming_cdc_apply(spark, sf_dir)

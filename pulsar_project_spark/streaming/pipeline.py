@@ -521,3 +521,91 @@ def run_streaming_debounce_tws(spark: SparkSession, sf_dir: str,
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the reference's dict-mutation replay
+    (``manager.py`` upsert/delete) as a STREAM: the change log arrives
+    in micro-batches, each batch reduces to its per-key winner, and a
+    seq-respecting MERGE folds it into the state table (winner = max
+    (ts, id) struct across current ∪ batch — NOT last-writer-wins, so
+    out-of-order and replayed batches cannot regress a key; deletes
+    persist as tombstones and are filtered at read). The final state
+    equals the batch ``cdc_apply_net_state`` (its named oracle-backed
+    twin) on the idempotent columns; the max-merge makes every batch
+    retry a no-op, which is the exactly-once story without a
+    transactional table format."""
+    state_dir = tempfile.mkdtemp(prefix="cdcstate_")
+    state_path = os.path.join(state_dir, "state")
+    ev = events_stream(spark, sf_dir)
+    log = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id", "ts_us", "event_id", "value", "event_type",
+        F.expr(
+            "CASE WHEN event_id % 11 = 0 THEN 'D' "
+            "WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END"
+        ).alias("op"),
+    )
+
+    def _winner():
+        return F.max(F.struct(
+            "ts_us", "event_id", F.col("op").alias("__op"),
+            F.col("value").alias("__value"),
+            F.col("event_type").alias("__etype"),
+        )).alias("w")
+
+    def _flatten(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("w.ts_us").alias("ts_us"),
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.__op").alias("op"),
+            F.col("w.__value").alias("value"),
+            F.col("w.__etype").alias("event_type"),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch_state = _flatten(batch_df.groupBy("user_id").agg(_winner()))
+        if os.path.isdir(state_path):
+            cur = s.read.parquet(state_path)
+            both = cur.unionByName(batch_state)
+        else:
+            both = batch_state
+        merged = _flatten(
+            both.select(
+                "user_id",
+                F.struct("ts_us", "event_id", F.col("op").alias("__op"),
+                         F.col("value").alias("__value"),
+                         F.col("event_type").alias("__etype")).alias("__s"),
+            ).groupBy("user_id").agg(F.max("__s").alias("w"))
+        )
+        staged = state_path + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(state_path):
+            old = state_path + ".old"
+            os.rename(state_path, old)
+            os.rename(staged, state_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, state_path)
+
+    with _state_partitions(spark):
+        q = (
+            log.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(state_path)
+    return final.filter(F.col("op") != "D").select(
+        "user_id", "value", "event_type", F.col("op").alias("last_op")
+    )

@@ -193,6 +193,7 @@ TWIN_OF = {
     "streaming_exact_dedup": "group_count_by_type",
     "streaming_stream_stream_join": "attribution_window_join",
     "mq_pipeline_roundtrip": "group_count_by_type",
+    "streaming_cdc_apply": "cdc_apply_net_state",
 }
 
 
@@ -356,3 +357,15 @@ def test_tws_debounce_gated_without_protobuf(spark):
         import pytest as _pytest
         with _pytest.raises(ImportError, match="run_streaming_debounce"):
             run_streaming_debounce_tws(spark, SF_SMOKE)
+
+
+def test_twin_cdc_apply(spark):
+    # streaming state table == batch reduce on the idempotent columns
+    # (n_changes stays batch-only: counters aren't retry-idempotent
+    # without a transactional log, values under max-merge are)
+    got = {tuple(r) for r in
+           _declared("streaming_cdc_apply")(spark, SF_SMOKE).collect()}
+    want = {(r.user_id, r.value, r.event_type, r.last_op) for r in
+            _declared(TWIN_OF["streaming_cdc_apply"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
