@@ -39,12 +39,16 @@ def declare(name: str, oracle: str | None = None):
 # set is pinned BY NAME. Round-5 rotation: after rounds 1-4 (cumulative
 # 124 distinct driver-green, 0 ever-failed), exactly 16 oracle-backed
 # queries — all added late in round 4 — have never been inside a driver
-# budget window; they take slots 2-17. Slots 18-19 are the queries NEW
-# this round (the stdlib-zlib PNG codec, the fixed-merge BPE encode
-# twin). The remaining slots re-certify (a) every query whose module
-# changed THIS round after its last verdict (temporal/interval join
-# fix, text_analysis merge-order fix, io_ops split fix, multimodal PNG
-# addition), then (b) the stalest green queries (last verdict round 2).
+# budget window; they take slots 2-17. The next block is every query
+# NEW this round (PNG codec, JPEG entropy codec, fixed-merge BPE twin,
+# Z-order census, Bloom prefilter, count-min probe, char-bigram
+# scoring, CDC/SCD2, priority dedup, exact-k sample, Q7/Q8 analytics).
+# The remaining slots re-certify (a) every query whose module changed
+# THIS round after its last verdict (temporal/interval join fix,
+# text_analysis merge-order fix, io_ops split fix, multimodal PNG
+# addition), then (b) the stalest green queries (last verdict round 2;
+# several ceded their slots to the round-5 additions and stay covered
+# by the fuzz families).
 # ``simple_rag_topk`` stays the slot-1 canary.
 # tests/test_registry_order.py regression-gates this list.
 NEVER_CHECKED_R5: tuple[str, ...] = (
