@@ -115,3 +115,35 @@ def q_sql_nation_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcasts, the orders⋈customer join shuffles on the customer key."""
     register_views(spark, sf_dir)
     return spark.sql(_NATION_LOYALTY_SQL)
+
+
+_TRADE_VOLUME_IDENTICAL_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@declare("sql_trade_volume_identical", oracle=_TRADE_VOLUME_IDENTICAL_SQL)
+def q_sql_trade_volume_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL twin of ``nation_trade_volume``: the IDENTICAL ANSI
+    text — six-table join with the SAME dimension aliased twice, exact
+    DECIMAL volume, ``year()`` on the naive ship timestamp (wall-clock
+    extraction, session-timezone-proof in both engines) — runs through
+    ``spark.sql`` over registered views AND through DuckDB as its own
+    oracle. The strongest SQL-surface parity statement for the round-5
+    analytics shape; Catalyst still broadcasts the dims and pushes the
+    inequality filter."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TRADE_VOLUME_IDENTICAL_SQL)

@@ -108,9 +108,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view so operators can be written in
-    either DataFrame or SQL form against the same catalog."""
-    dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    """Register every PRESENT table as a temp view so operators can be
+    written in either DataFrame or SQL form against the same catalog.
+    Missing files are skipped, not errors: a partial warehouse (a fuzz
+    corpus, a pruned landing zone, a dims-only catalog) is a normal
+    state, and a pure-SQL query fails with a clear unresolved-relation
+    message only if it actually references an absent table."""
+    import os
+
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        if os.path.exists(table_path(sf_dir, name)):
+            dfs[name] = load_table(spark, sf_dir, name)
+            dfs[name].createOrReplaceTempView(name)
     return dfs

@@ -68,6 +68,7 @@ _REPRESENTATIVE = (
     "exact_k_per_group_sample",         # windowed budget on 0 rows
     "nation_trade_volume",              # double-role dim joins on 0 facts
     "market_share_by_year",             # conditional agg share on 0 facts
+    "sql_trade_volume_identical",       # identical-text SQL on 0 facts
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -374,6 +374,7 @@ _STAR_FUZZED = (
     "nation_trade_volume",
     "market_share_by_year",
     "national_revenue",
+    "sql_trade_volume_identical",
 )
 
 
