@@ -80,3 +80,48 @@ def cms_estimate(probes: DataFrame, cms: DataFrame,
         *[c for c in probes.columns],
         est.cast("bigint").alias("cms_estimate"),
     )
+
+
+# --- Linear-counting distinct sketch -----------------------------------------
+#
+# Third member of the relational sketch trio: Bloom answers membership,
+# count-min answers frequency, linear counting answers DISTINCT — and
+# like the other two its state is pure relational algebra (a bitmap as
+# a (group, word_idx, bits) relation, one bit_or aggregation), so the
+# oracle certifies every bit. The ESTIMATE (-m·ln(z/m)) involves a
+# transcendental whose last bits differ across libms, so the declared
+# query emits the exact integers (set-bit count, m) and leaves the one
+# float op to the consumer; tests pin the estimate's accuracy.
+
+LC_M_BITS = 1 << 13       # 8,192 bits per group (~1 KB) — good to ~5k
+LC_WORD_BITS = 62         # same DuckDB 1<<63 overflow dodge as the bloom
+
+
+def lc_build(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, word_idx BIGINT, bits BIGINT): per-group linear-counting
+    bitmap — every key hashes to ONE bit (md5 lane, as the bloom's).
+    One projection + one bit_or groupBy over ≤ groups × m/62 cells;
+    bitmaps merge across shards by bit_or, so partial aggregation
+    combines map-side like any other distributive agg."""
+    pos = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+        f"16, 10) as bigint) % {LC_M_BITS}"
+    )
+    cells = df.select(F.col(group_col), pos.alias("pos"))
+    return cells.groupBy(
+        group_col, F.expr(f"pos div {LC_WORD_BITS}").alias("word_idx")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, cast(pos % {LC_WORD_BITS} as int)))")
+        .alias("bits")
+    )
+
+
+def lc_set_bits(lc: DataFrame, group_col: str) -> DataFrame:
+    """Per-group census of the bitmap: exact set-bit count (bit_count
+    is JVM-native popcount) + the sketch size. ``n_set_bits`` is the
+    sufficient statistic: distinct ≈ -m·ln(1 - n_set_bits/m), left to
+    the consumer to keep the relation engine-exact."""
+    return lc.groupBy(group_col).agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_set_bits"),
+        F.lit(LC_M_BITS).cast("bigint").alias("m_bits"),
+    )

@@ -239,3 +239,54 @@ def q_exact_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("event_id", "event_type")
     )
+
+
+_LC_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), cells AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8192 AS pos
+  FROM ev
+), lc AS (
+  SELECT event_type, pos // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits
+  FROM cells GROUP BY 1, 2
+), setb AS (
+  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_set_bits
+  FROM lc GROUP BY 1
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact_distinct
+  FROM ev GROUP BY 1
+)
+SELECT ex.event_type, ex.n_exact_distinct, s.n_set_bits,
+       CAST(8192 AS BIGINT) AS m_bits
+FROM ex JOIN setb s ON ex.event_type = s.event_type
+"""
+
+
+@declare("lc_distinct_bitmap_census", oracle=_LC_SQL)
+def q_lc_distinct_bitmap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct sketch, ORACLE-CERTIFIED at the bit
+    level — completing the relational sketch trio (Bloom membership,
+    count-min frequency, linear-counting distinct; HLL stays the
+    engine-private rows-only production path). Per event type, every
+    user hashes to one bit of an 8,192-bit bitmap held as a
+    (type, word, bits) relation — mergeable across shards by bit_or —
+    and the census emits the EXACT sufficient statistic (popcount, m)
+    next to the exact distinct count. The -m·ln(1-z/m) estimate is one
+    transcendental whose last bits vary per libm, so it stays out of
+    the hashed relation; tests/test_count_min.py pins its accuracy."""
+    from pulsar_project_spark.operators.sketches import lc_build, lc_set_bits
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select("event_type", "user_id")
+    setb = lc_set_bits(lc_build(ev, "event_type", "user_id"), "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_distinct")
+    )
+    return exact.join(setb, "event_type").select(
+        "event_type", "n_exact_distinct", "n_set_bits", "m_bits"
+    )

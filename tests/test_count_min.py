@@ -75,3 +75,41 @@ def test_overestimate_bounded_at_design_load(spark):
     )
     q99 = over.selectExpr("percentile(over, 0.99) AS q").collect()[0]["q"]
     assert q99 <= bound, f"99th-pct overestimate {q99} > bound {bound}"
+
+
+def test_linear_counting_estimate_accuracy(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.sketches import (
+        LC_M_BITS,
+        lc_build,
+        lc_set_bits,
+    )
+
+    # one group, ~2000 true distinct keys at m=8192 (load factor ~0.25)
+    df = spark.range(40_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 2000).alias("key")
+    )
+    [row] = lc_set_bits(lc_build(df, "g", "key"), "g").collect()
+    z = LC_M_BITS - row["n_set_bits"]
+    est = -LC_M_BITS * math.log(z / LC_M_BITS)
+    assert abs(est - 2000) / 2000 < 0.05
+
+    # merge property: two shard bitmaps OR to the whole's bitmap
+    left = df.filter(F.col("id") % 2 == 0)
+    right = df.filter(F.col("id") % 2 == 1)
+    merged = (
+        lc_build(left, "g", "key").unionByName(lc_build(right, "g", "key"))
+        .groupBy("g", "word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = lc_build(df, "g", "key")
+    diff = (
+        merged.alias("m").join(whole.alias("w"), ["g", "word_idx"], "full")
+        .filter(F.coalesce(F.col("m.bits"), F.lit(0))
+                != F.coalesce(F.col("w.bits"), F.lit(0)))
+        .count()
+    )
+    assert diff == 0

@@ -69,6 +69,7 @@ _REPRESENTATIVE = (
     "nation_trade_volume",              # double-role dim joins on 0 facts
     "market_share_by_year",             # conditional agg share on 0 facts
     "sql_trade_volume_identical",       # identical-text SQL on 0 facts
+    "lc_distinct_bitmap_census",        # bitmap sketch on 0 events
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

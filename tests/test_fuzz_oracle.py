@@ -258,6 +258,7 @@ _EVENTS_FUZZED = (
     "cdc_apply_net_state",
     "scd2_user_type_history",
     "exact_k_per_group_sample",
+    "lc_distinct_bitmap_census",
 )
 
 
