@@ -595,21 +595,16 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .mapInPandas(batches, out_schema))
 
 
-def decode_png_features(pngs: DataFrame) -> DataFrame:
-    """REAL PNG decode with no codec library: verify the signature, walk
-    the chunk stream CHECKING every CRC, parse IHDR, reassemble the
-    possibly-split IDAT stream, ``zlib.decompress``, and unfilter each
-    scanline per its filter byte (all five types; Sub is a mod-256
-    cumulative sum, Up/None vectorize directly, Average and Paeth run
-    the spec recurrences). Emits exact integer pixel features of the
-    reconstructed image — compared against the closed-form oracle, this
-    certifies the whole container + compression + filter pipeline."""
+def _decode_png_one(payload: bytes):
+    """Strict single-asset PNG parse + unfilter (raises on any damage)
+    — shared by the strict and permissive decode passes. Returns
+    (w, h, n_idat, img)."""
     import struct
     import zlib as _zlib
 
     import numpy as np
 
-    def decode_one(payload: bytes):
+    if True:  # keep the original body's indentation
         assert payload[:8] == _PNG_SIG, "bad PNG signature"
         off, w = 8, None
         idat, n_idat = [], 0
@@ -661,11 +656,21 @@ def decode_png_features(pngs: DataFrame) -> DataFrame:
             img[r] = recon
         return w, h, n_idat, img
 
+
+def decode_png_features(pngs: DataFrame) -> DataFrame:
+    """REAL PNG decode with no codec library: verify the signature, walk
+    the chunk stream CHECKING every CRC, parse IHDR, reassemble the
+    possibly-split IDAT stream, ``zlib.decompress``, and unfilter each
+    scanline per its filter byte (all five types; Sub is a mod-256
+    cumulative sum, Up/None vectorize directly, Average and Paeth run
+    the spec recurrences). Emits exact integer pixel features of the
+    reconstructed image — compared against the closed-form oracle, this
+    certifies the whole container + compression + filter pipeline."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
-                w, h, n_idat, img = decode_one(payload)
+                w, h, n_idat, img = _decode_png_one(payload)
                 rows.append((int(doc_id), w, h, n_idat, int(img.size),
                              int(img.sum()), int(img.max())))
             yield pd.DataFrame(
@@ -673,3 +678,37 @@ def decode_png_features(pngs: DataFrame) -> DataFrame:
                                "n_px", "sum_px", "max_px"])
 
     return pngs.mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+PNG_PERMISSIVE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("status", StringType()),
+    StructField("n_px", LongType()),
+    StructField("sum_px", LongType()),
+])
+
+
+def decode_png_features_permissive(pngs: DataFrame) -> DataFrame:
+    """PERMISSIVE decode — the fault-tolerance posture a 100 TB asset
+    scan requires: one corrupt payload must become an ERROR ROW, never
+    a dead executor task (Spark retries the whole task 4x and then
+    kills the JOB — a single bad image in a billion would otherwise
+    halt the pipeline). Same full parser as ``decode_png_features``;
+    any per-asset failure (bad signature, CRC mismatch, inflate error,
+    truncation) is caught AT THE ASSET BOUNDARY and emitted as
+    ``status='error'`` with NULL features, mirroring the PERMISSIVE +
+    ``_corrupt_record`` stance of ``corrupt_json_lines_census``."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+                try:
+                    w, h, _n_idat, img = _decode_png_one(payload)
+                    rows.append((int(doc_id), "ok", int(img.size),
+                                 int(img.sum())))
+                except Exception:
+                    rows.append((int(doc_id), "error", None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "n_px", "sum_px"])
+
+    return pngs.mapInPandas(batches, PNG_PERMISSIVE_SCHEMA)

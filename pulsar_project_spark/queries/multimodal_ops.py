@@ -374,3 +374,72 @@ def q_jpeg_entropy_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataF
         F.col("doc_id").isNotNull()
     )
     return decode_jpeg_features(synthesize_jpeg(docs))
+
+
+@declare(
+    "png_permissive_decode_census",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 + (doc_id % 4) * 8 AS w,
+         12 + (doc_id % 3) * 8 AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), px AS (
+  SELECT d.doc_id, (3 * x.x + 5 * y.y + d.doc_id) % 256 AS v
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y
+  WHERE d.doc_id % 7 != 0
+), ok AS (
+  SELECT 'ok' AS status, count(DISTINCT doc_id) AS n_assets,
+         CAST(sum(v) AS BIGINT) AS total_sum_px
+  FROM px
+), err AS (
+  SELECT 'error' AS status, count(*) AS n_assets,
+         CAST(NULL AS BIGINT) AS total_sum_px
+  FROM d WHERE doc_id % 7 = 0
+)
+SELECT * FROM ok WHERE n_assets > 0
+UNION ALL
+SELECT * FROM err WHERE n_assets > 0
+""",
+)
+def q_png_permissive_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-asset-tolerant PNG decode — the codec counterpart of
+    ``corrupt_json_lines_census`` and the posture a 100 TB asset scan
+    REQUIRES: every 7th synthesized PNG gets one byte of its IHDR data
+    overwritten (JVM-side binary splice, so the CRC no longer matches),
+    and the PERMISSIVE decoder turns each damaged asset into a
+    ``status='error'`` row instead of a task-killing exception — one
+    bad image in a billion must not halt the job (Spark retries a
+    failing task 4x, then fails the whole stage). The census counts
+    both outcomes and totals the decoded pixels; the oracle replays
+    the corruption rule and the closed-form pixel sums, so a decoder
+    that silently mis-decoded damage (instead of detecting it via CRC)
+    would corrupt total_sum_px and break the hash."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_png_features_permissive,
+        synthesize_png,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    pngs = synthesize_png(docs)
+    corrupted = pngs.withColumn(
+        "png",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            # overwrite byte 21 (IHDR height high byte, always 0x00 at
+            # these sizes) with 0xFF: guaranteed CRC mismatch
+            F.concat(
+                F.expr("substring(png, 1, 20)"),
+                F.expr("X'FF'"),
+                F.expr("substring(png, 22, octet_length(png) - 21)"),
+            ),
+        ).otherwise(F.col("png")),
+    )
+    feats = decode_png_features_permissive(corrupted)
+    return feats.groupBy("status").agg(
+        F.countDistinct("doc_id").alias("n_assets"),
+        F.sum("sum_px").alias("total_sum_px"),
+    )

@@ -70,6 +70,7 @@ _REPRESENTATIVE = (
     "market_share_by_year",             # conditional agg share on 0 facts
     "sql_trade_volume_identical",       # identical-text SQL on 0 facts
     "lc_distinct_bitmap_census",        # bitmap sketch on 0 events
+    "png_permissive_decode_census",     # corrupt-tolerant codec on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -136,6 +136,7 @@ _PIPELINE_FUZZED = (
     "bloom_prefilter_census",
     "bpe_fixed_merge_encode_census",
     "png_decode_features",
+    "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
     "wav_codec_roundtrip_features",
     "pgm_resize_features",
