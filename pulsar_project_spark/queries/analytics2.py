@@ -110,9 +110,10 @@ WITH nat AS (
   GROUP BY r_name, n_name
 )
 SELECT region, nation, rev_cents,
-       CAST(rev_cents AS DOUBLE)
-         / CAST(sum(rev_cents) OVER (PARTITION BY region) AS BIGINT)
-         AS region_share
+       CASE WHEN sum(rev_cents) OVER (PARTITION BY region) = 0 THEN NULL
+            ELSE CAST(rev_cents AS DOUBLE)
+                 / CAST(sum(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+       END AS region_share
 FROM nat
 """
 
@@ -142,9 +143,14 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("rev_cents"))
     )
     w = Window.partitionBy("region")
+    # an all-zero-revenue region yields NULL shares, not a
+    # DIVIDE_BY_ZERO under ANSI (guarded identically in the oracle —
+    # found by the warehouse fuzz on zero-price orders)
     return nat.select(
         "region", "nation", "rev_cents",
-        (F.col("rev_cents").cast("double")
-         / F.sum("rev_cents").over(w).cast("bigint"))
-        .alias("region_share"),
+        F.when(
+            F.sum("rev_cents").over(w) != 0,
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w).cast("bigint"),
+        ).alias("region_share"),
     )

@@ -124,6 +124,10 @@ _PIPELINE_FUZZED = (
     "marker_extraction",
     # text analysis family
     "lang_corpus_stats",
+    "distinct_tokens_except_stopwords",
+    "term_frequency_top20",
+    "token_count_destopped",
+    "quality_scores",
     "langid_profile_scores",
     "langid_confusion_matrix",
     "lang_sampling_weights",
@@ -377,6 +381,19 @@ _STAR_FUZZED = (
     "market_share_by_year",
     "national_revenue",
     "sql_trade_volume_identical",
+    # round-5 sweep: every remaining warehouse-only oracle query
+    "customer_ltv_segments",
+    "median_order_cents_by_priority",
+    "orders_by_month",
+    "pricing_summary",
+    "profile_orders_table",
+    "shipping_priority_top10",
+    "sql_brand_volume",
+    "sql_nation_repeat_customers",
+    "sql_window_top3_orders",
+    "top_revenue_orders",
+    "nation_revenue_share",
+    "kv_lookup_miss_message",
 )
 
 
