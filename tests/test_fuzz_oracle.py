@@ -264,6 +264,7 @@ _EVENTS_FUZZED = (
     "scd2_user_type_history",
     "exact_k_per_group_sample",
     "lc_distinct_bitmap_census",
+    "salted_segment_event_counts",
 )
 
 
@@ -287,6 +288,11 @@ def _write_events(rows) -> str:
         ),
     })
     pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    # static customer dim (catalog-sized): user_ids 0-5 resolve to real
+    # customer rows, so the salted segment join fuzzes too
+    import shutil
+    shutil.copy("/root/testdata/sf0.001/customer.parquet",
+                f"{sf_dir}/customer.parquet")
     return sf_dir
 
 
@@ -301,10 +307,11 @@ def test_events_family_matches_oracle_on_random_streams(spark, rows):
 
     sf_dir = _write_events(rows)
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS "
-        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
-    )
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
     try:
         for name in _EVENTS_FUZZED:
             got = _rowkey(QUERIES[name](spark, sf_dir).collect())
