@@ -86,6 +86,8 @@ CORE_FIRST: tuple[str, ...] = (
     # (operators/text_analysis.py: merge-order array_sort fix)
     "bpe_token_counts", "langid_profile_scores", "quality_scores",
     "feature_hash_embeddings",
+    # (queries/analytics2.py: zero-revenue share NULL guard)
+    "nation_revenue_share",
     # (operators/multimodal.py: PNG section + docstring re-scope)
     "multimodal_asset_catalog", "image_decode_stub",
     "byte_histogram_features", "video_frame_sample_plan",
@@ -99,7 +101,7 @@ CORE_FIRST: tuple[str, ...] = (
     # clean_string_projection ceded their slots to round-5 additions —
     # all stay covered by the events fuzz family or r2 verdicts)
     "customer_ltv_segments", "distinct_tokens_except_stopwords",
-    "orders_by_month", "pricing_summary",
+    "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
 )
 
