@@ -314,3 +314,92 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q8_l1"),
         )
     )
+
+
+def _pq_term(m: int, c: int) -> str:
+    from pulsar_project_spark.operators.pq import PQ_SCALE, PQ_SUB, pq_codebook
+    parts = []
+    for j in range(PQ_SUB):
+        x = (f"CAST(floor(embedding[{m * PQ_SUB + j + 1}]::DOUBLE "
+             f"* {PQ_SCALE}) AS BIGINT)")
+        cb = pq_codebook(m, c, j)
+        parts.append(f"(({x}) - ({cb})) * (({x}) - ({cb}))")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _pq_assign_sql() -> str:
+    from pulsar_project_spark.operators.pq import PQ_K, PQ_M
+    branches = []
+    for m in range(PQ_M):
+        dists = [_pq_term(m, c) for c in range(PQ_K)]
+        best = "least(" + ", ".join(dists) + ")"
+        code = ("CASE "
+                + " ".join(f"WHEN {dists[c]} = {best} THEN {c}"
+                           for c in range(PQ_K))
+                + " END")
+        branches.append(
+            f"SELECT vec_id, {m} AS subspace, "
+            f"CAST({code} AS INTEGER) AS code FROM q"
+        )
+    return ("WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)\n"
+            + "\nUNION ALL\n".join(branches))
+
+
+@declare("pq_code_assignment", oracle=_pq_assign_sql())
+def q_pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011) with FIXED
+    integer codebooks — the ANN family's memory-compression path: each
+    64-dim vector becomes 8 centroid codes (a ~32× smaller store).
+    Exact integer argmin per subspace, lowest-code tiebreak; one
+    codegen projection + explode, no shuffle, no UDF — the map-only
+    pass that would re-encode 100 TB of embeddings. The oracle
+    regenerates every distance term from the same codebook formula
+    (the ``ivf_cell_assignment`` certification pattern; the trained-
+    codebook variant rides the same plan with kmeans output broadcast
+    in)."""
+    from pulsar_project_spark.operators.pq import pq_encode
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    return pq_encode(emb)
+
+
+def _pq_adc_sql(k: int = 10) -> str:
+    from pulsar_project_spark.operators.pq import pq_query_lut
+    from pulsar_project_spark.operators.pq import PQ_DIM, PQ_SCALE
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    lut_rows = ", ".join(f"({m}, {c}, {d})" for m, c, d in pq_query_lut(query_q))
+    return f"""
+WITH codes AS ({_pq_assign_sql()}),
+lut(subspace, code, sq_dist) AS (VALUES {lut_rows}),
+scored AS (
+  SELECT c.vec_id, CAST(sum(l.sq_dist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l
+    ON c.subspace = l.subspace AND c.code = l.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist FROM scored
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
+@declare("pq_adc_topk", oracle=_pq_adc_sql())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: top-10 vectors for a fixed
+    query, computed ENTIRELY over the code relation — a 32-row
+    per-query lookup table broadcast onto 8 codes per stored vector;
+    the float vectors are never read at query time, which is the whole
+    point of PQ at 100 TB. Exact integer distances with vec_id
+    tiebreak; the oracle rebuilds the LUT from the same closed form."""
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_adc_topk,
+        pq_encode,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    return pq_adc_topk(pq_encode(emb), query_q, k=10)

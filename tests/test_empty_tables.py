@@ -71,6 +71,8 @@ _REPRESENTATIVE = (
     "sql_trade_volume_identical",       # identical-text SQL on 0 facts
     "lc_distinct_bitmap_census",        # bitmap sketch on 0 events
     "png_permissive_decode_census",     # corrupt-tolerant codec on 0 docs
+    "pq_code_assignment",               # PQ encode on 0 vectors
+    "pq_adc_topk",                      # ADC search on 0 codes
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}
