@@ -69,6 +69,7 @@ NEW_R5: tuple[str, ...] = (
     "cdc_apply_net_state", "scd2_user_type_history",
     "priority_source_dedup", "exact_k_per_group_sample",
     "nation_trade_volume", "market_share_by_year",
+    "pq_code_assignment", "pq_adc_topk",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -100,7 +101,6 @@ CORE_FIRST: tuple[str, ...] = (
     # numeric_convertibility / filename_sanitize / marker_extraction /
     # clean_string_projection ceded their slots to round-5 additions —
     # all stay covered by the events fuzz family or r2 verdicts)
-    "customer_ltv_segments", "distinct_tokens_except_stopwords",
     "pricing_summary",
     "profile_orders_table", "shipping_priority_top10",
 )
