@@ -290,3 +290,59 @@ def q_lc_distinct_bitmap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(setb, "event_type").select(
         "event_type", "n_exact_distinct", "n_set_bits", "m_bits"
     )
+
+
+_FPRINT_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       bit_xor(CAST(('0x' || substr(md5(
+         CAST(event_id AS VARCHAR) || '|' ||
+         COALESCE(CAST(user_id AS VARCHAR), '') || '|' ||
+         CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+         COALESCE(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), '')
+       ), 1, 15)) AS BIGINT)) AS content_fingerprint
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@declare("content_fingerprint_events", oracle=_FPRINT_SQL)
+def q_content_fingerprint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content fingerprint — the
+    replication/migration verification primitive at 100 TB: two
+    clusters (or two engines — here Spark and DuckDB) each reduce a
+    table to one 60-bit XOR of canonical per-row hashes per group, and
+    equal fingerprints certify byte-level content equality without
+    moving a row. XOR is commutative/associative (partial aggregation
+    combines map-side, shard fingerprints merge by XOR) and
+    overflow-free at any scale; the row hash includes the unique
+    event_id, so XOR's duplicate-cancellation weakness cannot bite (ids
+    are keys by corpus contract). Floats enter via exact integer cents;
+    NULLs canonicalize to the empty string; 15 hex chars keep the
+    parsed lane below 2^60 (sign-safe in both engines)."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_id").isNotNull() & F.col("ts_us").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    row_repr = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+        F.col("ts_us").cast("string"),
+        F.coalesce(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.lit(""),
+        ),
+    )
+    return (
+        ev.withColumn("__repr", row_repr)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(__repr), 1, 15), 16, 10) "
+                "as bigint))"
+            ).alias("content_fingerprint"),
+        )
+    )

@@ -73,6 +73,7 @@ _REPRESENTATIVE = (
     "png_permissive_decode_census",     # corrupt-tolerant codec on 0 docs
     "pq_code_assignment",               # PQ encode on 0 vectors
     "pq_adc_topk",                      # ADC search on 0 codes
+    "content_fingerprint_events",       # xor fingerprint of 0 rows
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

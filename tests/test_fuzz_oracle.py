@@ -265,6 +265,7 @@ _EVENTS_FUZZED = (
     "exact_k_per_group_sample",
     "lc_distinct_bitmap_census",
     "salted_segment_event_counts",
+    "content_fingerprint_events",
 )
 
 
