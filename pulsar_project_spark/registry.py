@@ -71,7 +71,7 @@ NEW_R5: tuple[str, ...] = (
     "nation_trade_volume", "market_share_by_year",
     "pq_code_assignment", "pq_adc_topk",
     "sql_trade_volume_identical", "lc_distinct_bitmap_census",
-    "png_permissive_decode_census",
+    "png_permissive_decode_census", "content_fingerprint_events",
 )
 
 CORE_FIRST: tuple[str, ...] = (
@@ -94,7 +94,6 @@ CORE_FIRST: tuple[str, ...] = (
     # (operators/multimodal.py: PNG section + docstring re-scope)
     "multimodal_asset_catalog", "image_decode_stub",
     "byte_histogram_features", "video_frame_sample_plan",
-    "audio_chunk_plan",
     # NOTE: every round-2-last stale re-cert ceded its slot to a
     # round-5 addition — all of them are now continuously fuzz-driven
     # (warehouse/pipeline/events families) — and with ALL oracle-backed
