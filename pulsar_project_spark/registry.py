@@ -98,7 +98,7 @@ CORE_FIRST: tuple[str, ...] = (
     # round-5 addition — all of them are now continuously fuzz-driven
     # (warehouse/pipeline/events families) — and with ALL oracle-backed
     # round-5 queries inside the window, a green CORRECTNESS_r05 closes
-    # cumulative driver ground truth at 158/158 oracle-backed.
+    # cumulative driver ground truth at 159/159 oracle-backed.
 )
 
 
