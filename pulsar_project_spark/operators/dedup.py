@@ -489,3 +489,49 @@ def bloom_prefilter(incoming: DataFrame, bloom: DataFrame,
     return joined.groupBy(id_col, "fingerprint").agg(
         F.min("hit").alias("bloom_maybe")
     )
+
+
+def incremental_dedup_bloom_gated(incoming: DataFrame, historical: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """``incremental_dedup`` with the Bloom prefilter WIRED IN — the
+    production composition: incoming docs probe the store's ~17 KB
+    Bloom relation first, and ONLY the maybe-minority joins the full
+    fingerprint store (bloom_maybe = 0 is a no-false-negative
+    guarantee of 'not in store', so skipping the join for those rows
+    is semantics-preserving). The intra-batch first-seen window runs
+    on the whole batch regardless (it is store-independent).
+
+    The certification is the point: this function's DECLARED oracle is
+    the UNGATED ``incremental_dedup`` SQL — a hash match is a machine
+    proof, on real data, that the gate changed the COST of the store
+    join (rows entering it) and nothing else."""
+    from pyspark.sql.window import Window
+
+    inc = incoming.withColumn("fingerprint", fingerprint_md5(text_col))
+    bloom = bloom_build(historical, text_col)
+    probed = bloom_prefilter(incoming, bloom, id_col, text_col)
+    maybes = probed.filter(F.col("bloom_maybe") == 1).select(
+        id_col, "fingerprint"
+    )
+    hist = (
+        historical.select(fingerprint_md5(text_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("__in_store", F.lit(1))
+    )
+    # ONLY the maybes reach the store join; definite-new rows skip it
+    confirmed = maybes.join(hist, "fingerprint", "inner").select(
+        id_col, F.lit(1).alias("__in_store")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        inc.withColumn("rn", F.row_number().over(w))
+        .join(confirmed, id_col, "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("__in_store").isNotNull(), "dup_historical")
+            .when(F.col("rn") > 1, "dup_internal")
+            .otherwise("new"),
+        )
+        .drop("__in_store", "rn")
+    )

@@ -434,3 +434,55 @@ def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies", "n_sources",
         )
     )
+
+
+# The ORACLE is deliberately the UNGATED incremental-dedup SQL: the
+# bloom gate must be invisible to the result (no false negatives), and
+# the driver's hash check makes that a machine-verified theorem on
+# real data, not a docstring claim.
+_BLOOM_GATED_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(text), '[^\w\s]', '', 'g')) AS fingerprint
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), incoming AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id % 10 < 3
+), hist AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 >= 2
+)
+SELECT i.source,
+       CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_historical'
+            WHEN i.rn > 1 THEN 'dup_internal'
+            ELSE 'new' END AS verdict,
+       count(*) AS n_docs
+FROM incoming i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+GROUP BY i.source, verdict
+"""
+
+
+@declare("bloom_gated_incremental_dedup", oracle=_BLOOM_GATED_SQL)
+def q_bloom_gated_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition: incremental dedup with the Bloom
+    store-prefilter wired in — only the maybe-minority of the incoming
+    shard joins the full fingerprint store; definite-new rows skip it
+    on the filter's no-false-negative guarantee. Same overlapping
+    30/80 split as ``bloom_prefilter_census`` (bucket 2 in both sides
+    → dup_historical rows exist). The oracle is the UNGATED SQL, so a
+    hash match proves the gate is semantics-invisible on real data
+    (operators/dedup.py:incremental_dedup_bloom_gated)."""
+    from pulsar_project_spark.operators.dedup import (
+        incremental_dedup_bloom_gated,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 < 3).select(
+        "doc_id", "source", "text"
+    )
+    historical = docs.filter(F.col("doc_id") % 10 >= 2).select("text")
+    return (
+        incremental_dedup_bloom_gated(incoming, historical)
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -74,6 +74,7 @@ _REPRESENTATIVE = (
     "pq_code_assignment",               # PQ encode on 0 vectors
     "pq_adc_topk",                      # ADC search on 0 codes
     "content_fingerprint_events",       # xor fingerprint of 0 rows
+    "bloom_gated_incremental_dedup",    # gated classify on 0 docs
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -138,6 +138,7 @@ _PIPELINE_FUZZED = (
     "char_bigram_familiarity",
     "priority_source_dedup",
     "bloom_prefilter_census",
+    "bloom_gated_incremental_dedup",
     "bpe_fixed_merge_encode_census",
     "png_decode_features",
     "png_permissive_decode_census",
