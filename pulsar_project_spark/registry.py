@@ -96,9 +96,10 @@ CORE_FIRST: tuple[str, ...] = (
     "byte_histogram_features", "video_frame_sample_plan",
     # NOTE: every round-2-last stale re-cert ceded its slot to a
     # round-5 addition — all of them are now continuously fuzz-driven
-    # (warehouse/pipeline/events families) — and with ALL oracle-backed
-    # round-5 queries inside the window, a green CORRECTNESS_r05 closes
-    # cumulative driver ground truth at 159/159 oracle-backed.
+    # (warehouse/pipeline/events families). A green CORRECTNESS_r05
+    # closes cumulative driver ground truth at 159 of 160 oracle-backed
+    # (bloom_gated_incremental_dedup landed after the pin and queues
+    # for the round-6 rotation; it is fuzz-driven meanwhile).
 )
 
 
