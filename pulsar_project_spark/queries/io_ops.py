@@ -305,3 +305,70 @@ def q_corrupt_json_lines_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
          .alias("n_corrupt"),
     )
+
+
+_COMPACT_TARGET = 64 * 1024  # 64 KB target per merged output (sf-scaled)
+
+_COMPACTION_SQL = f"""
+WITH manifest AS (
+  SELECT doc_id AS file_id, n_chars AS bytes
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+), planned AS (
+  SELECT file_id, bytes,
+         (sum(bytes) OVER (ORDER BY file_id
+                           ROWS UNBOUNDED PRECEDING) - bytes)
+           // {_COMPACT_TARGET} AS bucket
+  FROM manifest
+)
+SELECT bucket,
+       count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       min(file_id) AS first_file_id,
+       max(file_id) AS last_file_id
+FROM planned
+GROUP BY bucket
+"""
+
+
+@declare("compaction_plan_buckets", oracle=_COMPACTION_SQL)
+def q_compaction_plan_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER — the standing maintenance job of
+    a streaming landing zone at 100 TB (every micro-batch leaves small
+    files; readers die by a thousand file-open round-trips): assign
+    each manifest entry to a merge bucket by prefix-sum bin packing —
+    bucket = floor(bytes-before-this-file / target) — so every output
+    file lands at ~target size and file order (and therefore any
+    sort-derived min/max locality) is preserved. Pure window + grouped
+    agg over the MANIFEST relation (never the data); the execute half
+    is one ``repartitionByRange(bucket)`` write. Deterministic integer
+    arithmetic, oracle-replayed; the documents table stands in as the
+    manifest (doc_id = file id, n_chars = bytes).
+
+    Scale note: the global ORDER BY prefix sum is a single-partition
+    window over MANIFEST rows (one row per FILE — millions at 100 TB,
+    not billions; a manifest is always driver-tractable metadata). If
+    even that is too big, the same plan runs per table-partition."""
+    from pulsar_project_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") >= 0)
+    )
+    from pyspark.sql.window import Window
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    manifest = docs.select(
+        F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    planned = manifest.select(
+        "file_id", "bytes",
+        F.expr(f"(sum(bytes) OVER (ORDER BY file_id "
+               f"ROWS UNBOUNDED PRECEDING) - bytes) div {_COMPACT_TARGET}")
+        .alias("bucket"),
+    )
+    return planned.groupBy("bucket").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").alias("first_file_id"),
+        F.max("file_id").alias("last_file_id"),
+    )

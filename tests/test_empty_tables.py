@@ -75,6 +75,7 @@ _REPRESENTATIVE = (
     "pq_adc_topk",                      # ADC search on 0 codes
     "content_fingerprint_events",       # xor fingerprint of 0 rows
     "bloom_gated_incremental_dedup",    # gated classify on 0 docs
+    "compaction_plan_buckets",          # prefix-sum planner on 0 files
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -116,6 +116,7 @@ _PIPELINE_FUZZED = (
     "corpus_pipeline_e2e",
     "training_order_shuffle",
     "length_bucket_padding_stats",
+    "compaction_plan_buckets",
     # text scalar family
     "clean_string_projection",
     "truncate_display_200",
