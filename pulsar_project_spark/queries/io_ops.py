@@ -316,9 +316,9 @@ WITH manifest AS (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
 ), planned AS (
   SELECT file_id, bytes,
-         (sum(bytes) OVER (ORDER BY file_id
-                           ROWS UNBOUNDED PRECEDING) - bytes)
-           // {_COMPACT_TARGET} AS bucket
+         CAST((sum(bytes) OVER (ORDER BY file_id
+                                ROWS UNBOUNDED PRECEDING) - bytes)
+              // {_COMPACT_TARGET} AS BIGINT) AS bucket
   FROM manifest
 )
 SELECT bucket,
