@@ -384,3 +384,71 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("volume").cast("double").alias("total_volume"),
         F.count("*").alias("n_items"),
     )
+
+
+@declare(
+    "session_path_trigrams",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_ts
+  FROM events WHERE event_type IS NOT NULL
+), numbered AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR ts_us - prev_ts > {_SESSION_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered
+), grams AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM numbered
+  WINDOW w AS (PARTITION BY user_id, session_seq
+               ORDER BY ts_us, event_id)
+)
+SELECT t1, t2, t3, count(*) AS n_paths
+FROM grams WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_paths DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 20
+""",
+)
+def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path DISCOVERY — the open-ended twin of the fixed-stage funnel
+    (``ordered_funnel_stages`` asks 'how many users did A→B→C'; this
+    asks 'WHICH three-step paths dominate'): sessionize (same 30-min
+    gap machinery), slide a trigram window over each session's ordered
+    event types, counts them globally, top-20 with full total-order
+    tiebreaks. Trigrams never cross session boundaries (the lead
+    window is partitioned by session). One (user) sort feeds
+    sessionization AND the gram window; the count is a tiny grouped
+    agg (≤ |types|³ groups) with map-side partials."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    numbered = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.sum(
+            F.when(
+                F.lag("ts_us").over(w).isNull()
+                | ((F.col("ts_us") - F.lag("ts_us").over(w))
+                   > _SESSION_GAP_US),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_seq"),
+    )
+    wg = W.partitionBy("user_id", "session_seq").orderBy("ts_us", "event_id")
+    grams = numbered.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(wg).alias("t2"),
+        F.lead("event_type", 2).over(wg).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        grams.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("t1").asc(),
+                 F.col("t2").asc(), F.col("t3").asc())
+        .limit(20)
+    )

@@ -76,6 +76,7 @@ _REPRESENTATIVE = (
     "content_fingerprint_events",       # xor fingerprint of 0 rows
     "bloom_gated_incremental_dedup",    # gated classify on 0 docs
     "compaction_plan_buckets",          # prefix-sum planner on 0 files
+    "session_path_trigrams",            # path mining over 0 sessions
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

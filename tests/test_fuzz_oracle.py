@@ -268,6 +268,7 @@ _EVENTS_FUZZED = (
     "lc_distinct_bitmap_census",
     "salted_segment_event_counts",
     "content_fingerprint_events",
+    "session_path_trigrams",
 )
 
 
