@@ -97,10 +97,10 @@ CORE_FIRST: tuple[str, ...] = (
     # NOTE: every round-2-last stale re-cert ceded its slot to a
     # round-5 addition — all of them are now continuously fuzz-driven
     # (warehouse/pipeline/events families). A green CORRECTNESS_r05
-    # closes cumulative driver ground truth at 159 of 161 oracle-backed
-    # (bloom_gated_incremental_dedup and compaction_plan_buckets landed
-    # after the pin and queue for round 6; both are fuzz-driven
-    # meanwhile).
+    # closes cumulative driver ground truth at 159 of 162 oracle-backed
+    # (bloom_gated_incremental_dedup, compaction_plan_buckets and
+    # session_path_trigrams landed after the pin and queue for round 6;
+    # all three are fuzz-driven meanwhile).
 )
 
 
