@@ -53,6 +53,11 @@ ROUND5_ADDITIONS = (
     "char_bigram_familiarity", "cdc_apply_net_state",
     "scd2_user_type_history", "priority_source_dedup",
     "exact_k_per_group_sample",
+    # late round-5 additions
+    "pq_code_assignment", "pq_adc_topk", "lc_distinct_bitmap_census",
+    "content_fingerprint_events", "bloom_gated_incremental_dedup",
+    "compaction_plan_buckets", "session_path_trigrams",
+    "sql_trade_volume_identical", "png_permissive_decode_census",
 )
 
 SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS
