@@ -36,72 +36,73 @@ def declare(name: str, oracle: str | None = None):
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries. Module import order alone proved fragile (appending a query
 # to a core module silently displaces later core entries), so the core
-# set is pinned BY NAME. Round-5 rotation: after rounds 1-4 (cumulative
-# 124 distinct driver-green, 0 ever-failed), exactly 16 oracle-backed
-# queries — all added late in round 4 — have never been inside a driver
-# budget window; they take slots 2-17. The next block is every query
-# NEW this round (PNG codec, JPEG entropy codec, fixed-merge BPE twin,
-# Z-order census, Bloom prefilter, count-min probe, char-bigram
-# scoring, CDC/SCD2, priority dedup, exact-k sample, Q7/Q8 analytics).
-# The remaining slots re-certify (a) every query whose module changed
-# THIS round after its last verdict (temporal/interval join fix,
-# text_analysis merge-order fix, io_ops split fix, multimodal PNG
-# addition), then (b) the stalest green queries (last verdict round 2;
-# several ceded their slots to the round-5 additions and stay covered
-# by the fuzz families).
-# ``simple_rag_topk`` stays the slot-1 canary.
-# tests/test_registry_order.py regression-gates this list.
-NEVER_CHECKED_R5: tuple[str, ...] = (
-    "latest_event_argmax", "sql_window_top3_orders",
-    "sql_nation_repeat_customers", "interval_join_bucketed",
-    "ordered_funnel_stages", "cohort_retention_matrix",
-    "series_pattern_distance_topk", "incremental_dedup_counts",
-    "levenshtein_confirm_pairs", "wav_codec_roundtrip_features",
-    "pgm_resize_features", "rawv_frame_sample_features",
-    "csv_roundtrip_counts", "orc_roundtrip_counts",
-    "schema_evolution_union_counts", "corrupt_json_lines_census",
+# set is pinned BY NAME and composed from round-stamped blocks:
+# canary → never-driver-checked → new-this-round → re-certs of modules
+# changed this round after their last verdict → stalest-green refresh,
+# trimmed to exactly 50. tests/test_registry_order.py regression-gates
+# the composition, reading ONLY driver artifacts from rounds BEFORE the
+# round each block asserts (the round-5 version read the unstamped glob
+# and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
+NEVER_CHECKED_R6: tuple[str, ...] = (
+    # the only 3 oracle-backed queries without a driver verdict after
+    # rounds 1-5 (all landed after the round-5 pin; re-derived with
+    # tools/rotate_budget.py): cumulative 159/162 green, 0 ever-failed.
+    "session_path_trigrams",
+    "bloom_gated_incremental_dedup",
+    "compaction_plan_buckets",
 )
 
-NEW_R5: tuple[str, ...] = (
-    "png_decode_features", "bpe_fixed_merge_encode_census",
-    "zorder_bucket_stats", "bloom_prefilter_census", "cms_heavy_hitters",
-    "char_bigram_familiarity", "jpeg_entropy_roundtrip_features",
-    "cdc_apply_net_state", "scd2_user_type_history",
-    "priority_source_dedup", "exact_k_per_group_sample",
-    "nation_trade_volume", "market_share_by_year",
+NEW_R6: tuple[str, ...] = (
+    # oracle-backed queries added in round 6 (each also fuzz/test-gated).
+    # Names are appended here the commit their query lands — the
+    # composition below self-adjusts, and tests/test_registry_order.py
+    # keeps every name resolvable at every commit.
+)
+
+RECERTS_R6: tuple[str, ...] = (
+    # modules changed in round 6 after their round-5 verdict:
+    # operators/layout.py (+ oracle): divide-first normalization
+    "zorder_bucket_stats",
+    # operators/multimodal.py (assert→ValueError) + queries/multimodal_ops.py
+    # (oracle signed-modulo normalization) + operators/jpeg.py (IDCT section)
+    "png_decode_features", "png_permissive_decode_census",
+    "jpeg_entropy_roundtrip_features",
+    # operators/pq.py (trained-codebook wiring shares the encode plan)
     "pq_code_assignment", "pq_adc_topk",
-    "sql_trade_volume_identical", "lc_distinct_bitmap_census",
-    "png_permissive_decode_census", "content_fingerprint_events",
+)
+
+# Stalest-green refresh: last driver verdict round 2 (oldest first),
+# then the round-3 tail; the composition trim keeps as many as fit.
+STALE_REFRESH_R6: tuple[str, ...] = (
+    "boolean_normalize", "clean_string_projection", "conversion_funnel",
+    "customer_ltv_segments", "distinct_tokens_except_stopwords",
+    "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
+    "marker_extraction", "national_revenue", "numeric_convertibility",
+    "orders_by_month", "per_user_activity", "pricing_summary",
+    "profile_orders_table", "shipping_priority_top10",
+    "simhash_fingerprints", "sql_brand_volume", "term_frequency_top20",
+    "title_extraction", "token_count_destopped", "top_revenue_orders",
+    "truncate_display_200", "user_event_windows",
+    # round-3 tail (fills whatever the trim leaves open)
+    "big_order_customers", "bm25_scores", "bm25_topk",
+    "chunk_exact_dedup", "cluster_best_representative",
+    "contamination_ngram_overlap", "corpus_pipeline_e2e",
+    "cube_orders_status_priority", "customer_order_count_distribution",
+    "daily_revenue_7d_ma", "doc_chunks_overlapping",
+    "embedding_int8_quantize", "exact_dedup_fingerprint",
+    "except_all_click_days", "except_click_days_no_purchase",
+    "fact_fact_smj_rollup", "orders_above_priority_mean",
+    "late_shipment_priority_counts", "knn_cosine_topk",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r4 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r5 — if THIS flips, the harness broke
     "simple_rag_topk",
-    # the 16 oracle-backed queries with no driver verdict yet
-    *NEVER_CHECKED_R5,
-    # NEW r5: PNG codec + deterministic BPE encode twin
-    *NEW_R5,
-    # re-certs: modules changed this round after their last verdict
-    # (operators/temporal.py: exact-row interval-join rewrite)
-    "asof_last_purchase", "attribution_window_join", "sessionization",
-    # (queries/io_ops.py: negative-odd-id split fix)
-    "jsonl_roundtrip_counts", "partitioned_prune_purchase_days",
-    # (operators/text_analysis.py: merge-order array_sort fix)
-    "bpe_token_counts", "langid_profile_scores", "quality_scores",
-    "feature_hash_embeddings",
-    # (queries/analytics2.py: zero-revenue share NULL guard)
-    "nation_revenue_share",
-    # (operators/multimodal.py: PNG section + docstring re-scope)
-    "multimodal_asset_catalog", "image_decode_stub",
-    "byte_histogram_features", "video_frame_sample_plan",
-    # NOTE: every round-2-last stale re-cert ceded its slot to a
-    # round-5 addition — all of them are now continuously fuzz-driven
-    # (warehouse/pipeline/events families). A green CORRECTNESS_r05
-    # closes cumulative driver ground truth at 159 of 162 oracle-backed
-    # (bloom_gated_incremental_dedup, compaction_plan_buckets and
-    # session_path_trigrams landed after the pin and queue for round 6;
-    # all three are fuzz-driven meanwhile).
-)
+    *NEVER_CHECKED_R6,
+    *NEW_R6,
+    *RECERTS_R6,
+    *STALE_REFRESH_R6,
+)[:50]
 
 
 def _reorder_core_first() -> None:

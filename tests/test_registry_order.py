@@ -1,13 +1,18 @@
-"""Registry-order regression gate.
+"""Registry-order regression gate (round-stamped).
 
 The driver's per-round correctness check covers roughly the FIRST 50
 registry entries. ``registry.CORE_FIRST`` pins exactly which 50 those
-are. Round-5 rotation: slots 2-17 are the 16 oracle-backed queries with
-no driver verdict after rounds 1-4, slots 18-19 the two queries new
-this round (PNG codec, fixed-merge BPE twin), then re-certs of every
-query whose module changed this round after its last verdict, then the
-stalest (round-2-last) green queries. This test fails the build if a
-new query ever displaces the pinned set.
+are, composed from round-stamped blocks: canary → never-driver-checked
+→ new-this-round → re-certs → stalest-green refresh.
+
+Round-5 lesson (VERDICT r5, "What's wrong" #1): the round-5 version of
+this test computed "driver-green" from the UNSTAMPED ``CORRECTNESS_r*``
+glob, so the assertion "no slot wasted on an already-green query"
+became self-defeating the moment the driver wrote the round-5 artifact
+(which made those very queries green). Every assertion here therefore
+reads only artifacts from rounds BEFORE the round whose rotation it
+asserts — the suite stays green before AND after the driver's artifact
+drop, including in future rounds.
 """
 
 from __future__ import annotations
@@ -15,17 +20,37 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 import __spark_entry__ as e
-from pulsar_project_spark.registry import CORE_FIRST, NEVER_CHECKED_R5, NEW_R5
+from pulsar_project_spark.registry import (
+    CORE_FIRST,
+    NEVER_CHECKED_R6,
+    NEW_R6,
+    RECERTS_R6,
+    STALE_REFRESH_R6,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The round whose rotation this file asserts. Bump together with the
+# registry's block constants each round.
+_ROUND = 6
 
-def _driver_green() -> set[str]:
-    """Cumulative driver-green set from every recorded round."""
+
+def _driver_green(before_round: int = _ROUND) -> set[str]:
+    """Cumulative driver-green set from rounds strictly before ``before_round``.
+
+    Round-stamping is the point: the driver drops ``CORRECTNESS_r{N}.json``
+    AFTER the builder closes round N, and the rotation for round N was
+    decided from rounds < N — so the assertions must look at the same
+    evidence the rotation was built from, not whatever has landed since.
+    """
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None or int(m.group(1)) >= before_round:
+            continue
         with open(path) as fh:
             for name, v in json.load(fh).items():
                 if (v.get("rows_match") and v.get("schema_match", True)
@@ -49,25 +74,33 @@ def test_core_fifty_all_have_oracles():
 
 
 def test_canary_leads():
-    # slot 1 is the flagship, green r1-r4 — if the driver ever reports
+    # slot 1 is the flagship, green r1-r5 — if the driver ever reports
     # it red, the harness (not the engine) changed
     assert CORE_FIRST[0] == "simple_rag_topk"
 
 
-def test_all_never_checked_queries_get_a_slot():
+def test_never_checked_block_is_exactly_the_gap():
     # the POINT of the rotation: every oracle-backed declared query
-    # ends the round with a driver verdict
-    assert len(NEVER_CHECKED_R5) == 16
-    missing = [n for n in NEVER_CHECKED_R5 if n not in CORE_FIRST]
-    assert not missing, f"never-checked queries without a slot: {missing}"
-    # ...and none of them was already green (else the slot is wasted)
-    wasted = sorted(set(NEVER_CHECKED_R5) & _driver_green())
+    # that lacked a verdict going INTO this round gets a front slot.
+    # Computed strictly from rounds < _ROUND so the driver's round-6
+    # artifact cannot invalidate it.
+    green = _driver_green()
+    oracles = set(e.oracle_sql())
+    gap = {
+        n for n in e.queries()
+        if n in oracles and n not in green and n not in NEW_R6
+    }
+    block = set(NEVER_CHECKED_R6)
+    assert block <= set(CORE_FIRST), "never-checked block lost its slots"
+    missing = sorted(gap - block - set(CORE_FIRST))
+    assert not missing, f"oracle-backed queries with no verdict and no slot: {missing}"
+    wasted = sorted(block & green)
     assert not wasted, f"slot spent on already-green queries: {wasted}"
 
 
-def test_round5_additions_get_slots():
-    for n in NEW_R5:
-        assert n in CORE_FIRST, f"round-5 addition without a slot: {n}"
+def test_new_round_additions_get_slots():
+    for n in NEW_R6:
+        assert n in CORE_FIRST, f"round-{_ROUND} addition without a slot: {n}"
 
 
 def test_remaining_slots_are_deliberate_recerts():
@@ -76,9 +109,12 @@ def test_remaining_slots_are_deliberate_recerts():
     green = _driver_green()
     strangers = [
         n for n in CORE_FIRST[1:]
-        if n not in NEVER_CHECKED_R5 and n not in NEW_R5 and n not in green
+        if n not in NEVER_CHECKED_R6 and n not in NEW_R6 and n not in green
     ]
     assert not strangers, f"unexplained core entries: {strangers}"
+    # and the declared re-cert / stale blocks really are re-certs
+    for n in (*RECERTS_R6, *STALE_REFRESH_R6):
+        assert n in green, f"declared re-cert was never driver-green: {n}"
 
 
 def test_all_declared_queries_still_registered():
@@ -89,3 +125,19 @@ def test_all_declared_queries_still_registered():
         assert n in names, f"core entry vanished from registry: {n}"
     lost = _driver_green() - names
     assert not lost, f"previously-green queries vanished: {lost}"
+
+
+def test_stays_green_after_future_artifact_drops():
+    # simulate the failure mode that broke round 5: even if the driver
+    # has ALREADY written this round's artifact (or a later one), the
+    # round-stamped reader must not see it
+    current_and_later = [
+        p for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) >= _ROUND
+    ]
+    seen = _driver_green()
+    for p in current_and_later:
+        with open(p) as fh:
+            for name in json.load(fh):
+                assert name not in seen or name in _driver_green(_ROUND), (
+                    "round-stamped reader leaked a current-round verdict")
