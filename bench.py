@@ -22,7 +22,11 @@ import time
 # registry order, so rotating the registry between rounds made headline
 # per-query numbers incomparable (BENCH_NOTES.md). The preflight pass
 # removes the artifact; the timed pass measures steady-state plans.
-_STEADY = os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1").lower() not in ("0", "false")
+# "" counts as opt-out: the pre-round-5 parser treated an exported-but-
+# empty variable as OFF, and anyone who relied on that must not be
+# silently flipped to ON by the default change.
+_STEADY = (os.environ.get("SPARK_GRAFT_BENCH_STEADY", "1").lower()
+           not in ("0", "false", ""))
 
 
 def main() -> None:

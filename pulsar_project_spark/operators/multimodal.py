@@ -504,6 +504,11 @@ PNG_FEATURES_SCHEMA = StructType([
 ])
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IDAT payload split size. Small on purpose: every synthesized image's
+# compressed stream exceeds it, so multi-IDAT reassembly is always
+# exercised on decode. tests/test_png_codec.py and the query docstring
+# reference THIS constant — keep them in sync through it.
+PNG_IDAT_SPLIT = 64
 
 
 def _png_params(doc_id: int) -> tuple[int, int]:
@@ -533,10 +538,10 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mod 256`` encoded as a REAL 8-bit grayscale PNG. Scanline filters
     cycle ``row % 5`` through all five spec filter types (the filter
     math runs on the reconstructed neighbors, so encoding vectorizes);
-    the IDAT stream is split into 64-byte chunks (the filtered
-    compressed gradients run 85-280 bytes, so EVERY image gets 2+
-    IDAT chunks) to exercise multi-IDAT reassembly on the decode
-    side."""
+    the IDAT stream is split into ``PNG_IDAT_SPLIT``-byte (64) chunks
+    (the filtered compressed gradients run 85-280 bytes, so EVERY
+    image gets 2+ IDAT chunks) to exercise multi-IDAT reassembly on
+    the decode side."""
     import struct
     import zlib as _zlib
 
@@ -574,8 +579,8 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         raw = _zlib.compress(b"".join(lines))
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         idats = b"".join(
-            _png_chunk(b"IDAT", raw[i:i + 64])
-            for i in range(0, len(raw), 64)
+            _png_chunk(b"IDAT", raw[i:i + PNG_IDAT_SPLIT])
+            for i in range(0, len(raw), PNG_IDAT_SPLIT)
         )
         return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + idats
                 + _png_chunk(b"IEND", b""))
@@ -598,63 +603,73 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _decode_png_one(payload: bytes):
     """Strict single-asset PNG parse + unfilter (raises on any damage)
     — shared by the strict and permissive decode passes. Returns
-    (w, h, n_idat, img)."""
+    (w, h, n_idat, img).
+
+    Corruption detection raises ``ValueError`` explicitly (never bare
+    ``assert``): under ``python -O`` asserts are stripped, and a
+    permissive census that silently mis-decodes damaged assets is
+    worse than one that crashes."""
     import struct
     import zlib as _zlib
 
     import numpy as np
 
-    if True:  # keep the original body's indentation
-        assert payload[:8] == _PNG_SIG, "bad PNG signature"
-        off, w = 8, None
-        idat, n_idat = [], 0
-        while off < len(payload):
-            (clen,) = struct.unpack_from(">I", payload, off)
-            ctype = payload[off + 4:off + 8]
-            data = payload[off + 8:off + 8 + clen]
-            (crc,) = struct.unpack_from(">I", payload, off + 8 + clen)
-            assert crc == _zlib.crc32(ctype + data), "chunk CRC mismatch"
-            if ctype == b"IHDR":
-                w, h, depth, ctype_px = struct.unpack_from(">IIBB", data)
-                assert depth == 8 and ctype_px == 0, "not 8-bit grayscale"
-            elif ctype == b"IDAT":
-                idat.append(data)
-                n_idat += 1
-            elif ctype == b"IEND":
-                break
-            off += 12 + clen
-        raw = _zlib.decompress(b"".join(idat))
-        assert len(raw) == h * (w + 1), "scanline stream size mismatch"
-        img = np.zeros((h, w), dtype=np.int64)
-        for r in range(h):
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=w + 1, offset=r * (w + 1)
-            ).astype(np.int64)
-            ft, filt = line[0], line[1:]
-            prev = img[r - 1] if r > 0 else np.zeros(w, dtype=np.int64)
-            if ft == 0:
-                recon = filt
-            elif ft == 1:
-                recon = np.cumsum(filt) % 256
-            elif ft == 2:
-                recon = (filt + prev) % 256
-            elif ft == 3:
-                recon = np.zeros(w, dtype=np.int64)
-                for i in range(w):
-                    left = recon[i - 1] if i > 0 else 0
-                    recon[i] = (filt[i] + (left + prev[i]) // 2) % 256
-            else:
-                recon = np.zeros(w, dtype=np.int64)
-                for i in range(w):
-                    a = recon[i - 1] if i > 0 else 0
-                    b = prev[i]
-                    c = prev[i - 1] if i > 0 else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    recon[i] = (filt[i] + pred) % 256
-            img[r] = recon
-        return w, h, n_idat, img
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    off, w, h = 8, None, None
+    idat, n_idat = [], 0
+    while off < len(payload):
+        (clen,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + clen)
+        if crc != _zlib.crc32(ctype + data):
+            raise ValueError("chunk CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_px = struct.unpack_from(">IIBB", data)
+            if depth != 8 or ctype_px != 0:
+                raise ValueError("not 8-bit grayscale")
+        elif ctype == b"IDAT":
+            idat.append(data)
+            n_idat += 1
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen
+    if w is None or h is None:
+        raise ValueError("missing IHDR")
+    raw = _zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline stream size mismatch")
+    img = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w + 1, offset=r * (w + 1)
+        ).astype(np.int64)
+        ft, filt = line[0], line[1:]
+        prev = img[r - 1] if r > 0 else np.zeros(w, dtype=np.int64)
+        if ft == 0:
+            recon = filt
+        elif ft == 1:
+            recon = np.cumsum(filt) % 256
+        elif ft == 2:
+            recon = (filt + prev) % 256
+        elif ft == 3:
+            recon = np.zeros(w, dtype=np.int64)
+            for i in range(w):
+                left = recon[i - 1] if i > 0 else 0
+                recon[i] = (filt[i] + (left + prev[i]) // 2) % 256
+        else:
+            recon = np.zeros(w, dtype=np.int64)
+            for i in range(w):
+                a = recon[i - 1] if i > 0 else 0
+                b = prev[i]
+                c = prev[i - 1] if i > 0 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (filt[i] + pred) % 256
+        img[r] = recon
+    return w, h, n_idat, img
 
 
 def decode_png_features(pngs: DataFrame) -> DataFrame:

@@ -141,9 +141,9 @@ def q_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         100 + doc_id % 40 AS f,
-         1000 + (doc_id % 20) * 100 AS a,
-         800 + (doc_id % 8) * 100 AS n
+         100 + ((doc_id % 40 + 40) % 40) AS f,
+         1000 + ((doc_id % 20 + 20) % 20) * 100 AS a,
+         800 + ((doc_id % 8 + 8) % 8) * 100 AS n
   FROM documents WHERE doc_id IS NOT NULL
 ), s AS (
   SELECT d.doc_id,
@@ -181,8 +181,8 @@ def q_wav_codec_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         (32 + (doc_id % 4) * 16) // 2 AS w2,
-         (24 + (doc_id % 3) * 16) // 2 AS h2
+         (32 + ((doc_id % 4 + 4) % 4) * 16) // 2 AS w2,
+         (24 + ((doc_id % 3 + 3) % 3) * 16) // 2 AS h2
   FROM documents WHERE doc_id IS NOT NULL
 ), g AS (
   SELECT d.doc_id, d.w2, d.h2, x.x, y.y
@@ -191,10 +191,10 @@ WITH d AS (
        LATERAL (SELECT unnest(generate_series(0, d.h2 - 1)) AS y) y
 ), px AS (
   SELECT doc_id, w2, h2,
-         (  (3 * (2 * x)     + 5 * (2 * y)     + doc_id) % 256
-          + (3 * (2 * x + 1) + 5 * (2 * y)     + doc_id) % 256
-          + (3 * (2 * x)     + 5 * (2 * y + 1) + doc_id) % 256
-          + (3 * (2 * x + 1) + 5 * (2 * y + 1) + doc_id) % 256) // 4 AS v
+         (  ((3 * (2 * x)     + 5 * (2 * y)     + doc_id) % 256 + 256) % 256
+          + ((3 * (2 * x + 1) + 5 * (2 * y)     + doc_id) % 256 + 256) % 256
+          + ((3 * (2 * x)     + 5 * (2 * y + 1) + doc_id) % 256 + 256) % 256
+          + ((3 * (2 * x + 1) + 5 * (2 * y + 1) + doc_id) % 256 + 256) % 256) // 4 AS v
   FROM g
 )
 SELECT doc_id,
@@ -230,14 +230,14 @@ def q_pgm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rawv_frame_sample_features",
     oracle="""
 WITH d AS (
-  SELECT doc_id, 4 + doc_id % 4 AS k
+  SELECT doc_id, 4 + ((doc_id % 4 + 4) % 4) AS k
   FROM documents WHERE doc_id IS NOT NULL
 ), fr AS (
   SELECT d.doc_id, f.f
   FROM d, LATERAL (SELECT unnest(generate_series(0, d.k - 1, 2)) AS f) f
 ), px AS (
   SELECT fr.doc_id, fr.f,
-         (3 * x.x + 5 * y.y + 7 * fr.f + fr.doc_id) % 256 AS v
+         ((3 * x.x + 5 * y.y + 7 * fr.f + fr.doc_id) % 256 + 256) % 256 AS v
   FROM fr,
        LATERAL (SELECT unnest(generate_series(0, 15)) AS x) x,
        LATERAL (SELECT unnest(generate_series(0, 11)) AS y) y
@@ -273,12 +273,12 @@ def q_rawv_frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         16 + (doc_id % 4) * 8 AS w,
-         12 + (doc_id % 3) * 8 AS h
+         16 + ((doc_id % 4 + 4) % 4) * 8 AS w,
+         12 + ((doc_id % 3 + 3) % 3) * 8 AS h
   FROM documents WHERE doc_id IS NOT NULL
 ), px AS (
   SELECT d.doc_id, d.w, d.h,
-         (3 * x.x + 5 * y.y + d.doc_id) % 256 AS v
+         ((3 * x.x + 5 * y.y + d.doc_id) % 256 + 256) % 256 AS v
   FROM d,
        LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
        LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y
@@ -296,7 +296,8 @@ def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode with stdlib ``zlib`` only — the deliverable that
     retires the codec stub for a real-world image format. Per doc, the
     gradient image is encoded as a spec-compliant PNG (signature, IHDR,
-    CRC-carrying chunks, 512-byte-split IDAT, scanline filters cycling
+    CRC-carrying chunks, ``PNG_IDAT_SPLIT``-byte-split (64) multi-chunk
+    IDAT, scanline filters cycling
     through ALL FIVE spec filter types) and then decoded by a full
     parser: chunk walk with CRC verification, multi-IDAT reassembly,
     inflate, per-type unfiltering (None/Sub/Up/Average/Paeth). The
@@ -325,19 +326,19 @@ def _jpeg_oracle() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id,
-         ((16 + (doc_id % 2) * 16) // 8)
-       * ((16 + (doc_id % 3) * 8) // 8) AS nb
+         ((16 + ((doc_id % 2 + 2) % 2) * 16) // 8)
+       * ((16 + ((doc_id % 3 + 3) % 3) * 8) // 8) AS nb
   FROM documents WHERE doc_id IS NOT NULL
 ), blocks AS (
   SELECT doc_id, nb, b.b
   FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS b) b
 ), coefs AS (
   SELECT doc_id, nb,
-         (doc_id + 3 * b) % 64 - 32 AS dc,
-         (doc_id + b) % 31 - 15 AS a1,
-         (2 * doc_id + 5 * b) % 31 - 15 AS a5,
-         (3 * doc_id + 7 * b) % 31 - 15 AS a17,
-         (5 * doc_id + 11 * b) % 31 - 15 AS a42
+         ((doc_id + 3 * b) % 64 + 64) % 64 - 32 AS dc,
+         ((doc_id + b) % 31 + 31) % 31 - 15 AS a1,
+         ((2 * doc_id + 5 * b) % 31 + 31) % 31 - 15 AS a5,
+         ((3 * doc_id + 7 * b) % 31 + 31) % 31 - 15 AS a17,
+         ((5 * doc_id + 11 * b) % 31 + 31) % 31 - 15 AS a42
   FROM blocks
 )
 SELECT doc_id,
@@ -381,11 +382,11 @@ def q_jpeg_entropy_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
 WITH d AS (
   SELECT doc_id,
-         16 + (doc_id % 4) * 8 AS w,
-         12 + (doc_id % 3) * 8 AS h
+         16 + ((doc_id % 4 + 4) % 4) * 8 AS w,
+         12 + ((doc_id % 3 + 3) % 3) * 8 AS h
   FROM documents WHERE doc_id IS NOT NULL
 ), px AS (
-  SELECT d.doc_id, (3 * x.x + 5 * y.y + d.doc_id) % 256 AS v
+  SELECT d.doc_id, ((3 * x.x + 5 * y.y + d.doc_id) % 256 + 256) % 256 AS v
   FROM d,
        LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
        LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y

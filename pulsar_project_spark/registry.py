@@ -57,6 +57,7 @@ NEW_R6: tuple[str, ...] = (
     # Names are appended here the commit their query lands — the
     # composition below self-adjusts, and tests/test_registry_order.py
     # keeps every name resolvable at every commit.
+    "zorder_wide_range_stats",    # 2^61-range keys, divide-first branch (VERDICT #3)
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -105,3 +105,60 @@ def test_bpe_merge_order_survives_multipartition_shuffle(spark):
     census = bpe_encode_census(docs, n_merges=4).collect()
     # identical docs ⇒ identical token counts regardless of partitioning
     assert len({(r["n_words"], r["n_bpe_tokens"]) for r in census}) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE: multimodal oracles used signed SQL modulo while the
+# Python synthesizers use Python's non-negative modulo, so a NEGATIVE
+# doc_id diverged (negative pixel values / empty generate_series on the
+# oracle side). All oracles now normalize with ((x % k) + k) % k; this
+# corpus pins the fix for every stdlib codec family at once.
+# ---------------------------------------------------------------------------
+
+_MM_NEGATIVE_ID_QUERIES = (
+    "wav_codec_roundtrip_features",
+    "pgm_resize_features",
+    "rawv_frame_sample_features",
+    "png_decode_features",
+    "png_permissive_decode_census",
+    "jpeg_entropy_roundtrip_features",
+)
+
+
+def _write_docs_with_negative_ids() -> str:
+    sf_dir = tempfile.mkdtemp(prefix="dirty_docs_")
+    # -21 and -7 hit the permissive census's % 7 == 0 corruption rule
+    # on the signed branch; the rest cover every residue sign case.
+    ids = [-21, -17, -7, -3, -1, 0, 2, 5]
+    texts = [f"doc {i} alpha beta" for i in range(len(ids))]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["dirty"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_multimodal_codecs_match_oracle_on_negative_doc_ids(spark):
+    sf_dir = _write_docs_with_negative_ids()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for name in _MM_NEGATIVE_ID_QUERIES:
+            got = sorted(
+                tuple(repr(x) for x in r)
+                for r in QUERIES[name](spark, sf_dir).collect()
+            )
+            want = sorted(
+                tuple(repr(x) for x in r)
+                for r in con.execute(ORACLES[name]).fetchall()
+            )
+            assert got == want, f"{name} diverged on negative doc_ids"
+    finally:
+        con.close()

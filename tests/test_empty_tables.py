@@ -58,6 +58,7 @@ _REPRESENTATIVE = (
     "bpe_encode_token_census",          # train-then-encode on 0 docs
     "bpe_fixed_merge_encode_census",    # fixed-merge fold on 0 docs
     "zorder_bucket_stats",              # bounds agg + bit math on 0 rows
+    "zorder_wide_range_stats",          # divide-first branch on 0 rows
     "bloom_prefilter_census",           # bloom build/probe on 0 docs
     "cms_heavy_hitters",                # sketch build/probe on 0 events
     "char_bigram_familiarity",          # corpus-trained scoring on 0 docs

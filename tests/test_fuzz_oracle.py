@@ -388,6 +388,8 @@ _STAR_FUZZED = (
     "fact_fact_smj_rollup",
     # round-5: Morton-bucket layout census (orders dims) + Q7/Q8 shapes
     "zorder_bucket_stats",
+    # round-6: snowflake-magnitude keys exercise divide-first normalization
+    "zorder_wide_range_stats",
     "nation_trade_volume",
     "market_share_by_year",
     "national_revenue",

@@ -5,7 +5,8 @@ filtering/inflate/chunking end-to-end — but two codec properties are
 not SQL-replayable and get pinned here:
 
 * multi-IDAT reassembly is REAL: every synthesized image's compressed
-  stream exceeds the 128-byte chunk split, so ``n_idat_chunks >= 2``;
+  stream exceeds the ``PNG_IDAT_SPLIT`` (64-byte) chunk split, so
+  ``n_idat_chunks >= 2``;
 * the chunk walk verifies CRCs: a single flipped payload byte must
   fail the decode, not silently corrupt pixels.
 """

@@ -41,6 +41,7 @@ ALLOWED_NESTED_LOOP = {
     "bpe_learned_merges",        # 1-row argmax-pair broadcast crossJoin per training round
     "bpe_encode_token_census",   # 1-row ranked-merge-array broadcast crossJoin
     "zorder_bucket_stats",       # 1-row min/max-bounds broadcast crossJoin
+    "zorder_wide_range_stats",   # same operator, wide-range dims
 }
 
 
