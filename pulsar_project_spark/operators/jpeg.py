@@ -361,3 +361,116 @@ def decode_jpeg_features(jpegs: DataFrame) -> DataFrame:
                                "sum_abs_ac", "n_nonzero_ac", "dequant_sum"])
 
     return jpegs.mapInPandas(batches, JPEG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel path: direct-form scaled-integer IDCT (round-6, VERDICT r5 #2).
+#
+# libjpeg's jidctint.c runs two separable passes with an intermediate
+# descale, which makes the output a NON-linear function of the
+# coefficients (the mid-pass rounding couples them) — impossible to
+# replay per-coefficient in SQL. The direct form below keeps the
+# exact-integer certification property instead: ONE integer kernel
+# K[z][p] = round(2^14 * C(u)C(v)/4 * cos((2y+1)uπ/16)cos((2x+1)vπ/16)),
+# pixel = clamp(((Σ_z dequant_z · K[z][p] + 2^13) >> 14) + 128), so the
+# accumulator is exactly linear and a DuckDB oracle replays every pixel
+# from the same kernel constants (emitted into the SQL as a VALUES
+# table by the query module — one source of truth for both engines).
+# O(64) per pixel instead of O(16), which at 8x8 is 4096 multiplies per
+# block — numpy does it as one int64 matmul per asset batch; the
+# separable trick is an optimization, not a semantics change, and
+# exactness wins here.
+# ---------------------------------------------------------------------------
+
+IDCT_FRAC_BITS = 14
+# Oracle-side trick: DuckDB's // truncates toward zero while the
+# decoder's >> floors, so the replay adds a 2^30 offset (a multiple of
+# 2^14, cancelled after the shift) to keep the dividend positive where
+# the two semantics agree.
+IDCT_ORACLE_OFFSET = 1 << 30
+
+
+def zigzag_uv() -> list[tuple[int, int]]:
+    """Zigzag index -> (u, v) frequency pair, ITU T.81 figure 5 order
+    (index 1 = (0,1), 2 = (1,0), 3 = (2,0), ...)."""
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        cells = [(u, s - u) for u in range(min(s, 7) + 1) if s - u < 8]
+        if s % 2 == 0:
+            cells = cells[::-1]
+        out.extend(cells)
+    return out
+
+
+def idct_kernel():
+    """(64 zigzag, 64 pixel) int64 fixed-point IDCT basis. Built once
+    from math.cos and cached; both the decoder and the oracle generator
+    read THIS table, so the constants cannot drift between engines."""
+    import math
+
+    import numpy as np
+
+    global _IDCT_KERNEL
+    try:
+        return _IDCT_KERNEL
+    except NameError:
+        pass
+    k = np.zeros((64, 64), dtype=np.int64)
+    for z, (u, v) in enumerate(zigzag_uv()):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        cv = 1.0 / math.sqrt(2.0) if v == 0 else 1.0
+        for y in range(8):
+            for x in range(8):
+                val = (0.25 * cu * cv
+                       * math.cos((2 * y + 1) * u * math.pi / 16.0)
+                       * math.cos((2 * x + 1) * v * math.pi / 16.0))
+                k[z][y * 8 + x] = round(val * (1 << IDCT_FRAC_BITS))
+    _IDCT_KERNEL = k
+    return k
+
+
+JPEG_PIXEL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_px", LongType()),
+    StructField("sum_px", LongType()),
+    StructField("max_px", IntegerType()),
+    StructField("min_px", IntegerType()),
+])
+
+
+def decode_jpeg_pixels_one(payload: bytes):
+    """Entropy decode + integer dequant + direct-form integer IDCT +
+    level shift + clamp: the full baseline path from bytes to samples,
+    exact-integer end to end. Returns (w, h, samples ndarray (nb, 64))."""
+    import numpy as np
+
+    n_blocks, qt, blocks = decode_jpeg_coefs(payload)
+    # dims are re-derived from the stream's SOF0 by the caller's
+    # feature pass; here nb suffices (features are layout-invariant)
+    coefs = np.asarray(blocks, dtype=np.int64).reshape(n_blocks, 64)
+    dq = coefs * np.asarray(qt, dtype=np.int64)[None, :]
+    acc = dq @ idct_kernel()                       # (nb, 64) int64
+    samples = ((acc + (1 << (IDCT_FRAC_BITS - 1))) >> IDCT_FRAC_BITS) + 128
+    return np.clip(samples, 0, 255)
+
+
+def decode_jpeg_pixel_features(jpegs: DataFrame) -> DataFrame:
+    """Per-asset pixel statistics after the full decode: the JPEG
+    counterpart of ``decode_png_features``, closing the only format
+    whose decode previously stopped at the coefficient layer."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["jpeg"]):
+                w, h = jpeg_dims(int(doc_id))
+                samples = decode_jpeg_pixels_one(payload)
+                rows.append((int(doc_id), w, h, int(samples.size),
+                             int(samples.sum()), int(samples.max()),
+                             int(samples.min())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_px",
+                               "sum_px", "max_px", "min_px"])
+
+    return jpegs.mapInPandas(batches, JPEG_PIXEL_SCHEMA)

@@ -58,6 +58,7 @@ NEW_R6: tuple[str, ...] = (
     # composition below self-adjusts, and tests/test_registry_order.py
     # keeps every name resolvable at every commit.
     "zorder_wide_range_stats",    # 2^61-range keys, divide-first branch (VERDICT #3)
+    "jpeg_pixel_decode_features",  # integer-IDCT pixel path (VERDICT #2)
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -122,6 +122,7 @@ _MM_NEGATIVE_ID_QUERIES = (
     "png_decode_features",
     "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
+    "jpeg_pixel_decode_features",
 )
 
 

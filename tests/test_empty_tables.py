@@ -63,6 +63,7 @@ _REPRESENTATIVE = (
     "cms_heavy_hitters",                # sketch build/probe on 0 events
     "char_bigram_familiarity",          # corpus-trained scoring on 0 docs
     "jpeg_entropy_roundtrip_features",  # JPEG entropy codec on 0 docs
+    "jpeg_pixel_decode_features",       # integer-IDCT pixel path on 0 docs
     "cdc_apply_net_state",              # change-log reduce on 0 rows
     "scd2_user_type_history",           # SCD2 windows on 0 rows
     "priority_source_dedup",            # priority argmin on 0 docs

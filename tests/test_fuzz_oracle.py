@@ -144,6 +144,8 @@ _PIPELINE_FUZZED = (
     "png_decode_features",
     "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
+    # round-6: full pixel path (entropy + integer dequant + integer IDCT)
+    "jpeg_pixel_decode_features",
     "wav_codec_roundtrip_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",

@@ -70,3 +70,75 @@ def test_spark_roundtrip_matches_plan(spark):
         assert got[d]["n_blocks"] == nb
         assert got[d]["sum_dc"] == sum(q[0] for q in plan)
         assert got[d]["sum_abs_ac"] == sum(abs(c) for q in plan for c in q[1:])
+
+
+# --- round-6 pixel path: the integer IDCT must BE an IDCT -------------------
+
+
+def test_integer_idct_tracks_float_idct_within_one():
+    """The fixed-point kernel is only certified self-consistent by the
+    oracle; this pins that it's a real inverse DCT: for a spread of
+    docs, every decoded sample must sit within 1 of the float-IDCT
+    reference (2^14 fractional bits leave sub-LSB error)."""
+    import math
+
+    import numpy as np
+
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_coefs,
+        decode_jpeg_pixels_one,
+        encode_jpeg,
+        zigzag_uv,
+    )
+
+    zz = zigzag_uv()
+    for doc_id in (-9, 0, 1, 7, 42):
+        payload = encode_jpeg(doc_id)
+        got = decode_jpeg_pixels_one(payload)
+        _, qt, blocks = decode_jpeg_coefs(payload)
+        for b, q in enumerate(blocks):
+            ref = np.zeros((8, 8))
+            for z, c in enumerate(q):
+                if not c:
+                    continue
+                u, v = zz[z]
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                ys = np.cos((2 * np.arange(8) + 1) * u * np.pi / 16)
+                xs = np.cos((2 * np.arange(8) + 1) * v * np.pi / 16)
+                ref += 0.25 * cu * cv * c * qt[z] * np.outer(ys, xs)
+            ref = np.clip(np.round(ref) + 128, 0, 255)
+            assert np.abs(got[b].reshape(8, 8) - ref).max() <= 1, (
+                f"doc {doc_id} block {b}: integer IDCT diverged from float"
+            )
+
+
+def test_zero_coefficient_block_decodes_to_flat_128():
+    import numpy as np
+
+    from pulsar_project_spark.operators.jpeg import idct_kernel
+
+    # DC row of the kernel is the constant basis; a zero block is pure
+    # level shift -> every sample exactly 128
+    acc = np.zeros(64, dtype=np.int64)
+    samples = ((acc + (1 << 13)) >> 14) + 128
+    assert (samples == 128).all()
+    # and the kernel's DC row is flat (2048 = 2^14 / 8)
+    assert set(idct_kernel()[0].tolist()) == {2048}
+
+
+def test_pixel_features_layout(spark):
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_pixel_features,
+        jpeg_dims,
+        synthesize_jpeg,
+    )
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    out = decode_jpeg_pixel_features(synthesize_jpeg(docs)).collect()
+    assert len(out) == 6
+    for r in out:
+        w, h = jpeg_dims(r["doc_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_px"] == w * h
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255
