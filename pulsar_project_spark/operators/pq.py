@@ -112,3 +112,138 @@ def pq_adc_topk(codes: DataFrame, query_q: list[int], k: int = 10,
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained codebooks (round 6, VERDICT r5 #4): per-subspace Lloyd's
+# k-means in the SAME quantized integer domain as the fixed-codebook
+# path, so the trained encode/ADC ride the exact plans above with the
+# codebook relation broadcast in — the promise the round-5 docstring
+# made, now real. With a deterministic init (the PQ_K lowest vec_ids'
+# subvectors) and a fixed round count, the whole computation is
+# closed-form and the DuckDB oracle replays it; more rounds just nest
+# more CTEs. Integer floor-mean updates keep every round reproducible
+# under any partitioning (operators/kmeans.py rationale).
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, m, sv ARRAY<BIGINT>): the quantized subvector relation
+    — one row per (vector, subspace), the unit Lloyd's operates on."""
+    qv = F.expr(
+        f"transform(embedding, v -> cast(floor(cast(v as double) "
+        f"* {PQ_SCALE}) as bigint))"
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(m).cast("int").alias("m"),
+            F.slice(F.col("__qv"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ])
+    return (vecs.withColumn("__qv", qv)
+            .select(F.col(id_col), F.explode(subs).alias("s"))
+            .select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
+
+
+def _sv_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def pq_train(vecs: DataFrame, rounds: int = 1,
+             id_col: str = "vec_id") -> DataFrame:
+    """Per-subspace Lloyd's: returns the trained codebook relation
+    ``(m, c, qc ARRAY<BIGINT>)``. Init: centroid c of every subspace is
+    the subvector of the c-th lowest vec_id (no RNG — reproducible and
+    SQL-replayable). Each round: assign every (vector, subspace) to its
+    nearest centroid (integer argmin, lowest-label tiebreak), then
+    floor-mean update per (m, label, dim). Labels with no members drop
+    out, exactly as in ``kmeans_fit``. Precondition: unique vec_ids
+    (true of every corpus here); duplicate ids would make the init
+    join ambiguous.
+
+    Scale shape per round: one M*K-row broadcast, one narrow scored
+    pass, one (vec_id, m)-window argmin, one groupBy update over
+    (m, label, j) — M*K*SUB groups, trivially mergeable."""
+    from pyspark.sql.window import Window
+
+    sub = _pq_subvectors(vecs, id_col).localCheckpoint(eager=True)
+    init_ids = (vecs.select(id_col).distinct().orderBy(F.asc(id_col))
+                .limit(PQ_K))
+    w0 = Window.orderBy(F.asc(id_col))
+    init = init_ids.select(
+        F.col(id_col).alias("__cvid"),
+        (F.row_number().over(w0) - 1).cast("int").alias("c"),
+    )
+    cent = (sub.join(init, sub[id_col] == init["__cvid"])
+            .select("m", "c", F.col("sv").alias("qc"))
+            .localCheckpoint(eager=True))
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("__d"), F.asc("c"))
+    for _ in range(rounds):
+        scored = sub.join(F.broadcast(cent), "m").select(
+            id_col, "m", "sv", "c",
+            _sv_dist(F.col("sv"), F.col("qc")).alias("__d"),
+        )
+        assign = (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1))
+        upd = (
+            assign.select("m", F.col("c").alias("label"),
+                          F.posexplode("sv").alias("j", "x"))
+            .groupBy("m", "label", "j")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("qcj"))
+        )
+        cent = (
+            upd.groupBy("m", F.col("label").alias("c"))
+            .agg(F.sort_array(F.collect_list(F.struct("j", "qcj"))).alias("jc"))
+            .select("m", "c",
+                    F.transform(F.col("jc"), lambda s: s["qcj"]).alias("qc"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def pq_encode_trained(vecs: DataFrame, codebook: DataFrame,
+                      id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, subspace, code) against a TRAINED codebook relation:
+    the data-dependent twin of ``pq_encode`` — same argmin semantics,
+    but the codebook arrives as a broadcast relation instead of
+    compile-time literals (one M*K-row broadcast join + per-(vector,
+    subspace) window argmin; still no wide shuffle of the store)."""
+    from pyspark.sql.window import Window
+
+    sub = _pq_subvectors(vecs, id_col)
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        id_col, "m", "c", _sv_dist(F.col("sv"), F.col("qc")).alias("__d"),
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("__d"), F.asc("c"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("m").alias("subspace"),
+                    F.col("c").cast("int").alias("code")))
+
+
+def pq_adc_topk_trained(codes: DataFrame, codebook: DataFrame,
+                        query_q: list[int], k: int = 10,
+                        id_col: str = "vec_id") -> DataFrame:
+    """ADC search against a trained codebook: the LUT is computed AS A
+    RELATION (query subvectors joined to the codebook — M*K rows) and
+    broadcast onto the code relation; after that the plan is identical
+    to the fixed-codebook ``pq_adc_topk``."""
+    spark = codes.sparkSession
+    qsub = spark.createDataFrame(
+        [(m, [query_q[m * PQ_SUB + j] for j in range(PQ_SUB)])
+         for m in range(PQ_M)],
+        "m int, qsub array<bigint>",
+    )
+    lut = codebook.join(F.broadcast(qsub), "m").select(
+        F.col("m").alias("subspace"), F.col("c").alias("code"),
+        _sv_dist(F.col("qsub"), F.col("qc")).alias("sq_dist"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("sq_dist").cast("bigint").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -403,3 +403,145 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
     return pq_adc_topk(pq_encode(emb), query_q, k=10)
+
+
+def _pq_trained_cte() -> str:
+    """Shared CTE chain replaying pq_train(rounds=1) +
+    pq_encode_trained end-to-end in SQL: quantized subvectors, the
+    deterministic init (subvectors of the PQ_K lowest vec_ids), one
+    full Lloyd round (integer argmin assignment, floor-mean update),
+    and the final assignment against the updated codebook. Every
+    intermediate is exact integer (or floor of an exact double), so
+    the chain is hash-stable."""
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM, PQ_K, PQ_SCALE, PQ_SUB,
+    )
+    return f"""
+q AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+sub AS (
+  SELECT vec_id,
+         CAST((i - 1) // {PQ_SUB} AS INTEGER) AS m,
+         CAST((i - 1) % {PQ_SUB} AS INTEGER) AS j,
+         CAST(floor(embedding[i]::DOUBLE * {PQ_SCALE}) AS BIGINT) AS x
+  FROM q, generate_series(1, {PQ_DIM}) AS t(i)
+),
+init AS (
+  SELECT vec_id AS cvid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {PQ_K})
+),
+cent0 AS (
+  SELECT s.m, i.c, s.j, s.x AS qc
+  FROM sub s JOIN init i ON s.vec_id = i.cvid
+),
+d1 AS (
+  SELECT s.vec_id, s.m, c0.c,
+         sum((s.x - c0.qc) * (s.x - c0.qc)) AS d
+  FROM sub s JOIN cent0 c0 ON s.m = c0.m AND s.j = c0.j
+  GROUP BY s.vec_id, s.m, c0.c
+),
+a1 AS (
+  SELECT vec_id, m, c AS label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT s.m, a.label AS c, s.j,
+         CAST(floor(sum(s.x)::DOUBLE / count(*)) AS BIGINT) AS qc
+  FROM sub s JOIN a1 a ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY s.m, a.label, s.j
+),
+d2 AS (
+  SELECT s.vec_id, s.m, c1.c,
+         sum((s.x - c1.qc) * (s.x - c1.qc)) AS d
+  FROM sub s JOIN cent1 c1 ON s.m = c1.m AND s.j = c1.j
+  GROUP BY s.vec_id, s.m, c1.c
+),
+a2 AS (
+  SELECT vec_id, m, c FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_trained_assign_sql() -> str:
+    return (f"WITH {_pq_trained_cte()}\n"
+            "SELECT vec_id, m AS subspace, CAST(c AS INTEGER) AS code "
+            "FROM a2")
+
+
+def _pq_trained_adc_sql(k: int = 10) -> str:
+    from pulsar_project_spark.operators.pq import PQ_DIM, PQ_SCALE, PQ_SUB
+    return f"""
+WITH {_pq_trained_cte()},
+qv AS (
+  SELECT CAST((i - 1) // {PQ_SUB} AS INTEGER) AS m,
+         CAST((i - 1) % {PQ_SUB} AS INTEGER) AS j,
+         ((((i - 1) * 5) % 7) - 3) * {PQ_SCALE} AS qx
+  FROM generate_series(1, {PQ_DIM}) AS t(i)
+),
+lut AS (
+  SELECT c1.m, c1.c, sum((qv.qx - c1.qc) * (qv.qx - c1.qc)) AS sq_dist
+  FROM cent1 c1 JOIN qv ON c1.m = qv.m AND c1.j = qv.j
+  GROUP BY c1.m, c1.c
+),
+scored AS (
+  SELECT a.vec_id, CAST(sum(l.sq_dist) AS BIGINT) AS adc_dist
+  FROM a2 a JOIN lut l ON a.m = l.m AND a.c = l.c
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist FROM scored
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
+@declare("pq_trained_code_assignment", oracle=_pq_trained_assign_sql())
+def q_pq_trained_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode against a TRAINED codebook (round 6 — makes the
+    round-5 docstring promise real): per-subspace Lloyd's k-means in
+    the quantized integer domain (deterministic init = the PQ_K
+    lowest vec_ids' subvectors, one full assignment/floor-mean-update
+    round), then nearest-trained-centroid assignment. Training, like
+    encode, never shuffles the store wide: per round it broadcasts an
+    M*K-row codebook, runs a window argmin per (vector, subspace), and
+    aggregates M*K*8 floor-means. The oracle replays the ENTIRE
+    train-then-encode chain in SQL — init, both assignments, the mean
+    update — so a tiebreak, floor, or join-key slip anywhere in Lloyd's
+    breaks the hash (the ivf_cell_assignment certification pattern,
+    extended through a full training round)."""
+    from pulsar_project_spark.operators.pq import pq_encode_trained, pq_train
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    return pq_encode_trained(emb, pq_train(emb, rounds=1))
+
+
+@declare("pq_trained_adc_topk", oracle=_pq_trained_adc_sql())
+def q_pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 against the trained codebook: the query's lookup
+    table is itself a relation (query subvectors joined to the trained
+    codebook — M*K rows, broadcast), so the search path is identical
+    to the fixed-codebook ``pq_adc_topk`` and the float vectors are
+    still never read at query time. Oracle replays training, encode,
+    LUT, and the tiebroken top-k in one SQL chain."""
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_adc_topk_trained,
+        pq_encode_trained,
+        pq_train,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    cb = pq_train(emb, rounds=1)
+    codes = pq_encode_trained(emb, cb)
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    return pq_adc_topk_trained(codes, cb, query_q, k=10)

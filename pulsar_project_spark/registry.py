@@ -59,6 +59,8 @@ NEW_R6: tuple[str, ...] = (
     # keeps every name resolvable at every commit.
     "zorder_wide_range_stats",    # 2^61-range keys, divide-first branch (VERDICT #3)
     "jpeg_pixel_decode_features",  # integer-IDCT pixel path (VERDICT #2)
+    "pq_trained_code_assignment",  # k-means-trained codebook PQ (VERDICT #4)
+    "pq_trained_adc_topk",         # ADC against the trained codebook
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -541,6 +541,9 @@ _EMBEDDING_FUZZED = (
     # r5: product quantization (fixed codebooks, integer exact)
     "pq_code_assignment",
     "pq_adc_topk",
+    # round-6: trained codebooks (full Lloyd round replayed in SQL)
+    "pq_trained_code_assignment",
+    "pq_trained_adc_topk",
     # r4 ANN oracle twins: all-integer quantized math, so random dyadic
     # vectors must match bit-for-bit (min_size=2 also exercises the
     # min(k, n) centroid degradation and the k=min(5, n) MMR tail)

@@ -64,3 +64,96 @@ def test_adc_is_exact_at_zero_residual(spark):
     # and the LUT the operator builds is the same closed form
     lut = {(m, c): d for m, c, d in pq_query_lut(query_q)}
     assert sum(lut[(m, 1)] for m in range(PQ_M)) == true_sq
+
+
+# --- round-6: trained codebooks ---------------------------------------------
+
+
+def test_trained_pq_improves_or_matches_fixed_quantization_error(spark):
+    """Lloyd's must not LOSE to the data-blind fixed codebook on the
+    training data itself: mean squared quantization error of the
+    trained assignment <= the fixed codebook's (the monotone-descent
+    property of k-means applied per subspace — init already covers the
+    data better than arbitrary fixed integers, and each round only
+    decreases total distortion)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.pq import (
+        _sq_dist,
+        _sv_dist,
+        _pq_subvectors,
+        pq_train,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = (spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+           .filter(F.col("embedding").isNotNull()
+                   & F.col("vec_id").isNotNull()))
+
+    # fixed-codebook distortion: min over c of the closed-form distance
+    fixed = emb.select(*[
+        F.least(*[_sq_dist(m, c) for c in range(4)]).alias(f"d{m}")
+        for m in range(8)
+    ])
+    fixed_total = fixed.select(
+        sum(F.sum(f"d{m}") for m in range(8)).alias("t")
+    ).collect()[0]["t"]
+
+    # trained distortion: min over trained centroids
+    cb = pq_train(emb, rounds=1)
+    sub = _pq_subvectors(emb)
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", _sv_dist(F.col("sv"), F.col("qc")).alias("d")
+    )
+    trained_total = (scored.groupBy("vec_id", "m").agg(F.min("d").alias("d"))
+                     .agg(F.sum("d").alias("t")).collect()[0]["t"])
+
+    assert trained_total <= fixed_total, (
+        f"trained distortion {trained_total} worse than fixed {fixed_total}"
+    )
+
+
+def test_trained_adc_recall_vs_exact_quantized_l2(spark):
+    """Recall pin in the test_ivf style: the exact top-10 (integer
+    quantized L2 over the FULL vectors) must largely survive inside the
+    trained-codebook ADC top-100 SHORTLIST — shortlist-then-rerank is
+    how PQ is actually deployed, and a 16-bit code (M=8, K=4) cannot be
+    expected to rank the top-10 exactly. Chance level for a 100-of-500
+    shortlist is 0.2; observed 0.9 — pin well above chance, below
+    observed, to stay robust across Spark versions."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_adc_topk_trained,
+        pq_encode_trained,
+        pq_train,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = (spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+           .filter(F.col("embedding").isNotNull()
+                   & F.col("vec_id").isNotNull()))
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+
+    # exact: integer L2 between quantized vectors and the query
+    qv = F.expr(
+        f"transform(embedding, v -> cast(floor(cast(v as double) "
+        f"* {PQ_SCALE}) as bigint))"
+    )
+    qlit = F.array(*[F.lit(x).cast("bigint") for x in query_q])
+    dist = F.aggregate(
+        F.zip_with(qv, qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
+    exact = {r.vec_id for r in
+             emb.select("vec_id", dist.alias("d"))
+             .orderBy(F.asc("d"), F.asc("vec_id")).limit(10).collect()}
+
+    cb = pq_train(emb, rounds=1)
+    approx = {r.vec_id for r in
+              pq_adc_topk_trained(pq_encode_trained(emb, cb), cb,
+                                  query_q, k=100).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"trained-ADC shortlist recall collapsed: {recall}"
