@@ -57,26 +57,53 @@ def _sq_dist(m: int, c: int):
 def pq_encode(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(vec_id, subspace, code): nearest-centroid assignment per
     subspace — exact integer argmin with lowest-code tiebreak. One
-    codegen projection + explode; no shuffle, no UDF: at 100 TB this
-    is a map-only pass that shrinks the store ~32×."""
-    subs = []
-    for m in range(PQ_M):
-        dists = [_sq_dist(m, c) for c in range(PQ_K)]
-        best = F.least(*dists)
-        code = F.lit(PQ_K - 1)
-        for c in range(PQ_K - 2, -1, -1):
-            code = F.when(dists[c] == best, F.lit(c)).otherwise(code)
-        subs.append(F.struct(
-            F.lit(m).cast("int").alias("subspace"),
-            code.cast("int").alias("code"),
-        ))
-    return vecs.select(
-        F.col(id_col), F.explode(F.array(*subs)).alias("s")
-    ).select(
-        id_col,
-        F.col("s.subspace").alias("subspace"),
-        F.col("s.code").alias("code"),
+    map-only projection + explode; no shuffle, no UDF: at 100 TB this
+    is the pass that shrinks the store ~32×.
+
+    Expression shape matters here (round-6 probe, BENCH_NOTES.md): the
+    original scalar form re-embedded each 8-term distance ~9× inside
+    its least()/CASE argmin chains, blowing the tree past what codegen
+    handles and costing ~7 s hot at sf0.1. This form quantizes the
+    vector ONCE into a named array column, takes per-centroid
+    distances with zip_with/aggregate, and argmins by sorting a K-row
+    (dist, code) struct array — identical integer semantics (exceptAll
+    parity both directions), ~3.5× faster, and each input element is
+    referenced exactly once."""
+    qv = F.expr(
+        f"transform(embedding, v -> cast(floor(cast(v as double) "
+        f"* {PQ_SCALE}) as bigint))"
     )
+
+    def sub_struct(m: int):
+        sv = F.slice(F.col("__qv"), m * PQ_SUB + 1, PQ_SUB)
+        dists = []
+        for c in range(PQ_K):
+            cent = F.array(*[
+                F.lit(pq_codebook(m, c, j)).cast("bigint")
+                for j in range(PQ_SUB)
+            ])
+            dists.append(F.aggregate(
+                F.zip_with(sv, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+            ))
+        pairs = F.array(*[
+            F.struct(dists[c].alias("d"), F.lit(c).cast("int").alias("c"))
+            for c in range(PQ_K)
+        ])
+        # struct array sorts lexicographically: (dist, code) ascending
+        # IS the argmin with lowest-code tiebreak
+        code = F.array_sort(pairs)[0]["c"]
+        return F.struct(
+            F.lit(m).cast("int").alias("subspace"), code.alias("code")
+        )
+
+    return (vecs.withColumn("__qv", qv)
+            .select(F.col(id_col),
+                    F.explode(F.array(*[sub_struct(m) for m in range(PQ_M)]))
+                    .alias("s"))
+            .select(id_col,
+                    F.col("s.subspace").alias("subspace"),
+                    F.col("s.code").alias("code")))
 
 
 def pq_query_lut(query_q: list[int]) -> list[tuple[int, int, int]]:
