@@ -258,6 +258,56 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
     return out
 
 
+# Boundary markers for the string-domain encoder: every symbol is
+# wrapped \x1f sym \x1e, so a merge pass is ONE native replace() of
+# "\x1f l \x1e \x1f r \x1e" with "\x1f lr \x1e" — string boundaries
+# make prefix/suffix false matches impossible, and Java replace's
+# left-to-right non-overlapping scan IS the greedy merge recurrence
+# (proof by cases in tests/test_bpe_merges.py; exceptAll parity with
+# the array fold on the full corpus). Control characters never occur
+# in tokenizer output (tokenize strips whitespace/punctuation).
+BPE_SYM_L = "\x1f"
+BPE_SYM_R = "\x1e"
+
+
+def word_to_symstr(w):
+    """word column -> boundary-marked symbol string, with the </w>
+    end-of-word marker symbol appended."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.regexp_replace(w, "(.)", BPE_SYM_L + "$1" + BPE_SYM_R),
+        F.lit(BPE_SYM_L + "</w>" + BPE_SYM_R),
+    )
+
+
+def encode_symstr(merge_arr_col, symstr_col):
+    """Fold the ranked merge array over the symbol string: one native
+    replace() per merge, so the per-word cost is O(merges · length) in
+    codegen'd string ops instead of the array fold's O(merges ·
+    length²) interpreted accumulator copies (round-6 probe,
+    BENCH_NOTES.md). Returns the encoded symbol string; token count =
+    number of \x1e markers left."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        merge_arr_col, symstr_col,
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit(BPE_SYM_L), m["left"], F.lit(BPE_SYM_R),
+                     F.lit(BPE_SYM_L), m["right"], F.lit(BPE_SYM_R)),
+            F.concat(F.lit(BPE_SYM_L), m["merged"], F.lit(BPE_SYM_R)),
+        ),
+    )
+
+
+def symstr_token_count(enc):
+    from pyspark.sql import functions as F
+
+    return (F.length(enc)
+            - F.length(F.replace(enc, F.lit(BPE_SYM_R), F.lit("")))).cast("int")
+
+
 def apply_merge_pass(syms, m):
     """ONE greedy left-to-right non-overlapping merge pass over a symbol
     array: wherever (m.left, m.right) sit adjacent, fuse into m.merged
@@ -318,17 +368,14 @@ def bpe_fixed_encode_census(docs, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(tokenize(clean_string(text_col))).alias("w"),
     ).repartition(n_cpu, id_col).withColumn(
-        "syms",
-        F.concat(F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
-                 F.array(F.lit("</w>"))),
+        "symstr", word_to_symstr(F.col("w")),
     )
     encoded = words.select(
         id_col,
         F.length("w").alias("n_chars"),
-        F.size(F.aggregate(
-            merge_arr, F.col("syms"),
-            lambda acc, m: apply_merge_pass(acc, m),
-        )).alias("n_tokens"),
+        symstr_token_count(
+            encode_symstr(merge_arr, F.col("symstr"))
+        ).alias("n_tokens"),
     )
     return encoded.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
@@ -346,7 +393,8 @@ def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
     result per doc: word count, total BPE tokens, compression vs
     character count. The ranked merge table rides in as ONE broadcast
     array row — training output never touches the driver, and encoding
-    is a single nested higher-order fold per word, no UDF."""
+    folds the 8 merges over a boundary-marked symbol STRING (one
+    native replace() per merge — see ``encode_symstr``), no UDF."""
     from pyspark.sql import functions as F
 
     from pulsar_project_spark.functions.text import clean_string, tokenize
@@ -373,17 +421,15 @@ def bpe_encode_census(docs, n_merges: int = 8, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(tokenize(clean_string(text_col))).alias("w"),
     ).repartition(n_cpu, id_col).withColumn(
-        "syms",
-        F.concat(F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
-                 F.array(F.lit("</w>"))),
+        "symstr", word_to_symstr(F.col("w")),
     )
 
     encoded = words.crossJoin(F.broadcast(merge_arr)).select(
         id_col,
         F.length("w").alias("n_chars"),
-        F.size(F.aggregate(
-            "__ms", F.col("syms"), lambda acc, m: apply_merge_pass(acc, m)
-        )).alias("n_tokens"),
+        symstr_token_count(
+            encode_symstr(F.col("__ms"), F.col("symstr"))
+        ).alias("n_tokens"),
     )
     return encoded.groupBy(id_col).agg(
         F.count("*").alias("n_words"),

@@ -107,3 +107,48 @@ def test_spark_bpe_encode_census_matches_replica(spark, texts):
         for r in bpe_encode_census(docs, n_merges=6).collect()
     }
     assert got == _replica_encode_census(texts, 6)
+
+
+def test_string_replace_pass_equals_array_fold_pass(spark):
+    """The round-6 encoder applies each merge as ONE native replace()
+    over a boundary-marked symbol string; this pins equivalence with
+    the greedy array fold on the adversarial cases:
+
+    * run-of-same-symbol ('aaaa' under a+a): both must produce
+      [aa, aa] — the naive single-separator encoding would miss the
+      second merge because the separator is shared between matches;
+    * prefix/suffix traps ('ab b' under a+b must NOT merge; 'a ab'
+      under a+ab must) — string boundaries make partial-symbol
+      matches impossible;
+    * no cascade: merged output never re-merges within the same pass
+      (merged = left||right can never equal left again).
+    """
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.text_analysis import (
+        apply_merge_pass,
+        encode_symstr,
+        symstr_token_count,
+        word_to_symstr,
+    )
+
+    words = ["aaaa", "aab", "abb", "ab", "a", "", "abcabc", "aabb"]
+    merges = [("a", "a", "aa"), ("a", "b", "ab"), ("ab", "c", "abc"),
+              ("a", "ab", "aab"), ("aa", "bb", "aabb")]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    merge_arr = F.array(*[
+        F.struct(F.lit(l).alias("left"), F.lit(r).alias("right"),
+                 F.lit(m).alias("merged"))
+        for l, r, m in merges
+    ])
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+        F.array(F.lit("</w>")),
+    )
+    folded = F.size(F.aggregate(
+        merge_arr, syms, lambda acc, m: apply_merge_pass(acc, m)))
+    replaced = symstr_token_count(
+        encode_symstr(merge_arr, word_to_symstr(F.col("w"))))
+    rows = df.select("w", folded.alias("nf"), replaced.alias("nr")).collect()
+    for r in rows:
+        assert r.nf == r.nr, f"divergence on {r.w!r}: fold {r.nf} != replace {r.nr}"
