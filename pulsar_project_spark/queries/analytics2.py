@@ -154,3 +154,90 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_cents").over(w).cast("bigint"),
         ).alias("region_share"),
     )
+
+
+@declare(
+    "product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (round 6): per-nation, per-year profit on a
+    product-name slice — the widest join fan in the warehouse family
+    (lineitem × part × supplier × nation × orders). Plan shape the
+    optimizer must get right at 100 TB: the p_name LIKE filter pushes
+    into the part scan BEFORE the join (the slice is ~5% of parts, so
+    the part side broadcasts), supplier/nation broadcast, and the only
+    wide exchange is lineitem↔orders on orderkey; the aggregate is
+    25 nations × ~7 years with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(
+            F.sum(_rev()).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@declare(
+    "brand_quantity_revenue",
+    oracle=f"""
+SELECT p_brand,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND l_quantity BETWEEN 1  AND 15 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#4'  AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)
+GROUP BY p_brand
+""",
+)
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped (round 6): disjunctive multi-band predicates
+    across BOTH join sides — the classic optimizer test for OR-clause
+    handling. Per-side implications of the OR (p_brand IN (...) and
+    p_size <= 30 on part; l_quantity BETWEEN 1 AND 35 on lineitem) are
+    inferable and prunable; the residual disjunction evaluates on the
+    joined row. The filtered part side broadcasts; no wide exchange at
+    all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#2") & q.between(1, 15) & sz.between(1, 10))
+        | ((br == "Brand#4") & q.between(10, 25) & sz.between(1, 20))
+        | ((br == "Brand#17") & q.between(20, 35) & sz.between(1, 30))
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

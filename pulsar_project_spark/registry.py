@@ -61,6 +61,8 @@ NEW_R6: tuple[str, ...] = (
     "jpeg_pixel_decode_features",  # integer-IDCT pixel path (VERDICT #2)
     "pq_trained_code_assignment",  # k-means-trained codebook PQ (VERDICT #4)
     "pq_trained_adc_topk",         # ADC against the trained codebook
+    "product_type_profit",         # TPC-H Q9 shape (5-way join profit)
+    "brand_quantity_revenue",      # TPC-H Q19 shape (disjunctive bands)
 )
 
 RECERTS_R6: tuple[str, ...] = (

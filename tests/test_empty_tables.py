@@ -70,6 +70,8 @@ _REPRESENTATIVE = (
     "exact_k_per_group_sample",         # windowed budget on 0 rows
     "nation_trade_volume",              # double-role dim joins on 0 facts
     "market_share_by_year",             # conditional agg share on 0 facts
+    "product_type_profit",              # 5-way join profit on 0 facts
+    "brand_quantity_revenue",           # disjunctive bands on 0 facts
     "sql_trade_volume_identical",       # identical-text SQL on 0 facts
     "lc_distinct_bitmap_census",        # bitmap sketch on 0 events
     "png_permissive_decode_census",     # corrupt-tolerant codec on 0 docs

@@ -394,6 +394,9 @@ _STAR_FUZZED = (
     "zorder_wide_range_stats",
     "nation_trade_volume",
     "market_share_by_year",
+    # round-6: Q9/Q19 shapes
+    "product_type_profit",
+    "brand_quantity_revenue",
     "national_revenue",
     "sql_trade_volume_identical",
     # round-5 sweep: every remaining warehouse-only oracle query

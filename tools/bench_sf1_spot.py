@@ -60,7 +60,15 @@ ROUND5_ADDITIONS = (
     "sql_trade_volume_identical", "png_permissive_decode_census",
 )
 
-SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS
+# round-6: integer-IDCT pixel decode, trained PQ, wide-range layout —
+# plus re-timing of the two queries whose encode paths were rewritten
+# this round (pq_encode HOF form, BPE string-replace encoder)
+ROUND6_ADDITIONS = (
+    "jpeg_pixel_decode_features", "zorder_wide_range_stats",
+    "pq_trained_code_assignment", "pq_trained_adc_topk",
+)
+
+SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS + ROUND6_ADDITIONS
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SF1_DERIVED_DIR", "/tmp/sf1_derived")
