@@ -1,0 +1,81 @@
+"""Link-analysis operators: deterministic integer PageRank.
+
+The engine's graph surface so far is structural (connected components
+for near-dup clusters, session path mining); this adds CENTRALITY —
+the standard primitive for ranking nodes of a derived graph (dominant
+event types in the behavioral transition graph here; canonical
+documents in a near-dup graph, domain authority in a link corpus at
+100 TB — the data-curation uses).
+
+Same distributed-determinism contract as operators/kmeans.py: scores
+are BIGINT (scaled by 1e6), every update is integer arithmetic
+(floor-division damping, floor-split outflow), so the result is
+EXACTLY reproducible under any partitioning and — with the
+deterministic fixed iteration count — fully replayable by a DuckDB
+oracle whose CTE chain repeats one round per iteration (the trained-PQ
+certification pattern, operators/pq.py).
+
+Per iteration: edges join scores (shuffle on src — the one wide
+exchange, proportional to |E|), a groupBy(dst) inflow aggregate with
+map-side partials, and two 1-row aggregates (dangling mass, node
+count) broadcast back. ``localCheckpoint`` truncates lineage per round
+(operators/clustering.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000        # initial score per node (uniform, scaled)
+PR_DAMP_NUM = 85            # damping 0.85 as an exact rational
+PR_DAMP_DEN = 100
+
+
+def pagerank_integer(nodes: DataFrame, edges: DataFrame,
+                     iters: int = 3) -> DataFrame:
+    """(node, score) after ``iters`` damped integer PageRank rounds.
+
+    ``nodes``: one column ``node``. ``edges``: ``(src, dst, w)`` with
+    positive integer weights. Update rule, all integer::
+
+        out_u      = Σ w(u, ·)
+        inflow(v)  = Σ_u  (s(u) · w(u,v)) div out_u
+        dangling   = Σ { s(u) : out_u undefined }
+        s'(v)      = (15·SCALE + 85·(inflow(v) + dangling div N)) div 100
+
+    Dangling mass is redistributed uniformly (floor split), so no score
+    silently vanishes; every op is non-negative so Spark ``div`` and
+    DuckDB ``//`` agree exactly."""
+    outw = edges.groupBy("src").agg(F.sum("w").alias("__ow"))
+    n_df = nodes.agg(F.count("*").alias("__n"))
+    scores = nodes.select(
+        "node", F.lit(PR_SCALE).cast("bigint").alias("score")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            edges.join(scores, edges["src"] == scores["node"])
+            .join(outw, "src")
+            .select(F.col("dst"), F.expr("(score * w) div __ow").alias("__c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__infl"))
+        dang = (
+            scores.join(outw, scores["node"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("score"), F.lit(0)).cast("bigint")
+                 .alias("__dang"))
+        )
+        scores = (
+            nodes.crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_df))
+            .join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}"
+                    f" + {PR_DAMP_NUM} * (coalesce(__infl, 0)"
+                    f" + __dang div __n)) div {PR_DAMP_DEN}"
+                ).cast("bigint").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

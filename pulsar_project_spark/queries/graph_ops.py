@@ -1,0 +1,114 @@
+"""Declared queries: link-analysis family (integer PageRank over the
+event-transition graph).
+
+The behavioral graph is derived, not stored: consecutive events per
+user (ordered by (ts, event_id), the repo-wide total-order tiebreak)
+become weighted src→dst transition edges, and damped PageRank ranks
+event types by stationary importance — the centrality counterpart of
+``session_path_trigrams``'s path mining. At 100 TB the same operator
+ranks documents in a near-dup graph or domains in a link corpus; the
+node alphabet here is small, the EDGE derivation is the full-corpus
+work, and the plan shape (one window sort, one |E|-sized exchange per
+round) is the scale story.
+
+Certification: all-integer updates with a fixed iteration count make
+the whole computation closed-form — the oracle repeats one CTE block
+per round (the trained-PQ pattern), so a wrong floor, damping term, or
+dangling redistribution in ANY round breaks the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pulsar_project_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    pagerank_integer,
+)
+from pulsar_project_spark.registry import declare
+from pulsar_project_spark.sources.tables import load_events
+
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    rounds = []
+    for k in range(1, iters + 1):
+        prev = "s0" if k == 1 else f"s{k - 1}"
+        rounds.append(f"""
+inflow{k} AS (
+  SELECT e.dst AS node, sum((s.score * e.w) // o.ow) AS infl
+  FROM edges e
+  JOIN {prev} s ON e.src = s.node
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+dang{k} AS (
+  SELECT CAST(coalesce(sum(s.score), 0) AS BIGINT) AS dang
+  FROM {prev} s LEFT JOIN outw o ON s.node = o.src
+  WHERE o.src IS NULL
+),
+s{k} AS (
+  SELECT n.node,
+         CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}
+               + {PR_DAMP_NUM} * (coalesce(i.infl, 0)
+                                  + d.dang // t.n)) // {PR_DAMP_DEN}
+              AS BIGINT) AS score
+  FROM nodes n
+  CROSS JOIN dang{k} d
+  CROSS JOIN ntotal t
+  LEFT JOIN inflow{k} i ON n.node = i.node
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+hops AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS dst
+  FROM ev
+),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM hops
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM ev),
+ntotal AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM nodes),
+{chain}
+SELECT node AS event_type, score FROM s{iters}
+"""
+
+
+@declare("event_transition_pagerank", oracle=_pagerank_sql())
+def q_event_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped integer PageRank (3 rounds, scale 1e6, damping 85/100)
+    over the user-transition graph of event types: edges are
+    consecutive-event hops per user, weighted by count; dangling mass
+    is floor-redistributed uniformly so no score vanishes. Every
+    arithmetic step is non-negative integer math, so Spark ``div`` and
+    DuckDB ``//`` agree bit-for-bit and the oracle replays all three
+    rounds as repeated CTE blocks. The edge derivation (one window
+    sort over the corpus) dominates at scale; each round then touches
+    only the |E|-row edge relation and two broadcast scalars."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    edges = (hops.filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ranked = pagerank_integer(nodes, edges, iters=_PR_ITERS)
+    return ranked.select(F.col("node").alias("event_type"), "score")

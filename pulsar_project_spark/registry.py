@@ -63,6 +63,7 @@ NEW_R6: tuple[str, ...] = (
     "pq_trained_adc_topk",         # ADC against the trained codebook
     "product_type_profit",         # TPC-H Q9 shape (5-way join profit)
     "brand_quantity_revenue",      # TPC-H Q19 shape (disjunctive bands)
+    "event_transition_pagerank",   # integer PageRank, K-round CTE oracle
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -83,6 +83,7 @@ _REPRESENTATIVE = (
     "bloom_gated_incremental_dedup",    # gated classify on 0 docs
     "compaction_plan_buckets",          # prefix-sum planner on 0 files
     "session_path_trigrams",            # path mining over 0 sessions
+    "event_transition_pagerank",        # PageRank over 0 nodes
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -271,6 +271,8 @@ _EVENTS_FUZZED = (
     "salted_segment_event_counts",
     "content_fingerprint_events",
     "session_path_trigrams",
+    # round-6: integer PageRank over the transition graph
+    "event_transition_pagerank",
 )
 
 
