@@ -128,3 +128,75 @@ def q_zorder_wide_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         oday.alias("oday"),
     )
     return zorder_bucket_stats(dims, "ckey", "oday", n_buckets=64)
+
+
+_RANGE_BUCKETS = 16
+
+_RANGE_BOUNDS_SQL = f"""
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+hist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT count(*) AS n FROM vals),
+targets AS (
+  SELECT k.k, (k.k * t.n + {_RANGE_BUCKETS - 1}) // {_RANGE_BUCKETS} AS tgt
+  FROM (SELECT unnest(generate_series(1, {_RANGE_BUCKETS - 1})) AS k) k,
+       tot t
+  WHERE t.n > 0
+)
+SELECT CAST(t.k AS INTEGER) AS bucket,
+       min(c.v) AS boundary_cents
+FROM targets t JOIN cum c ON c.cum >= t.tgt
+GROUP BY t.k
+"""
+
+
+@declare("range_partition_bounds", oracle=_RANGE_BOUNDS_SQL)
+def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth range-partition boundaries — the planning
+    primitive behind ``repartitionByRange`` and ``zorder_write``'s
+    per-file splits (Spark's own range partitioner samples; a layout
+    job that must guarantee balanced files computes the real
+    boundaries). Boundary k is the smallest value whose cumulative
+    count reaches ceil(k·n/B), i.e. percentile_disc on integer cents.
+
+    Scale shape: the corpus is touched ONCE by a mergeable
+    groupBy(value) count (map-side partials); the prefix-sum window
+    and the boundary probe then run over the VALUE HISTOGRAM, which is
+    orders of magnitude smaller than the data (the compaction-planner
+    justification — planning relations may be small). The 15-row
+    target relation broadcasts onto the cumulative histogram as a
+    nested-loop ≥-join, then a per-target min."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    vals = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    hist = vals.groupBy("v").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "v",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tot = vals.agg(F.count("*").alias("n"))
+    ks = spark.range(1, _RANGE_BUCKETS).select(F.col("id").alias("k"))
+    targets = (
+        ks.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > 0)
+        .select(
+            "k",
+            F.expr(f"(k * n + {_RANGE_BUCKETS - 1}) div {_RANGE_BUCKETS}")
+            .alias("tgt"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("tgt"))
+        .groupBy(F.col("k").cast("int").alias("bucket"))
+        .agg(F.min("v").alias("boundary_cents"))
+    )

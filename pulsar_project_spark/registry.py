@@ -64,6 +64,7 @@ NEW_R6: tuple[str, ...] = (
     "product_type_profit",         # TPC-H Q9 shape (5-way join profit)
     "brand_quantity_revenue",      # TPC-H Q19 shape (disjunctive bands)
     "event_transition_pagerank",   # integer PageRank, K-round CTE oracle
+    "range_partition_bounds",      # exact equi-depth range planner
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -84,6 +84,7 @@ _REPRESENTATIVE = (
     "compaction_plan_buckets",          # prefix-sum planner on 0 files
     "session_path_trigrams",            # path mining over 0 sessions
     "event_transition_pagerank",        # PageRank over 0 nodes
+    "range_partition_bounds",           # equi-depth planner on 0 rows
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

@@ -399,6 +399,7 @@ _STAR_FUZZED = (
     # round-6: Q9/Q19 shapes
     "product_type_profit",
     "brand_quantity_revenue",
+    "range_partition_bounds",
     "national_revenue",
     "sql_trade_volume_identical",
     # round-5 sweep: every remaining warehouse-only oracle query

@@ -42,6 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "bpe_encode_token_census",   # 1-row ranked-merge-array broadcast crossJoin
     "zorder_bucket_stats",       # 1-row min/max-bounds broadcast crossJoin
     "zorder_wide_range_stats",   # same operator, wide-range dims
+    "range_partition_bounds",    # 15-row target broadcast >=-join onto histogram
 }
 
 
