@@ -447,33 +447,67 @@ def char_bigram_familiarity(docs, id_col: str = "doc_id",
     log table replaced by raw corpus counts so every number is an
     exact integer (no cross-engine float-log drift).
 
-    Scale shape: the per-char explode — the unavoidable cost — runs
-    ONCE: it aggregates straight into the per-(doc, bigram) count
-    relation (~100× smaller than the raw bigram stream), which is
-    materialized with ``localCheckpoint`` because BOTH consumers read
-    it — the corpus table is derived from it by a second tiny groupBy
-    (sum of per-doc counts ≡ raw count; ≤ ~4k ASCII bigram groups,
-    map-side combinable to almost nothing), then broadcast back onto
-    it for the scoring join. Without the checkpoint Catalyst would
-    re-execute the explode subtree once per consumer (measured 62 s →
-    ~2× cheaper at sf1). Docs shorter than 2 chars are dropped
-    explicitly (also keeps Spark's sequence() from its negative-step
-    branch)."""
+    Scale shape (round-6 rewrite, BENCH_NOTES.md): the per-(doc,
+    bigram) count relation is produced by ONE Arrow ``mapInPandas``
+    pass — each document's characters become a uint32 code vector
+    (``utf-32-le``, so char semantics match SQL ``substring`` exactly,
+    astral planes included), bigrams are a vectorized
+    shift-and-combine, and ``np.unique`` counts them — replacing the
+    explode→shuffle of the raw bigram stream (50M tiny rows at sf1)
+    with per-row numpy (measured 24 s → 2.4 s hot at sf1, exceptAll
+    parity). The relation is ``localCheckpoint``-ed because BOTH
+    consumers read it: the corpus table derives from it by a tiny
+    groupBy (≤ ~4k ASCII bigram groups) and broadcasts back for the
+    scoring join. Docs shorter than 2 chars are dropped explicitly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
 
     base = docs.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
         & F.col(id_col).isNotNull()
     )
-    per_doc = base.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("i"),
-        F.col(text_col),
-    ).select(
-        id_col, F.expr(f"substring({text_col}, i, 2)").alias("bg")
-    ).groupBy(id_col, "bg").agg(
-        F.count("*").alias("cnt_in_doc")
-    ).localCheckpoint(eager=True)
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("bg", StringType()),
+        StructField("cnt_in_doc", LongType()),
+    ])
+
+    def counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            bgs: list[str] = []
+            cs: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                c = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                # 0x200000 > max code point: (a, b) -> a<<21 | b is
+                # collision-free, and chr() recovers both exactly
+                codes = c[:-1] * 0x200000 + c[1:]
+                uniq, cnt = np.unique(codes, return_counts=True)
+                ids.extend([int(doc_id)] * len(uniq))
+                bgs.extend(chr(u >> 21) + chr(u & 0x1FFFFF) for u in uniq)
+                cs.extend(cnt.tolist())
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "bg": pd.Series(bgs, dtype="object"),
+                "cnt_in_doc": pd.Series(cs, dtype="int64"),
+            })
+
+    n_cpu = docs.sparkSession.sparkContext.defaultParallelism
+    per_doc = (
+        base.select(id_col, text_col)
+        .repartition(n_cpu, id_col)
+        .mapInPandas(counts, out_schema)
+        .localCheckpoint(eager=True)
+    )
     table = per_doc.groupBy("bg").agg(
         F.sum("cnt_in_doc").alias("cnt")
     )

@@ -139,3 +139,40 @@ def q_skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@declare(
+    "join_cardinality_forecast",
+    oracle="""
+WITH a AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+           WHERE o_custkey IS NOT NULL GROUP BY 1),
+b AS (SELECT c_custkey AS k, count(*) AS c FROM customer
+      WHERE c_custkey IS NOT NULL GROUP BY 1)
+SELECT CAST(sum(a.c * b.c) AS BIGINT) AS join_rows,
+       count(*) AS n_common_keys,
+       CAST(max(a.c * b.c) AS BIGINT) AS max_key_rows
+FROM a JOIN b ON a.k = b.k
+""",
+)
+def q_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle join-size forecast: |A ⋈ B| = Σ_k cA(k)·cB(k) over
+    the per-key histograms, plus the hottest key's output share — the
+    exact numbers a planner needs to size shuffle partitions or decide
+    salting BEFORE paying for the join (the skew_key_census companion,
+    applied to the two-sided case). Histograms are mergeable count
+    aggregates (map-side partials), so the forecast costs two skinny
+    aggregates and a histogram-sized equi-join — never the join
+    itself."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull())
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("ca"))
+    b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb"))
+    return a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+        F.count("*").alias("n_common_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_rows"),
+    )

@@ -478,3 +478,68 @@ def q_series_pattern_distance_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("sq_dist").asc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+_OHLC_BUCKET_US = 300_000_000  # 5-minute bars
+
+_OHLC_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         epoch_us(ts) // {_OHLC_BUCKET_US} AS bucket,
+         epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM v
+)
+SELECT event_type, bucket,
+       min(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       min(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       count(*) AS n_events
+FROM r GROUP BY event_type, bucket
+"""
+
+
+@declare("ohlc_bars_5min", oracle=_OHLC_SQL)
+def q_ohlc_bars_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the canonical time-series compaction (open/
+    high/low/close/volume per fixed bar): five-minute buckets by pure
+    integer epoch division (timezone-proof), values in exact cents,
+    open/close selected by row_number over the repo-wide (ts, event_id)
+    total order so ties cannot flip the bar across engines. One
+    shuffle on (type, bucket); both windows and the aggregate ride the
+    same partitioning — Spark plans a single Exchange."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("ts_us").isNotNull()
+    )
+    v = ev.select(
+        "event_type",
+        F.expr(f"ts_us div {_OHLC_BUCKET_US}").alias("bucket"),
+        "ts_us", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("ts_us"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts_us"), F.desc("event_id"))
+    r = v.select(
+        "event_type", "bucket", "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+        F.count("*").alias("n_events"),
+    )

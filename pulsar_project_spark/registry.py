@@ -65,6 +65,8 @@ NEW_R6: tuple[str, ...] = (
     "brand_quantity_revenue",      # TPC-H Q19 shape (disjunctive bands)
     "event_transition_pagerank",   # integer PageRank, K-round CTE oracle
     "range_partition_bounds",      # exact equi-depth range planner
+    "ohlc_bars_5min",              # OHLC time-series downsampling
+    "join_cardinality_forecast",   # pre-shuffle join-size/skew forecast
 )
 
 RECERTS_R6: tuple[str, ...] = (

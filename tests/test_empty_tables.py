@@ -85,6 +85,10 @@ _REPRESENTATIVE = (
     "session_path_trigrams",            # path mining over 0 sessions
     "event_transition_pagerank",        # PageRank over 0 nodes
     "range_partition_bounds",           # equi-depth planner on 0 rows
+    "ohlc_bars_5min",                   # bar compaction on 0 events
+    # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
+    # it correctly returns one NULL/0 row in BOTH engines — like the
+    # funnel, it doesn't belong in a zero-rows-out gate)
 )
 
 _NAMED_RAISERS = {"kmeans_clusters", "ivf_cosine_topk"}

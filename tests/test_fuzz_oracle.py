@@ -273,6 +273,7 @@ _EVENTS_FUZZED = (
     "session_path_trigrams",
     # round-6: integer PageRank over the transition graph
     "event_transition_pagerank",
+    "ohlc_bars_5min",
 )
 
 
@@ -400,6 +401,7 @@ _STAR_FUZZED = (
     "product_type_profit",
     "brand_quantity_revenue",
     "range_partition_bounds",
+    "join_cardinality_forecast",
     "national_revenue",
     "sql_trade_volume_identical",
     # round-5 sweep: every remaining warehouse-only oracle query
