@@ -543,3 +543,61 @@ def q_ohlc_bars_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
         F.count("*").alias("n_events"),
     )
+
+
+_ROLLING_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                INTERVAL 1 DAY))::DATE AS wday
+  FROM du
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT c.user_id) AS active_7d
+FROM days d JOIN contrib c ON c.wday = d.day
+GROUP BY d.day
+"""
+
+
+@declare("rolling_7d_active_users", oracle=_ROLLING_SQL)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve) — for every calendar
+    day with activity, the distinct users active in [day-6, day].
+    Window countDistinct over a RANGE frame doesn't exist in Spark (or
+    in most engines), and the naive day×history range join is a
+    nested loop; instead each (user, day) pair is EXPLODED into the
+    ≤7 window-end days it contributes to, turning the computation
+    into a plain equi-shuffle groupBy(count distinct) — the shape that
+    scales, because a user-day contributes a bounded 7 rows no matter
+    the corpus. Restricting to observed days is a broadcast equi-join
+    against the tiny day dimension."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts_us").isNotNull() & F.col("user_id").isNotNull()
+    )
+    # day via integer µs arithmetic, NOT to_date(timestamp_micros(...)):
+    # the latter shifts with the session timezone and the driver's
+    # vanilla session doesn't pin one (same rationale as
+    # daily_user_series_gapfilled above)
+    du = ev.select(
+        F.date_from_unix_date(
+            F.floor(F.col("ts_us") / 86_400_000_000).cast("int")
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), 6)
+        )).alias("wday"),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib.wday == days.day)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

@@ -67,6 +67,7 @@ NEW_R6: tuple[str, ...] = (
     "range_partition_bounds",      # exact equi-depth range planner
     "ohlc_bars_5min",              # OHLC time-series downsampling
     "join_cardinality_forecast",   # pre-shuffle join-size/skew forecast
+    "rolling_7d_active_users",     # WAU via bounded contribution explode
 )
 
 RECERTS_R6: tuple[str, ...] = (

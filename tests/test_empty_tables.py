@@ -86,6 +86,7 @@ _REPRESENTATIVE = (
     "event_transition_pagerank",        # PageRank over 0 nodes
     "range_partition_bounds",           # equi-depth planner on 0 rows
     "ohlc_bars_5min",                   # bar compaction on 0 events
+    "rolling_7d_active_users",          # WAU curve on 0 events
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

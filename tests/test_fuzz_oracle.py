@@ -274,6 +274,7 @@ _EVENTS_FUZZED = (
     # round-6: integer PageRank over the transition graph
     "event_transition_pagerank",
     "ohlc_bars_5min",
+    "rolling_7d_active_users",
 )
 
 
