@@ -424,3 +424,49 @@ def q_fact_fact_smj_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("line_revenue_cents"),
         )
     )
+
+
+_RI_RELATIONS = (
+    # (name, fact, fk, dim, pk)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_RI_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+       (SELECT count(*) FROM {fact}) AS n_rows,
+       (SELECT count(*) FROM {fact} f
+        WHERE NOT EXISTS (SELECT 1 FROM {dim} d
+                          WHERE d.{pk} = f.{fk})) AS n_orphans"""
+    for name, fact, fk, dim, pk in _RI_RELATIONS
+)
+
+
+@declare("referential_integrity_census", oracle=_RI_SQL)
+def q_referential_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity sweep across the whole star schema — the
+    profiling pass every ingest should run before anything joins:
+    per relation, total rows and orphan rows (FK with no matching PK;
+    NULL keys count as orphans, matching SQL NOT EXISTS semantics —
+    a NULL never matches). Each relation is one left-anti join with
+    the dimension side broadcast where small; fact-fact (lineitem→
+    orders) shuffles on the join key like any fact join would. The
+    relations run as a union of independent branches, so Spark
+    schedules them concurrently."""
+    out = None
+    for name, fact, fk, dim, pk in _RI_RELATIONS:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(pk)
+        orphans = f.join(d, f[fk] == d[pk], "left_anti")
+        branch = (
+            f.agg(F.count("*").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

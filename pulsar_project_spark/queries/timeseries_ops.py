@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pulsar_project_spark.registry import declare
-from pulsar_project_spark.sources.tables import load_events
+from pulsar_project_spark.sources.tables import load_events, load_table
 
 
 @declare(
@@ -600,4 +600,103 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(F.broadcast(days), contrib.wday == days.day)
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@declare(
+    "mad_outlier_census",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+med AS (SELECT pri, median(cents) AS med FROM c GROUP BY pri),
+dev AS (
+  SELECT c.pri, abs(2 * c.cents - CAST(2 * m.med AS BIGINT)) AS dev2
+  FROM c JOIN med m ON c.pri = m.pri
+),
+mad AS (SELECT pri, median(dev2) AS mad2 FROM dev GROUP BY pri)
+SELECT d.pri AS o_orderpriority,
+       CAST(min(m.med) AS DOUBLE) AS median_cents,
+       CAST(min(a.mad2) / 2 AS DOUBLE) AS mad_cents,
+       CAST(sum(CASE WHEN d.dev2 > 3 * a.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       count(*) AS n_orders
+FROM dev d JOIN mad a ON d.pri = a.pri JOIN med m ON d.pri = m.pri
+GROUP BY d.pri
+""",
+)
+def q_mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group — median absolute deviation,
+    the data-quality primitive that survives the very outliers it
+    hunts (stddev-based z-scores don't). Two exact medians over
+    integer cents: deviations are doubled (|2x − 2·med|) so the
+    half-cent midpoint median stays an exact integer, and the flag
+    rule dev2 > 3·MAD2 compares exactly representable doubles — no
+    float tolerance anywhere. Scale shape: two groupBy passes over the
+    fact and two tiny broadcast joins of the 5-row per-priority
+    statistics."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("pri").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med"))
+    dev = c.join(F.broadcast(med), "pri").select(
+        "pri",
+        F.abs(F.col("cents") * 2 - (F.col("med") * 2).cast("bigint"))
+        .alias("dev2"),
+    )
+    mad = dev.groupBy("pri").agg(
+        F.percentile(F.col("dev2"), F.lit(0.5)).alias("mad2"))
+    return (
+        dev.join(F.broadcast(mad), "pri").join(F.broadcast(med), "pri")
+        .groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.min("med").cast("double").alias("median_cents"),
+            (F.min("mad2") / 2).cast("double").alias("mad_cents"),
+            F.sum(F.when(F.col("dev2") > 3 * F.col("mad2"), 1).otherwise(0))
+             .cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@declare(
+    "percentile_bands_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.50) AS p50_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents,
+       count(*) AS n_orders
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY o_orderpriority
+""",
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartile bands per group — the spread profile behind SLA
+    dashboards and skew diagnosis. Type-7 linear interpolation over
+    integer cents is exact in float64 in both engines (indices are
+    dyadic fractions of small integers), so even the interpolated
+    quartiles hash-match. The approx sketch twin remains the 100 TB
+    default; this is the exact-verification path."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("cents"), F.lit(0.25)).alias("p25_cents"),
+        F.percentile(F.col("cents"), F.lit(0.50)).alias("p50_cents"),
+        F.percentile(F.col("cents"), F.lit(0.75)).alias("p75_cents"),
+        F.count("*").alias("n_orders"),
     )

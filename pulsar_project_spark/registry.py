@@ -68,6 +68,9 @@ NEW_R6: tuple[str, ...] = (
     "ohlc_bars_5min",              # OHLC time-series downsampling
     "join_cardinality_forecast",   # pre-shuffle join-size/skew forecast
     "rolling_7d_active_users",     # WAU via bounded contribution explode
+    "mad_outlier_census",          # robust MAD outlier flags, exact halves
+    "percentile_bands_by_priority", # exact quartile bands
+    "referential_integrity_census", # FK orphan sweep across the star
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -87,6 +87,8 @@ _REPRESENTATIVE = (
     "range_partition_bounds",           # equi-depth planner on 0 rows
     "ohlc_bars_5min",                   # bar compaction on 0 events
     "rolling_7d_active_users",          # WAU curve on 0 events
+    "mad_outlier_census",               # two-level medians on 0 rows
+    "percentile_bands_by_priority",     # quartiles on 0 rows
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

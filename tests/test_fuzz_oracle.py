@@ -403,6 +403,9 @@ _STAR_FUZZED = (
     "brand_quantity_revenue",
     "range_partition_bounds",
     "join_cardinality_forecast",
+    "referential_integrity_census",
+    "mad_outlier_census",
+    "percentile_bands_by_priority",
     "national_revenue",
     "sql_trade_volume_identical",
     # round-5 sweep: every remaining warehouse-only oracle query

@@ -43,6 +43,7 @@ ALLOWED_NESTED_LOOP = {
     "zorder_bucket_stats",       # 1-row min/max-bounds broadcast crossJoin
     "zorder_wide_range_stats",   # same operator, wide-range dims
     "range_partition_bounds",    # 15-row target broadcast >=-join onto histogram
+    "referential_integrity_census",  # 1-row x 1-row count crossJoins per relation
 }
 
 
