@@ -100,3 +100,17 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cdc_apply_net_state`` (oracle-backed)."""
     from pulsar_project_spark.streaming.pipeline import run_streaming_cdc_apply
     return run_streaming_cdc_apply(spark, sf_dir)
+
+
+@declare("streaming_left_outer_attribution")
+def q_streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (clicks that never
+    convert within 30 min emit with NULL purchase columns once the
+    watermark closes them) — the abandonment semantics the inner join
+    can't express. Batch twin: unattributed_clicks_census
+    (oracle-checked); the twin test asserts streaming ⊆ batch with
+    equality on the watermark-closable prefix."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_stream_stream_left_join,
+    )
+    return run_stream_stream_left_join(spark, sf_dir)

@@ -157,3 +157,71 @@ def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_event_id").alias("n_events"),
         F.countDistinct("p_user_id").alias("n_users"),
     )
+
+
+_ATTR_HORIZON_US = 30 * 60 * 1_000_000  # 30 minutes, matches the streaming twin
+
+
+@declare(
+    "unattributed_clicks_census",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), flags AS (
+  SELECT c.user_id, c.event_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = c.user_id
+             AND p.ts_us > c.ts_us
+             AND p.ts_us <= c.ts_us + {_ATTR_HORIZON_US}
+         ) THEN 1 ELSE 0 END AS attributed
+  FROM c
+)
+SELECT user_id,
+       count(*) AS n_clicks,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+       CAST(count(*) - sum(attributed) AS BIGINT) AS n_unattributed
+FROM flags GROUP BY user_id
+""",
+)
+def q_unattributed_clicks_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT-OUTER half of attribution: per user, how many clicks
+    converted to a purchase within 30 minutes and how many never did —
+    the abandonment metric the inner-join attribution can't see. A
+    click with several qualifying purchases counts ONCE (semi-join
+    semantics, not join multiplicity). Plan: one left-semi join on
+    user with the time band as residual, one anti-side count via the
+    total — both shuffles keyed on user_id, skew-safe. The streaming
+    twin ``streaming_left_outer_attribution`` emits the same flags via
+    a watermarked stream-stream LEFT OUTER join."""
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", "ts_us")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_ts"))
+    attributed = c.join(
+        p,
+        (c["user_id"] == p["p_user"])
+        & (p["p_ts"] > c["ts_us"])
+        & (p["p_ts"] <= c["ts_us"] + F.lit(_ATTR_HORIZON_US)),
+        "left_semi",
+    ).groupBy("user_id").agg(F.count("*").alias("n_attributed"))
+    totals = c.groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        totals.join(attributed, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            F.coalesce(F.col("n_attributed"), F.lit(0)).cast("bigint")
+            .alias("n_attributed"),
+            (F.col("n_clicks")
+             - F.coalesce(F.col("n_attributed"), F.lit(0))).cast("bigint")
+            .alias("n_unattributed"),
+        )
+    )

@@ -71,6 +71,7 @@ NEW_R6: tuple[str, ...] = (
     "mad_outlier_census",          # robust MAD outlier flags, exact halves
     "percentile_bands_by_priority", # exact quartile bands
     "referential_integrity_census", # FK orphan sweep across the star
+    "unattributed_clicks_census",  # left-outer attribution batch twin
 )
 
 RECERTS_R6: tuple[str, ...] = (

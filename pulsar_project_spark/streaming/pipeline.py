@@ -609,3 +609,68 @@ def run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("op") != "D").select(
         "user_id", "value", "event_type", F.col("op").alias("last_op")
     )
+
+
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
+                                horizon_minutes: int = 30) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner join can't express: clicks that never convert EMIT, with
+    NULL purchase columns, once the watermark proves no match can
+    still arrive (Spark buffers the left row in the state store until
+    event-time passes click_time + horizon + watermark, then releases
+    it). This is how abandonment/timeout detection works on a live
+    stream; the batch twin ``unattributed_clicks_census`` computes the
+    same flags at rest.
+
+    Tail caveat (inherent to the model, asserted by the twin test):
+    clicks too close to the end of a finite input may never see the
+    watermark advance far enough to emit their NULL row, so the
+    streaming census is a SUBSET of the batch one, exactly equal on
+    the closable prefix.
+
+    Returned relation: per-user census over the emitted rows, a click
+    counted once (attributed if ANY of its join rows matched)."""
+    sink_dir = tempfile.mkdtemp(prefix="ssloj_")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("event_time").alias("click_time"))
+        .withWatermark("click_time", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("event_time").alias("purchase_time"))
+        .withWatermark("purchase_time", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["purchase_time"] > clicks["click_time"])
+        & (purchases["purchase_time"]
+           <= clicks["click_time"]
+           + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        F.unix_micros(F.col("click_time")).alias("click_ts_us"),
+    )
+    with _state_partitions(spark):
+        _drain(joined, mode="append", sink_path=sink_dir)
+    rows = spark.read.parquet(sink_dir)
+    per_click = rows.groupBy("user_id", "click_id").agg(
+        F.max(F.col("purchase_id").isNotNull().cast("int")).alias("attributed")
+    )
+    return per_click.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum("attributed").cast("bigint").alias("n_attributed"),
+        (F.count("*") - F.sum("attributed")).cast("bigint")
+        .alias("n_unattributed"),
+    )

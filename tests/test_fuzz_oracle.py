@@ -275,6 +275,7 @@ _EVENTS_FUZZED = (
     "event_transition_pagerank",
     "ohlc_bars_5min",
     "rolling_7d_active_users",
+    "unattributed_clicks_census",
 )
 
 

@@ -194,6 +194,7 @@ TWIN_OF = {
     "streaming_stream_stream_join": "attribution_window_join",
     "mq_pipeline_roundtrip": "group_count_by_type",
     "streaming_cdc_apply": "cdc_apply_net_state",
+    "streaming_left_outer_attribution": "unattributed_clicks_census",
 }
 
 
@@ -369,3 +370,48 @@ def test_twin_cdc_apply(spark):
             _declared(TWIN_OF["streaming_cdc_apply"])(
                 spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_twin_left_outer_attribution(spark):
+    """Streaming LEFT OUTER attribution vs the oracle-backed batch
+    census: per-user counts are a SUBSET of batch (clicks too close to
+    the end of the finite input never see the watermark advance enough
+    to emit their NULL row), attributed counts never exceed batch, and
+    the total shortfall is bounded by the batch clicks sitting in the
+    unclosable tail (click_ts + horizon + watermark > max event ts)."""
+    from pulsar_project_spark.sources.tables import load_events
+
+    HORIZON_US = 30 * 60 * 1_000_000
+    WATERMARK_US = 10 * 60 * 1_000_000
+
+    got = {r.user_id: (r.n_clicks, r.n_attributed) for r in
+           _declared("streaming_left_outer_attribution")(
+               spark, SF_SMOKE).collect()}
+    want = {r.user_id: (r.n_clicks, r.n_attributed) for r in
+            _declared(TWIN_OF["streaming_left_outer_attribution"])(
+                spark, SF_SMOKE).collect()}
+    assert set(got) <= set(want)
+    for u, (nc, na) in got.items():
+        wc, wa = want[u]
+        assert nc <= wc and na <= wa, (u, got[u], want[u])
+        # attributed clicks emit promptly (inner matches don't wait on
+        # the watermark): no attributed click may go missing
+        assert na == wa, (u, got[u], want[u])
+
+    ev = load_events(spark, SF_SMOKE)
+    from pyspark.sql import functions as F
+    # the GLOBAL watermark is the minimum over both withWatermark
+    # nodes: min(max click ts, max purchase ts) - delay. A click's
+    # NULL row emits only once that watermark passes click_ts+horizon.
+    max_c = (ev.filter(F.col("event_type") == "click")
+             .agg(F.max("ts_us")).collect()[0][0])
+    max_p = (ev.filter(F.col("event_type") == "purchase")
+             .agg(F.max("ts_us")).collect()[0][0])
+    wm = min(max_c, max_p) - WATERMARK_US
+    tail = (ev.filter((F.col("event_type") == "click")
+                      & F.col("user_id").isNotNull())
+            .filter(F.col("ts_us") + HORIZON_US >= wm)
+            .count())
+    missing = (sum(nc for nc, _ in want.values())
+               - sum(nc for nc, _ in got.values()))
+    assert 0 <= missing <= tail, (missing, tail, wm)

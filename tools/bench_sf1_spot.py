@@ -66,6 +66,11 @@ ROUND5_ADDITIONS = (
 ROUND6_ADDITIONS = (
     "jpeg_pixel_decode_features", "zorder_wide_range_stats",
     "pq_trained_code_assignment", "pq_trained_adc_topk",
+    "product_type_profit", "brand_quantity_revenue",
+    "event_transition_pagerank", "range_partition_bounds",
+    "ohlc_bars_5min", "join_cardinality_forecast",
+    "rolling_7d_active_users", "mad_outlier_census",
+    "percentile_bands_by_priority", "referential_integrity_census",
 )
 
 SPOT_QUERIES = TOP15 + ROUND4_ADDITIONS + ROUND5_ADDITIONS + ROUND6_ADDITIONS
