@@ -103,3 +103,62 @@ def q_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         log, key="user_id", seq="ts_us", tiebreak="event_id",
         value="event_type",
     )
+
+
+# Time-travel cut: median event time of the corpus window — a fixed
+# fraction of the log replayed, so the snapshot differs from the net
+# state and both I/U/D winners occur on either side of the cut.
+_SNAPSHOT_CUT_SQL = "(SELECT CAST(median(epoch_us(ts)) AS BIGINT) FROM events)"
+
+
+@declare(
+    "cdc_snapshot_at_time",
+    oracle=f"""
+WITH cut AS (SELECT {_SNAPSHOT_CUT_SQL} AS cut_us),
+log AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, {_OP_SQL} AS op,
+         value, event_type
+  FROM events, cut
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    AND epoch_us(ts) <= cut.cut_us
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT user_id, value, event_type, op AS last_op,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked WHERE rn = 1 AND op != 'D'
+""",
+)
+def q_cdc_snapshot_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the change log: the table state as of an
+    arbitrary past instant (here the corpus's median event time, so
+    the cut always bisects the log) — filter the log to seq ≤ cut,
+    then the same one-shuffle ``max_by`` reduce as ``cdc_apply_net_
+    state``. This is the Delta/Iceberg ``VERSION AS OF`` semantics
+    built from the log relation itself: no snapshot files needed,
+    any instant reconstructible, and the filter prunes at the scan.
+    The cut is computed as a 1-row broadcast, never collected."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    cut = load_events(spark, sf_dir).agg(
+        F.percentile(F.col("ts_us"), F.lit(0.5)).cast("bigint")
+        .alias("cut_us")
+    )
+    log = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts_us") <= F.col("cut_us"))
+        .select(
+            "user_id", "ts_us", "event_id", "value", "event_type",
+            F.expr(_OP_SQL).alias("op"),
+        )
+    )
+    return cdc_net_state(
+        log, key="user_id", seq="ts_us", tiebreak="event_id",
+        op="op", payload=["value", "event_type"],
+    )

@@ -114,3 +114,64 @@ def q_streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Data
         run_stream_stream_left_join,
     )
     return run_stream_stream_left_join(spark, sf_dir)
+
+
+_LATE_WM_US = 10 * 60 * 1_000_000  # the streaming family's watermark delay
+
+
+@declare(
+    "late_arrival_census",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, event_id % 8 AS shard
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+), w AS (
+  SELECT event_type, ts_us,
+         max(ts_us) OVER (PARTITION BY shard ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS seen_max
+  FROM arr
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN seen_max IS NOT NULL
+                      AND ts_us < seen_max - {_LATE_WM_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+""",
+)
+def q_late_arrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY at rest: how much data would a
+    10-minute watermark silently drop? Arrival order is the ingestion
+    id; each of 8 arrival shards tracks its running max event time
+    (exactly how Spark's per-partition watermark heuristic sees the
+    stream before the global min), and an event is late when it
+    arrives more than the delay behind its shard's high-water mark.
+    Running the census BEFORE deploying a watermark turns "pick 10
+    minutes" from folklore into a measured loss rate. Partitioned
+    running-max windows — no global sort; one exchange on shard, one
+    tiny per-type aggregate."""
+    from pulsar_project_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("ts_us").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select("event_type", "ts_us", "event_id",
+             (F.col("event_id") % 8).alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.select(
+        "event_type", "ts_us",
+        F.max("ts_us").over(w).alias("seen_max"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("seen_max").isNotNull()
+                & (F.col("ts_us") < F.col("seen_max") - _LATE_WM_US), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_late"),
+    )

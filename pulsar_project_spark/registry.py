@@ -72,6 +72,8 @@ NEW_R6: tuple[str, ...] = (
     "percentile_bands_by_priority", # exact quartile bands
     "referential_integrity_census", # FK orphan sweep across the star
     "unattributed_clicks_census",  # left-outer attribution batch twin
+    "cdc_snapshot_at_time",        # log time travel (VERSION AS OF)
+    "late_arrival_census",         # watermark drop-rate observability
 )
 
 RECERTS_R6: tuple[str, ...] = (

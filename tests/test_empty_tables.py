@@ -90,6 +90,8 @@ _REPRESENTATIVE = (
     "mad_outlier_census",               # two-level medians on 0 rows
     "percentile_bands_by_priority",     # quartiles on 0 rows
     "unattributed_clicks_census",       # semi/anti attribution on 0 events
+    "cdc_snapshot_at_time",             # time travel over an empty log
+    "late_arrival_census",              # watermark-loss census on 0 events
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

@@ -276,6 +276,8 @@ _EVENTS_FUZZED = (
     "ohlc_bars_5min",
     "rolling_7d_active_users",
     "unattributed_clicks_census",
+    "cdc_snapshot_at_time",
+    "late_arrival_census",
 )
 
 

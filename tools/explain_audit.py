@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "zorder_wide_range_stats",   # same operator, wide-range dims
     "range_partition_bounds",    # 15-row target broadcast >=-join onto histogram
     "referential_integrity_census",  # 1-row x 1-row count crossJoins per relation
+    "cdc_snapshot_at_time",      # 1-row median-cut broadcast crossJoin
 }
 
 
