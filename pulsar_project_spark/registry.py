@@ -81,11 +81,17 @@ RECERTS_R6: tuple[str, ...] = (
     # operators/layout.py (+ oracle): divide-first normalization
     "zorder_bucket_stats",
     # operators/multimodal.py (assert→ValueError) + queries/multimodal_ops.py
-    # (oracle signed-modulo normalization) + operators/jpeg.py (IDCT section)
+    # (oracle signed-modulo normalization — EVERY codec oracle edited)
+    # + operators/jpeg.py (IDCT section)
     "png_decode_features", "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
-    # operators/pq.py (trained-codebook wiring shares the encode plan)
+    "wav_codec_roundtrip_features", "pgm_resize_features",
+    "rawv_frame_sample_features",
+    # operators/pq.py: pq_encode rewritten to the HOF argmin form
     "pq_code_assignment", "pq_adc_topk",
+    # operators/text_analysis.py: string-replace BPE encoder +
+    # Arrow-numpy char-bigram counting
+    "bpe_fixed_merge_encode_census", "char_bigram_familiarity",
 )
 
 # Stalest-green refresh: last driver verdict round 2 (oldest first),
