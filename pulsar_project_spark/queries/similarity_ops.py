@@ -545,3 +545,80 @@ def q_pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode_trained(emb, cb)
     query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
     return pq_adc_topk_trained(codes, cb, query_q, k=10)
+
+
+def _bq_pack_sql(accessor) -> tuple[str, str]:
+    """(lo, hi) sign-bit pack expressions — dims 1-32 and 33-64 into
+    two BIGINT words (bit 63 of a single word would overflow signed
+    BIGINT differently per engine; two 32-bit words sidestep it).
+    ``accessor(i)`` renders the 1-based element access for the engine
+    (Spark ``element_at``, DuckDB ``[]``), everything else is shared."""
+    def word(lo_dim: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {accessor(i)} > 0 THEN {1 << (i - lo_dim)} "
+            f"ELSE 0 END)"
+            for i in range(lo_dim, lo_dim + 32)
+        )
+    return word(1), word(33)
+
+
+def _bq_query_words() -> tuple[int, int]:
+    """Sign bits of the family's fixed query vector (the pq_adc one)."""
+    from pulsar_project_spark.operators.pq import PQ_DIM, PQ_SCALE
+    q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    lo = sum(1 << i for i in range(32) if q[i] > 0)
+    hi = sum(1 << (i - 32) for i in range(32, 64) if q[i] > 0)
+    return lo, hi
+
+
+def _bq_sql(k: int = 10) -> str:
+    lo_e, hi_e = _bq_pack_sql(lambda i: f"embedding[{i}]")
+    qlo, qhi = _bq_query_words()
+    return f"""
+WITH packed AS (
+  SELECT vec_id,
+         CAST({lo_e} AS BIGINT) AS lo,
+         CAST({hi_e} AS BIGINT) AS hi
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+)
+SELECT vec_id,
+       CAST(bit_count(xor(lo, {qlo})) + bit_count(xor(hi, {qhi}))
+            AS INTEGER) AS hamming
+FROM packed
+ORDER BY hamming ASC, vec_id ASC LIMIT {k}
+"""
+
+
+@declare("binary_quantize_hamming_topk", oracle=_bq_sql())
+def q_binary_quantize_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit vector quantization + Hamming search — the most extreme
+    point on the ANN memory/recall curve (64 floats → 8 bytes, a 32×
+    shrink beyond PQ's): each dimension's SIGN packs into two 32-bit
+    words, and search is xor + popcount per stored vector — pure
+    codegen integer ops, no shuffle before the top-k. This is the
+    modern vector-store fast-scan trick (binary quantization with
+    exact re-rank downstream); the oracle shares the pack expression
+    verbatim (modulo the engines' array-index syntax) and the fixed
+    query is the similarity family's standard vector."""
+    from pyspark.sql import functions as F
+
+    lo_e, hi_e = _bq_pack_sql(lambda i: f"element_at(embedding, {i})")
+    qlo, qhi = _bq_query_words()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    packed = emb.select(
+        "vec_id",
+        F.expr(lo_e).cast("bigint").alias("lo"),
+        F.expr(hi_e).cast("bigint").alias("hi"),
+    )
+    return (
+        packed.select(
+            "vec_id",
+            (F.bit_count(F.expr(f"lo ^ {qlo}"))
+             + F.bit_count(F.expr(f"hi ^ {qhi}")))
+            .cast("int").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -74,6 +74,7 @@ NEW_R6: tuple[str, ...] = (
     "unattributed_clicks_census",  # left-outer attribution batch twin
     "cdc_snapshot_at_time",        # log time travel (VERSION AS OF)
     "late_arrival_census",         # watermark drop-rate observability
+    "binary_quantize_hamming_topk", # 1-bit quantization + Hamming scan
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -79,6 +79,7 @@ _REPRESENTATIVE = (
     "pq_adc_topk",                      # ADC search on 0 codes
     "pq_trained_code_assignment",       # Lloyd round + encode on 0 vectors
     "pq_trained_adc_topk",              # trained ADC on 0 codes
+    "binary_quantize_hamming_topk",     # sign-pack + popcount on 0 vectors
     "content_fingerprint_events",       # xor fingerprint of 0 rows
     "bloom_gated_incremental_dedup",    # gated classify on 0 docs
     "compaction_plan_buckets",          # prefix-sum planner on 0 files

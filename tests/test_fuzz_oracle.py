@@ -559,6 +559,7 @@ _EMBEDDING_FUZZED = (
     # round-6: trained codebooks (full Lloyd round replayed in SQL)
     "pq_trained_code_assignment",
     "pq_trained_adc_topk",
+    "binary_quantize_hamming_topk",
     # r4 ANN oracle twins: all-integer quantized math, so random dyadic
     # vectors must match bit-for-bit (min_size=2 also exercises the
     # min(k, n) centroid degradation and the k=min(5, n) MMR tail)
