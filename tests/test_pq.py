@@ -157,3 +157,53 @@ def test_trained_adc_recall_vs_exact_quantized_l2(spark):
                                   query_q, k=100).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"trained-ADC shortlist recall collapsed: {recall}"
+
+
+def test_binary_quantization_shortlist_recall(spark):
+    """1-bit quantization is the fast-scan stage of a scan-then-rerank
+    pipeline: the exact top-10 must survive the Hamming top-100
+    shortlist well above chance (100 of 500 = 0.2). Observed 0.6 on
+    the fixed corpus; pinned at 0.4 — sign bits of random-ish vectors
+    can't be expected to do better, and the claim under test is
+    'useful shortlist', not 'exact ranking'."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.pq import PQ_DIM, PQ_SCALE
+    from pulsar_project_spark.queries.similarity_ops import (
+        _bq_pack_sql,
+        _bq_query_words,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = (spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+           .filter(F.col("embedding").isNotNull()
+                   & F.col("vec_id").isNotNull()))
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    qv = F.expr(
+        f"transform(embedding, v -> cast(floor(cast(v as double) "
+        f"* {PQ_SCALE}) as bigint))"
+    )
+    qlit = F.array(*[F.lit(x).cast("bigint") for x in query_q])
+    dist = F.aggregate(
+        F.zip_with(qv, qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
+    exact = {r.vec_id for r in
+             emb.select("vec_id", dist.alias("d"))
+             .orderBy(F.asc("d"), F.asc("vec_id")).limit(10).collect()}
+
+    lo_e, hi_e = _bq_pack_sql(lambda i: f"element_at(embedding, {i})")
+    qlo, qhi = _bq_query_words()
+    packed = emb.select(
+        "vec_id",
+        F.expr(lo_e).cast("bigint").alias("lo"),
+        F.expr(hi_e).cast("bigint").alias("hi"),
+    )
+    short = {r.vec_id for r in
+             packed.select(
+                 "vec_id",
+                 (F.bit_count(F.expr(f"lo ^ {qlo}"))
+                  + F.bit_count(F.expr(f"hi ^ {qhi}"))).alias("h"))
+             .orderBy(F.asc("h"), F.asc("vec_id")).limit(100).collect()}
+    recall = len(exact & short) / 10
+    assert recall >= 0.4, f"Hamming shortlist recall collapsed: {recall}"
