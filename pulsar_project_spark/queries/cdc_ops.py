@@ -108,7 +108,12 @@ def q_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-travel cut: median event time of the corpus window — a fixed
 # fraction of the log replayed, so the snapshot differs from the net
 # state and both I/U/D winners occur on either side of the cut.
-_SNAPSHOT_CUT_SQL = "(SELECT CAST(median(epoch_us(ts)) AS BIGINT) FROM events)"
+# floor() BEFORE the BIGINT cast on BOTH sides: a .5-valued median is
+# possible (even count, odd middle-pair sum), and CAST(double AS
+# BIGINT) truncates in Spark but ROUNDS in DuckDB — an event sitting
+# exactly at the rounded-up boundary would diverge the snapshot.
+_SNAPSHOT_CUT_SQL = ("(SELECT CAST(floor(median(epoch_us(ts))) AS BIGINT) "
+                     "FROM events)")
 
 
 @declare(
@@ -147,7 +152,7 @@ def q_cdc_snapshot_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_id").isNotNull()
     )
     cut = load_events(spark, sf_dir).agg(
-        F.percentile(F.col("ts_us"), F.lit(0.5)).cast("bigint")
+        F.floor(F.percentile(F.col("ts_us"), F.lit(0.5))).cast("bigint")
         .alias("cut_us")
     )
     log = (

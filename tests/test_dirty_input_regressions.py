@@ -163,3 +163,47 @@ def test_multimodal_codecs_match_oracle_on_negative_doc_ids(spark):
             assert got == want, f"{name} diverged on negative doc_ids"
     finally:
         con.close()
+
+
+def test_cdc_snapshot_half_median_cut_matches_oracle(spark):
+    """Round-6 self-review: CAST(double AS BIGINT) truncates in Spark
+    but ROUNDS in DuckDB, so a .5-valued median cut (even event count,
+    odd middle-pair sum) could shift the time-travel boundary by 1 µs
+    between engines — with an event sitting exactly there, the
+    snapshots diverge. Both sides now floor() before the cast; this
+    corpus manufactures the exact case: four events at consecutive
+    microseconds, median 1001.5, and the event at 1002 µs must be
+    EXCLUDED by both engines."""
+    name = "cdc_snapshot_at_time"
+    sf_dir = tempfile.mkdtemp(prefix="dirty_cut_")
+    base = 1_704_067_200_000_000
+    ts = [base + 1000, base + 1001, base + 1002, base + 1003]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 4, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    got = sorted(
+        tuple(repr(x) for x in r)
+        for r in QUERIES[name](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        want = sorted(
+            tuple(repr(x) for x in r)
+            for r in con.execute(ORACLES[name]).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+    # the floored cut is 1001: users 3 and 4 are after the snapshot
+    users = {eval(r[0]) for r in got}
+    assert users <= {1, 2}
