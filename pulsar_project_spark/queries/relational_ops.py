@@ -470,3 +470,58 @@ def q_referential_integrity_census(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+_FD_CANDIDATES = (
+    # (name, table, determinant, dependent) — candidate functional
+    # dependencies; the census REPORTS violation counts, it does not
+    # assume they hold (profiling, not assertion)
+    ("nation_name<-key", "nation", "n_nationkey", "n_name"),
+    ("region_name<-key", "region", "r_regionkey", "r_name"),
+    ("cust_nation<-custkey", "customer", "c_custkey", "c_nationkey"),
+    ("order_cust<-orderkey", "orders", "o_orderkey", "o_custkey"),
+    ("order_priority<-custkey", "orders", "o_custkey", "o_orderpriority"),
+    ("part_brand<-partkey", "part", "p_partkey", "p_brand"),
+)
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS dependency,
+       count(*) AS n_determinants,
+       CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(n_dep) AS BIGINT) AS max_dependents
+FROM (
+  SELECT {det}, count(DISTINCT {dep}) AS n_dep
+  FROM {table} WHERE {det} IS NOT NULL
+  GROUP BY {det}
+)"""
+    for name, table, det, dep in _FD_CANDIDATES
+)
+
+
+@declare("functional_dependency_census", oracle=_FD_SQL)
+def q_functional_dependency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency PROFILING across the schema: for each
+    candidate A→B, how many determinant values exist, how many map to
+    more than one dependent (violations), and the worst fan-out. A key
+    dependency reporting zero violations is evidence for uniqueness
+    constraints downstream engines could exploit; a violated one
+    (order priority per customer) quantifies how
+    far the column is from derivable. Each branch is one two-level
+    aggregate — countDistinct per determinant then a tiny rollup —
+    with map-side partials; branches schedule concurrently (the
+    referential_integrity_census companion, completing the profiling
+    family: orphans, outliers, spread, dependencies)."""
+    out = None
+    for name, table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table).filter(F.col(det).isNotNull())
+        per_det = t.groupBy(det).agg(F.countDistinct(dep).alias("n_dep"))
+        branch = per_det.agg(
+            F.count("*").alias("n_determinants"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_violating"),
+            F.max("n_dep").cast("bigint").alias("max_dependents"),
+        ).select(F.lit(name).alias("dependency"), "n_determinants",
+                 "n_violating", "max_dependents")
+        out = branch if out is None else out.unionByName(branch)
+    return out

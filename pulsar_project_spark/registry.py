@@ -75,6 +75,7 @@ NEW_R6: tuple[str, ...] = (
     "cdc_snapshot_at_time",        # log time travel (VERSION AS OF)
     "late_arrival_census",         # watermark drop-rate observability
     "binary_quantize_hamming_topk", # 1-bit quantization + Hamming scan
+    "functional_dependency_census", # FD-violation profiling sweep
 )
 
 RECERTS_R6: tuple[str, ...] = (

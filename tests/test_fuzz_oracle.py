@@ -407,6 +407,7 @@ _STAR_FUZZED = (
     "range_partition_bounds",
     "join_cardinality_forecast",
     "referential_integrity_census",
+    "functional_dependency_census",
     "mad_outlier_census",
     "percentile_bands_by_priority",
     "national_revenue",
