@@ -47,7 +47,16 @@ def pagerank_integer(nodes: DataFrame, edges: DataFrame,
     Dangling mass is redistributed uniformly (floor split), so no score
     silently vanishes; every op is non-negative so Spark ``div`` and
     DuckDB ``//`` agree exactly."""
-    outw = edges.groupBy("src").agg(F.sum("w").alias("__ow"))
+    # materialize the loop-invariant relations ONCE: edges (and the
+    # derivation feeding it — a full-corpus window sort in the declared
+    # query), out-weights, and the node count are all re-read every
+    # round by the contrib/dangling joins, so without this the wide
+    # edge derivation re-executes ~2-3x per iteration (round-6
+    # self-review; the clustering.py loop-invariant rule).
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    outw = (edges.groupBy("src").agg(F.sum("w").alias("__ow"))
+            .localCheckpoint(eager=True))
     n_df = nodes.agg(F.count("*").alias("__n"))
     scores = nodes.select(
         "node", F.lit(PR_SCALE).cast("bigint").alias("score")

@@ -15,9 +15,12 @@ decode, restart handling, and dequantization.
 Certification story: the recovered coefficients are exact integers
 with a closed form, so the DuckDB oracle replays every feature — a
 single wrong Huffman code, stuffed byte, restart reset, or zigzag
-index diverges the hash. The float IDCT (pixel presentation) is
-deliberately out of scope: the entropy layer is where JPEG's
-structural complexity lives, and it is certified hash-level here.
+index diverges the hash. Round 6 extends the certified chain to
+PIXELS: the direct-form scaled-integer IDCT section below keeps the
+sample arithmetic exactly linear in the dequantized coefficients, so
+the pixel oracle replays every sample too (a float IDCT could never
+be hash-certified; the libjpeg two-pass integer IDCT couldn't either
+— its mid-pass descale makes samples non-linear in the inputs).
 """
 
 from __future__ import annotations
@@ -443,7 +446,9 @@ JPEG_PIXEL_SCHEMA = StructType([
 def decode_jpeg_pixels_one(payload: bytes):
     """Entropy decode + integer dequant + direct-form integer IDCT +
     level shift + clamp: the full baseline path from bytes to samples,
-    exact-integer end to end. Returns (w, h, samples ndarray (nb, 64))."""
+    exact-integer end to end. Returns the clamped samples as an
+    (n_blocks, 64) ndarray; callers derive dims via ``jpeg_dims`` (the
+    unit test pins that the stream's SOF0 agrees with the closed form)."""
     import numpy as np
 
     n_blocks, qt, blocks = decode_jpeg_coefs(payload)

@@ -32,6 +32,15 @@ PQ_SCALE = 64      # fixed-point input quantization: xq = floor(x*64)
                    # label_centroid_qsums oracle already certifies)
 
 
+def pq_quantize_expr(vec_col: str = "embedding") -> str:
+    """The family's ONE fixed-point input quantization (floor(x*SCALE)
+    per coordinate) as a SQL string — shared by encode, training, and
+    tests so the rounding mode can never drift between them (the
+    norm16_sql / zbucket_shift pattern)."""
+    return (f"transform({vec_col}, v -> cast(floor(cast(v as double) "
+            f"* {PQ_SCALE}) as bigint))")
+
+
 def pq_codebook(m: int, c: int, j: int) -> int:
     """Deterministic integer codebook entry (subspace m, centroid c,
     local dim j), already in the quantized domain (×PQ_SCALE)."""
@@ -69,10 +78,7 @@ def pq_encode(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     (dist, code) struct array — identical integer semantics (exceptAll
     parity both directions), ~3.5× faster, and each input element is
     referenced exactly once."""
-    qv = F.expr(
-        f"transform(embedding, v -> cast(floor(cast(v as double) "
-        f"* {PQ_SCALE}) as bigint))"
-    )
+    qv = F.expr(pq_quantize_expr())
 
     def sub_struct(m: int):
         sv = F.slice(F.col("__qv"), m * PQ_SUB + 1, PQ_SUB)
@@ -157,10 +163,7 @@ def pq_adc_topk(codes: DataFrame, query_q: list[int], k: int = 10,
 def _pq_subvectors(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(vec_id, m, sv ARRAY<BIGINT>): the quantized subvector relation
     — one row per (vector, subspace), the unit Lloyd's operates on."""
-    qv = F.expr(
-        f"transform(embedding, v -> cast(floor(cast(v as double) "
-        f"* {PQ_SCALE}) as bigint))"
-    )
+    qv = F.expr(pq_quantize_expr())
     subs = F.array(*[
         F.struct(
             F.lit(m).cast("int").alias("m"),
@@ -195,6 +198,19 @@ def pq_train(vecs: DataFrame, rounds: int = 1,
     (m, label, j) — M*K*SUB groups, trivially mergeable."""
     from pyspark.sql.window import Window
 
+    # duplicate ids would make the init join ambiguous AND diverge from
+    # the oracle (Spark's window argmin would score each duplicate
+    # centroid separately while the oracle's GROUP BY sums across them)
+    # — fail loudly instead, the kmeans_fit require_k precedent. The
+    # corpus contract (tests/test_corpus_contracts.py) makes this free
+    # on real data; the count guards dirty inputs.
+    n_rows = vecs.count()
+    n_ids = vecs.select(id_col).distinct().count()
+    if n_rows != n_ids:
+        raise ValueError(
+            f"pq_train: need unique {id_col}s (got {n_rows} rows, "
+            f"{n_ids} distinct) — deduplicate before training"
+        )
     sub = _pq_subvectors(vecs, id_col).localCheckpoint(eager=True)
     init_ids = (vecs.select(id_col).distinct().orderBy(F.asc(id_col))
                 .limit(PQ_K))

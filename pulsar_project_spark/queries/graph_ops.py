@@ -67,7 +67,9 @@ s{k} AS (
     return f"""
 WITH ev AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL
 ),
 hops AS (
   SELECT event_type AS src,
@@ -99,8 +101,12 @@ def q_event_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as repeated CTE blocks. The edge derivation (one window
     sort over the corpus) dominates at scale; each round then touches
     only the |E|-row edge relation and two broadcast scalars."""
+    # ts filter matters for parity, not just hygiene: Spark sorts NULLs
+    # FIRST on ASC, DuckDB LAST — an unfiltered NULL ts would flip the
+    # transition edges between engines (round-6 self-review finding)
     ev = load_events(spark, sf_dir).filter(
         F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("ts_us").isNotNull()
     )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     hops = ev.select(

@@ -127,17 +127,35 @@ def test_all_declared_queries_still_registered():
     assert not lost, f"previously-green queries vanished: {lost}"
 
 
-def test_stays_green_after_future_artifact_drops():
-    # simulate the failure mode that broke round 5: even if the driver
-    # has ALREADY written this round's artifact (or a later one), the
-    # round-stamped reader must not see it
-    current_and_later = [
-        p for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
-        if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) >= _ROUND
-    ]
-    seen = _driver_green()
-    for p in current_and_later:
-        with open(p) as fh:
-            for name in json.load(fh):
-                assert name not in seen or name in _driver_green(_ROUND), (
-                    "round-stamped reader leaked a current-round verdict")
+def test_round_stamp_filter_actually_filters():
+    """Direct pin of the stamp logic (the round-5 bug was an unstamped
+    glob; the first round-6 version of THIS test compared
+    `_driver_green()` to itself and could never fail — round-6
+    self-review). Three genuinely falsifiable properties:
+
+    * before_round=1 sees NO artifact (round numbering starts at 1);
+    * before_round=2 sees exactly the round-1 file's green set,
+      cross-checked against an independent read of that file;
+    * the reader is monotone in before_round, and any name that first
+      went green in round k is invisible at before_round=k.
+    """
+    assert _driver_green(1) == set()
+
+    r1_path = os.path.join(_REPO, "CORRECTNESS_r01.json")
+    with open(r1_path) as fh:
+        r1_green = {
+            name for name, v in json.load(fh).items()
+            if (v.get("rows_match") and v.get("schema_match", True)
+                and v.get("hash_match", True))
+        }
+    assert _driver_green(2) == r1_green
+
+    prev: set[str] = set()
+    for k in range(1, _ROUND + 1):
+        cur = _driver_green(k)
+        assert prev <= cur, f"reader not monotone at before_round={k}"
+        newly = cur - prev
+        if newly:
+            # names first green in round k-1 must be invisible at k-1
+            assert not (newly & _driver_green(k - 1))
+        prev = cur
