@@ -76,6 +76,7 @@ NEW_R6: tuple[str, ...] = (
     "late_arrival_census",         # watermark drop-rate observability
     "binary_quantize_hamming_topk", # 1-bit quantization + Hamming scan
     "functional_dependency_census", # FD-violation profiling sweep
+    "neardup_cluster_size_histogram", # dedup executive report
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -623,6 +623,7 @@ _NEARDUP_FUZZED = (
     "minhash_candidate_pairs",
     "rolling_fingerprint",
     "neardup_components",
+    "neardup_cluster_size_histogram",
     "cluster_best_representative",
     "contamination_ngram_overlap",
     "token_cooccurrence_top20",
