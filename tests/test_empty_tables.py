@@ -33,6 +33,7 @@ _REPRESENTATIVE = (
     "exact_dedup_fingerprint",          # dedup
     "minhash_candidate_pairs",          # LSH banding
     "neardup_components",               # iterative fixpoint on 0 edges
+    "neardup_cluster_size_histogram",   # dedup report on 0 docs
     "corpus_pipeline_e2e",              # composed pipeline
     "training_order_shuffle",           # hash shuffle
     "revenue_rollup_region_nation",     # star rollup
