@@ -452,3 +452,98 @@ def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("t2").asc(), F.col("t3").asc())
         .limit(20)
     )
+
+
+@declare(
+    "user_journey_strings",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id,
+       array_to_string(
+         (list(event_type ORDER BY ts_us, event_id))[1:10], '>'
+       ) AS journey,
+       count(*) AS n_events
+FROM ev GROUP BY user_id
+""",
+)
+def q_user_journey_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the classic cross-engine trap done
+    right: each user's first ten event types in (ts, event_id) order as
+    one '>'-joined journey string. ``collect_list`` order is explicitly
+    NON-deterministic across a shuffle, so the order rides INSIDE the
+    data: collect structs keyed by the total order, ``array_sort``,
+    slice, project, join — the same fix the BPE merge table uses
+    (operators/text_analysis.py). One shuffle on user_id; the
+    ten-element cap bounds the aggregation state per key."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("ts_us").isNotNull()
+    )
+    journey = F.array_join(
+        F.transform(
+            F.slice(
+                F.sort_array(F.collect_list(
+                    F.struct("ts_us", "event_id", "event_type"))),
+                1, 10,
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        journey.alias("journey"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_HIST_BINS = 10
+
+
+@declare(
+    "value_equiwidth_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+SELECT event_type,
+       CAST(least({_HIST_BINS - 1},
+                  ((cents - lo) * {_HIST_BINS}) // (hi - lo + 1))
+            AS INTEGER) AS bin,
+       count(*) AS n
+FROM c, bounds
+GROUP BY 1, 2
+""",
+)
+def q_value_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type over GLOBAL observed
+    bounds (one mergeable min/max aggregate broadcast back — the
+    zorder_bucket_stats normalization pattern at 1 dimension): the
+    profiling view that makes distribution drift between types visible
+    on one axis. Integer cents and integer bin math keep the oracle
+    bit-stable; the least() guard pins the max value into the last
+    bin."""
+    c = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.expr(f"((cents - lo) * {_HIST_BINS}) div (hi - lo + 1)"),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )

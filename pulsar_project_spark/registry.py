@@ -77,6 +77,8 @@ NEW_R6: tuple[str, ...] = (
     "binary_quantize_hamming_topk", # 1-bit quantization + Hamming scan
     "functional_dependency_census", # FD-violation profiling sweep
     "neardup_cluster_size_histogram", # dedup executive report
+    "user_journey_strings",        # ordered string agg, total-order safe
+    "value_equiwidth_histogram",   # global-bounds profiling bins
 )
 
 RECERTS_R6: tuple[str, ...] = (

@@ -94,6 +94,8 @@ _REPRESENTATIVE = (
     "unattributed_clicks_census",       # semi/anti attribution on 0 events
     "cdc_snapshot_at_time",             # time travel over an empty log
     "late_arrival_census",              # watermark-loss census on 0 events
+    "user_journey_strings",             # ordered string agg on 0 events
+    "value_equiwidth_histogram",        # global-bounds bins on 0 events
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

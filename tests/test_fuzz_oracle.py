@@ -278,6 +278,8 @@ _EVENTS_FUZZED = (
     "unattributed_clicks_census",
     "cdc_snapshot_at_time",
     "late_arrival_census",
+    "user_journey_strings",
+    "value_equiwidth_histogram",
 )
 
 
