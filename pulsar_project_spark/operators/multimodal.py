@@ -79,11 +79,17 @@ def as_assets(docs: DataFrame, id_col: str = "doc_id",
     # and len(None) blows up the Python worker — found by the NULL-input
     # sweep; at 100 TB missing payloads are a certainty.
     docs = docs.filter(F.col(text_col).isNotNull())
+    # pmod, not %: a NEGATIVE id's signed remainder yields element_at
+    # index 0, which ERRORS under ANSI (a negative-id shard would kill
+    # the whole scan stage — round-6 negative-id sweep); pmod keeps the
+    # round-robin total and is mirrored in every multimodal oracle.
     modality = F.element_at(
-        F.array(*[F.lit(m) for m in _MODS]), (F.col(id_col) % 4 + 1).cast("int")
+        F.array(*[F.lit(m) for m in _MODS]),
+        (F.pmod(F.col(id_col), F.lit(4)) + 1).cast("int")
     )
     fmt = F.element_at(
-        F.array(*[F.lit(_FMTS[m]) for m in _MODS]), (F.col(id_col) % 4 + 1).cast("int")
+        F.array(*[F.lit(_FMTS[m]) for m in _MODS]),
+        (F.pmod(F.col(id_col), F.lit(4)) + 1).cast("int")
     )
     content = F.encode(F.col(text_col), "utf-8")
     meta = F.struct(

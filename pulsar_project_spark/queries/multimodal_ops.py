@@ -23,8 +23,8 @@ from pulsar_project_spark.operators.multimodal import (
 from pulsar_project_spark.registry import declare
 from pulsar_project_spark.sources.tables import load_table
 
-_MOD_SQL = "(['image', 'audio', 'video', 'text'])[(doc_id % 4) + 1]"
-_FMT_SQL = "(['png', 'wav', 'mp4', 'txt'])[(doc_id % 4) + 1]"
+_MOD_SQL = "(['image', 'audio', 'video', 'text'])[((doc_id % 4 + 4) % 4) + 1]"
+_FMT_SQL = "(['png', 'wav', 'mp4', 'txt'])[((doc_id % 4 + 4) % 4) + 1]"
 _NB = "octet_length(encode(text))"
 
 
@@ -105,7 +105,7 @@ def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id, dur AS duration_ms,
        unnest(generate_series(0, greatest(dur - 1, 0), 1000)) AS frame_ts_ms
-FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 2)
+FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND ((doc_id % 4 + 4) % 4) = 2)
 """,
 )
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +124,7 @@ SELECT doc_id, dur AS duration_ms, 16000 AS sample_rate,
        CAST(least(s + 5000, dur) - s AS BIGINT) * 16000 // 1000 AS n_samples
 FROM (
   SELECT doc_id, dur, unnest(generate_series(0, greatest(dur - 1, 0), 5000)) AS s
-  FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 1)
+  FROM (SELECT doc_id, {_NB} * 10 AS dur FROM documents WHERE text IS NOT NULL AND ((doc_id % 4 + 4) % 4) = 1)
 )
 """,
 )

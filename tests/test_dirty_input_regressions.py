@@ -123,6 +123,13 @@ _MM_NEGATIVE_ID_QUERIES = (
     "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
     "jpeg_pixel_decode_features",
+    # round-6 sweep #2: the asset-catalog family CRASHED on negative
+    # ids (signed % made the modality element_at index 0, an ANSI
+    # error) — as_assets now uses pmod, oracles ((x%4+4)%4)
+    "multimodal_asset_catalog",
+    "image_decode_stub",
+    "video_frame_sample_plan",
+    "audio_chunk_plan",
 )
 
 
