@@ -25,7 +25,7 @@ _SPELLINGS = (
     "true", "T", "YES", "y", "false", "F", "No", "n",
     "1", "0", "1.0", "0.0", "2", "3.5", "spark", "",
 )
-_CASE_SQL = "CASE event_id % 16 " + " ".join(
+_CASE_SQL = "CASE ((event_id % 16 + 16) % 16) " + " ".join(
     f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SPELLINGS)
 ) + " END"
 
@@ -35,7 +35,8 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array(*[F.lit(s) for s in _SPELLINGS])
     return ev.select(
         "event_id",
-        F.element_at(arr, (F.col("event_id") % 16 + 1).cast("int")).alias("raw"),
+        F.element_at(arr, (F.pmod(F.col("event_id"), F.lit(16)) + 1)
+                     .cast("int")).alias("raw"),
     )
 
 

@@ -40,13 +40,13 @@ _SUFFIX_SQL = (
     " % 1000 AS VARCHAR), 3, '0')"
 )
 
-_BASE_SQL = """CASE event_id % 4
+_BASE_SQL = """CASE ((event_id % 4 + 4) % 4)
   WHEN 0 THEN 'https://example.com'
   WHEN 1 THEN 'https://example.com/'
   WHEN 2 THEN 'https://example.com/api/v1/'
   ELSE 'https://example.com/api/v1' END"""
 
-_REL_SQL = """CASE event_id % 2
+_REL_SQL = """CASE ((event_id % 2 + 2) % 2)
   WHEN 0 THEN 'docs/' || CAST(user_id AS VARCHAR)
   ELSE '/docs/' || CAST(user_id AS VARCHAR) END"""
 

@@ -105,7 +105,7 @@ def q_mergeable_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = []
     pair_halves = []
     for parity in (0, 1):
-        part = ev.filter(F.col("event_id") % 2 == parity)
+        part = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == parity)
         halves.append(
             part.groupBy("event_type").agg(
                 F.count("*").alias("n_events"),

@@ -214,3 +214,93 @@ def test_cdc_snapshot_half_median_cut_matches_oracle(spark):
     # the floored cut is 1001: users 3 and 4 are after the snapshot
     users = {eval(r[0]) for r in got}
     assert users <= {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# round-6 sweep #3: MIXED-SIGN ids through the full documents and
+# events fuzz families. The in-suite fuzz corpora generate ids as
+# range(n), so every signed-modulo asymmetry (Python/numpy non-negative
+# % in synthesizers vs SQL signed %, pmod vs %, element_at index 0
+# under ANSI) was invisible until a negative-id shard arrived. The
+# first run of this sweep found and fixed SIX queries: the four
+# asset-catalog crashes, the coercion family's element_at-0 crash, the
+# urljoin CASE divergence, and the mergeable rollup's vanishing
+# negative-odd rows.
+# ---------------------------------------------------------------------------
+
+
+def test_documents_family_matches_oracle_on_mixed_sign_ids(spark):
+    import random
+
+    import tests.test_fuzz_oracle as T
+
+    rng = random.Random(5)
+    texts = [" ".join(rng.choices(T._WORDS, k=rng.randint(0, 40)))
+             for _ in range(12)]
+    ids = [-9, -7, -5, -3, -2, -1, 0, 1, 2, 5, 8, 13]
+    sf_dir = tempfile.mkdtemp(prefix="negid_docs_")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["neg"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for name in T._PIPELINE_FUZZED + T._FUZZED:
+            got = sorted(tuple(repr(x) for x in r)
+                         for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(repr(x) for x in r)
+                          for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, f"{name} diverged on mixed-sign doc_ids"
+    finally:
+        con.close()
+
+
+def test_events_family_matches_oracle_on_mixed_sign_ids(spark):
+    import random
+    import shutil
+
+    import tests.test_fuzz_oracle as T
+
+    rng = random.Random(11)
+    base = 1_704_067_200_000_000
+    n = 40
+    rows = [(rng.randint(-5, 5), rng.randint(0, 18 * 86400),
+             rng.choice(T._EVENT_TYPES), rng.randint(0, 50000),
+             rng.randint(0, 99)) for _ in range(n)]
+    eids = list(range(-n // 2, n - n // 2))
+    sf_dir = tempfile.mkdtemp(prefix="negid_ev_")
+    pq.write_table(pa.table({
+        "event_id": pa.array(eids, pa.int64()),
+        "ts": pa.array([base + s * 1_000_000 for (_, s, _, _, _) in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for (u, _, _, _, _) in rows], pa.int64()),
+        "event_type": pa.array([t for (_, _, t, _, _) in rows], pa.string()),
+        "value": pa.array([c / 100.0 for (_, _, _, c, _) in rows],
+                          pa.float64()),
+        "props": pa.array(['{"k": %d}' % k for (_, _, _, _, k) in rows],
+                          pa.string()),
+    }), f"{sf_dir}/events.parquet")
+    shutil.copy("/root/testdata/sf0.001/customer.parquet",
+                f"{sf_dir}/customer.parquet")
+    con = duckdb.connect()
+    try:
+        for t in ("events", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in T._EVENTS_FUZZED:
+            got = sorted(tuple(repr(x) for x in r)
+                         for r in QUERIES[name](spark, sf_dir).collect())
+            want = sorted(tuple(repr(x) for x in r)
+                          for r in con.execute(ORACLES[name]).fetchall())
+            assert got == want, f"{name} diverged on mixed-sign event_ids"
+    finally:
+        con.close()
