@@ -63,14 +63,29 @@ def norm16_sql(expr: str, lo: str, hi: str, intdiv: str = "div") -> str:
     drift. Multiply-first spreads small ranges across the full domain
     (divide-first would leave the curve's high bits empty at small
     scale factors and collapse every row into bucket 0); divide-first
-    takes over exactly where multiply-first would overflow BIGINT."""
+    takes over exactly where multiply-first would overflow BIGINT.
+
+    Precondition (ADVICE r6): ``hi - lo`` itself must fit in BIGINT,
+    i.e. the bounds may not be mixed-sign with a span >= 2^63 (Spark
+    non-ANSI would wrap silently while DuckDB raises — divergence).
+    The guard below tests that condition WITHOUT the subtraction
+    (``lo < 0 AND hi > MAX_BIGINT + lo`` — safe because lo < 0 keeps
+    the addition in range) and makes BOTH engines fail loudly via
+    their respective raise functions; CASE branches are lazy in both."""
+    err_fn = "raise_error" if intdiv == "div" else "error"
+    overflow = f"({lo} < 0 AND {hi} > 9223372036854775807 + {lo})"
     rng = f"({hi} - {lo})"
     delta = f"({expr} - {lo})"
     mul = f"(({delta} * 65536) {intdiv} ({rng} + 1))"
-    # step = ceil((range + 1) / 65536), so delta div step < 65536
-    step = f"(({rng} + 65536) {intdiv} 65536)"
+    # step = ceil((range + 1) / 65536) = (range div 65536) + 1 exactly
+    # (for 0 <= r < 65536, ceil((r+1)/65536) is always 1) — this form
+    # never overflows, unlike (range + 65536), whose add wraps when the
+    # span is within 65536 of 2^63 (ADVICE r6)
+    step = f"(({rng} {intdiv} 65536) + 1)"
     div_first = f"({delta} {intdiv} {step})"
-    return (f"(CASE WHEN {rng} < {NORM_MUL_SAFE_RANGE} "
+    return (f"(CASE WHEN {overflow} THEN "
+            f"CAST({err_fn}('norm16: bounds span >= 2^63') AS BIGINT) "
+            f"WHEN {rng} < {NORM_MUL_SAFE_RANGE} "
             f"THEN {mul} ELSE {div_first} END)")
 
 

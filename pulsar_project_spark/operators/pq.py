@@ -204,8 +204,9 @@ def pq_train(vecs: DataFrame, rounds: int = 1,
     # — fail loudly instead, the kmeans_fit require_k precedent. The
     # corpus contract (tests/test_corpus_contracts.py) makes this free
     # on real data; the count guards dirty inputs.
-    n_rows = vecs.count()
-    n_ids = vecs.select(id_col).distinct().count()
+    # one job, not two (ADVICE r6): count + countDistinct in a single agg
+    n_rows, n_ids = vecs.agg(
+        F.count(F.lit(1)), F.countDistinct(id_col)).first()
     if n_rows != n_ids:
         raise ValueError(
             f"pq_train: need unique {id_col}s (got {n_rows} rows, "

@@ -372,3 +372,110 @@ def q_compaction_plan_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file_id"),
         F.max("file_id").alias("last_file_id"),
     )
+
+
+# --- Transactional compaction EXECUTION (round 7) -----------------------------
+#
+# Round 6 certified the planner (compaction_plan_buckets); these two
+# queries certify the EXECUTION half on the snapshot-isolated table log
+# (sources/txlog.py): rewrite-and-swap behind an atomic manifest CAS,
+# readers never see a half-swap, old snapshots stay readable. The
+# censuses hash against the ORIGINAL parquet, so a compaction that
+# lost, duplicated, or reordered-into-corruption even one row breaks
+# the gate; the crash/race interleavings live in tests/test_txlog.py.
+
+_TX_SPLITS = 3
+
+
+def _build_tx_events_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh tx table from the shared integer events projection, loaded
+    as 3 residue-class appends (pmod(event_id, 3) — signed-safe, same
+    rule the oracles replay) of 4 files each: 12 small files, the
+    classic streaming-landing-zone state compaction exists to fix."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import tx_append, tx_init
+
+    path = _rt_path("txlog_events")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = _events_int_projection(spark, sf_dir)
+    for r in range(_TX_SPLITS):
+        tx_append(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(_TX_SPLITS)) == r),
+            path, n_files=4,
+        )
+    return path
+
+
+_TX_EMPTY_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("total_cents", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def _tx_census(spark: SparkSession, path: str, version: int | None) -> DataFrame:
+    from pulsar_project_spark.sources.txlog import tx_read, tx_snapshot
+
+    if not tx_snapshot(path, version)["files"]:
+        # a zero-row source commits file-less manifests; the census of
+        # nothing is an empty relation, not a read error
+        return spark.createDataFrame([], _TX_EMPTY_SCHEMA)
+    back = tx_read(spark, path, version)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+@declare("tx_compaction_roundtrip_census", oracle=_ROUNDTRIP_SQL)
+def q_tx_compaction_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional compaction EXECUTED end to end: 12 small files
+    land as 3 committed appends, ``tx_compact`` rewrites every
+    multi-file bucket and swaps the manifest atomically (one os.link —
+    the CAS), and the census over the POST-compaction snapshot must
+    hash-match the oracle's census over the original parquet. Any
+    lost/duplicated row, any torn read of a half-swapped file set, any
+    manifest pointing at a stale file breaks the hash.
+
+    Scale shape: compaction reads only the bucket inputs and writes
+    once (no shuffle — coalesce within a bucket); the manifest is
+    metadata (one row per FILE). At 100 TB this runs per partition-date
+    with the same commit protocol; the conditional-PUT variant is the
+    object-store port (txlog.py module doc)."""
+    from pulsar_project_spark.sources.txlog import tx_compact
+
+    path = _build_tx_events_table(spark, sf_dir)
+    tx_compact(spark, path, target_bytes=1 << 22)
+    return _tx_census(spark, path, version=None)
+
+
+_TX_TIME_TRAVEL_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+WHERE ((event_id % 3) + 3) % 3 = 0
+GROUP BY event_type
+"""
+
+
+@declare("tx_snapshot_time_travel_census", oracle=_TX_TIME_TRAVEL_SQL)
+def q_tx_snapshot_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation as a QUERYABLE contract: after two more
+    appends AND a full compaction have committed on top, reading
+    version 1 must return exactly the first append's rows (the
+    pmod(event_id,3)=0 residue class, which the oracle replays from the
+    original parquet). This is file-level time travel — the manifest
+    pins the snapshot's file list, compaction deletes nothing until
+    vacuum — complementing the row-level ``cdc_snapshot_at_time``."""
+    from pulsar_project_spark.sources.txlog import tx_compact
+
+    path = _build_tx_events_table(spark, sf_dir)
+    tx_compact(spark, path, target_bytes=1 << 22)
+    return _tx_census(spark, path, version=1)

@@ -43,75 +43,50 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R6: tuple[str, ...] = (
-    # the only 3 oracle-backed queries without a driver verdict after
-    # rounds 1-5 (all landed after the round-5 pin; re-derived with
-    # tools/rotate_budget.py): cumulative 159/162 green, 0 ever-failed.
-    "session_path_trigrams",
-    "bloom_gated_incremental_dedup",
-    "compaction_plan_buckets",
+NEVER_CHECKED_R7: tuple[str, ...] = (
+    # empty: round 6 closed the gap — every oracle-backed query
+    # declared before round 7 has a cumulative driver-green verdict
+    # (re-derived with tools/rotate_budget.py: 184/184, 0 ever-failed).
 )
 
-NEW_R6: tuple[str, ...] = (
-    # oracle-backed queries added in round 6 (each also fuzz/test-gated).
-    # Names are appended here the commit their query lands — the
-    # composition below self-adjusts, and tests/test_registry_order.py
-    # keeps every name resolvable at every commit.
-    "zorder_wide_range_stats",    # 2^61-range keys, divide-first branch (VERDICT #3)
-    "jpeg_pixel_decode_features",  # integer-IDCT pixel path (VERDICT #2)
-    "pq_trained_code_assignment",  # k-means-trained codebook PQ (VERDICT #4)
-    "pq_trained_adc_topk",         # ADC against the trained codebook
-    "product_type_profit",         # TPC-H Q9 shape (5-way join profit)
-    "brand_quantity_revenue",      # TPC-H Q19 shape (disjunctive bands)
-    "event_transition_pagerank",   # integer PageRank, K-round CTE oracle
-    "range_partition_bounds",      # exact equi-depth range planner
-    "ohlc_bars_5min",              # OHLC time-series downsampling
-    "join_cardinality_forecast",   # pre-shuffle join-size/skew forecast
-    "rolling_7d_active_users",     # WAU via bounded contribution explode
-    "mad_outlier_census",          # robust MAD outlier flags, exact halves
-    "percentile_bands_by_priority", # exact quartile bands
-    "referential_integrity_census", # FK orphan sweep across the star
-    "unattributed_clicks_census",  # left-outer attribution batch twin
-    "cdc_snapshot_at_time",        # log time travel (VERSION AS OF)
-    "late_arrival_census",         # watermark drop-rate observability
-    "binary_quantize_hamming_topk", # 1-bit quantization + Hamming scan
-    "functional_dependency_census", # FD-violation profiling sweep
-    "neardup_cluster_size_histogram", # dedup executive report
-    "user_journey_strings",        # ordered string agg, total-order safe
-    "value_equiwidth_histogram",   # global-bounds profiling bins
+NEW_R7: tuple[str, ...] = (
+    # oracle-backed queries added in round 7 (each also fuzz/test-gated).
+    "pgm_permissive_decode_census",    # corrupt-census twin (VERDICT #3)
+    "rawv_permissive_sample_census",   # corrupt-census twin (VERDICT #3)
+    "jpeg_color_pixel_decode_features", # YCbCr 4:2:0 -> RGB (VERDICT #2)
+    "tx_compaction_roundtrip_census",  # transactional compaction (VERDICT #6)
+    "tx_snapshot_time_travel_census",  # file-level time travel (VERDICT #6)
 )
 
-RECERTS_R6: tuple[str, ...] = (
-    # modules changed in round 6 after their round-5 verdict:
-    # operators/layout.py (+ oracle): divide-first normalization
-    "zorder_bucket_stats",
-    # operators/multimodal.py (assert→ValueError) + queries/multimodal_ops.py
-    # (oracle signed-modulo normalization — EVERY codec oracle edited)
-    # + operators/jpeg.py (IDCT section)
+RECERTS_R7: tuple[str, ...] = (
+    # modules changed in round 7 after their round-6 verdict:
+    # operators/jpeg.py (SOF0 dims returned + assert->ValueError +
+    # block-codec refactor shared with the color path)
+    "jpeg_entropy_roundtrip_features", "jpeg_pixel_decode_features",
+    # operators/multimodal.py (PGM/RAWV helpers extracted,
+    # assert->ValueError, permissive variants)
     "png_decode_features", "png_permissive_decode_census",
-    "jpeg_entropy_roundtrip_features",
     "wav_codec_roundtrip_features", "pgm_resize_features",
     "rawv_frame_sample_features",
-    # operators/pq.py: pq_encode rewritten to the HOF argmin form
+    # operators/layout.py (norm16 overflow guard + overflow-free step)
+    "zorder_bucket_stats", "zorder_wide_range_stats",
+    # operators/pq.py (single-action uniqueness guard)
+    "pq_trained_code_assignment", "pq_trained_adc_topk",
     "pq_code_assignment", "pq_adc_topk",
-    # operators/text_analysis.py: string-replace BPE encoder +
-    # Arrow-numpy char-bigram counting
-    "bpe_fixed_merge_encode_census", "char_bigram_familiarity",
+    # queries/io_ops.py (tx queries added alongside)
+    "compaction_plan_buckets", "jsonl_roundtrip_counts",
 )
 
-# Stalest-green refresh: last driver verdict round 2 (oldest first),
-# then the round-3 tail; the composition trim keeps as many as fit.
-STALE_REFRESH_R6: tuple[str, ...] = (
-    "boolean_normalize", "clean_string_projection", "conversion_funnel",
-    "customer_ltv_segments", "distinct_tokens_except_stopwords",
-    "filename_sanitize", "group_count_by_type", "lang_corpus_stats",
-    "marker_extraction", "national_revenue", "numeric_convertibility",
-    "orders_by_month", "per_user_activity", "pricing_summary",
-    "profile_orders_table", "shipping_priority_top10",
+# Stalest-green refresh: the 11 queries whose last driver verdict is
+# round 2, then the round-3 block alphabetically; the [:50] trim keeps
+# as many as fit.
+STALE_REFRESH_R7: tuple[str, ...] = (
+    # last verdict round 2
+    "pricing_summary", "profile_orders_table", "shipping_priority_top10",
     "simhash_fingerprints", "sql_brand_volume", "term_frequency_top20",
     "title_extraction", "token_count_destopped", "top_revenue_orders",
     "truncate_display_200", "user_event_windows",
-    # round-3 tail (fills whatever the trim leaves open)
+    # last verdict round 3 (alphabetical; trim cuts the tail)
     "big_order_customers", "bm25_scores", "bm25_topk",
     "chunk_exact_dedup", "cluster_best_representative",
     "contamination_ngram_overlap", "corpus_pipeline_e2e",
@@ -119,17 +94,19 @@ STALE_REFRESH_R6: tuple[str, ...] = (
     "daily_revenue_7d_ma", "doc_chunks_overlapping",
     "embedding_int8_quantize", "exact_dedup_fingerprint",
     "except_all_click_days", "except_click_days_no_purchase",
-    "fact_fact_smj_rollup", "orders_above_priority_mean",
-    "late_shipment_priority_counts", "knn_cosine_topk",
+    "fact_fact_smj_rollup", "forward_fill_user_values",
+    "fuzzy_part_name_pairs", "grouping_sets_region_priority",
+    "hybrid_bm25_cosine_rerank", "intersect_click_and_purchase_days",
+    "json_path_stats_native", "knn_cosine_topk",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r5 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r6 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R6,
-    *NEW_R6,
-    *RECERTS_R6,
-    *STALE_REFRESH_R6,
+    *NEVER_CHECKED_R7,
+    *NEW_R7,
+    *RECERTS_R7,
+    *STALE_REFRESH_R7,
 )[:50]
 
 

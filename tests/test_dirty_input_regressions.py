@@ -123,6 +123,11 @@ _MM_NEGATIVE_ID_QUERIES = (
     "png_permissive_decode_census",
     "jpeg_entropy_roundtrip_features",
     "jpeg_pixel_decode_features",
+    "jpeg_color_pixel_decode_features",
+    # round-7: permissive corrupt-census twins (the -21/-7 ids below
+    # exercise the % 7 == 0 corruption rule on the signed branch)
+    "pgm_permissive_decode_census",
+    "rawv_permissive_sample_census",
     # round-6 sweep #2: the asset-catalog family CRASHED on negative
     # ids (signed % made the modality element_at index 0, an ANSI
     # error) — as_assets now uses pmod, oracles ((x%4+4)%4)

@@ -45,6 +45,8 @@ _REPRESENTATIVE = (
     "udtf_json_path_stats",             # Python UDTF on 0 rows
     "hash_stratified_sample",           # deterministic sampling
     "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
+    "tx_compaction_roundtrip_census",   # tx compaction on a 0-row table
+    "tx_snapshot_time_travel_census",   # time travel over empty commits
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance
@@ -76,6 +78,9 @@ _REPRESENTATIVE = (
     "sql_trade_volume_identical",       # identical-text SQL on 0 facts
     "lc_distinct_bitmap_census",        # bitmap sketch on 0 events
     "png_permissive_decode_census",     # corrupt-tolerant codec on 0 docs
+    "pgm_permissive_decode_census",     # corrupt-tolerant PGM on 0 docs
+    "rawv_permissive_sample_census",    # corrupt-tolerant video on 0 docs
+    "jpeg_color_pixel_decode_features", # color decode over 0 assets
     "pq_code_assignment",               # PQ encode on 0 vectors
     "pq_adc_topk",                      # ADC search on 0 codes
     "pq_trained_code_assignment",       # Lloyd round + encode on 0 vectors

@@ -146,9 +146,14 @@ _PIPELINE_FUZZED = (
     "jpeg_entropy_roundtrip_features",
     # round-6: full pixel path (entropy + integer dequant + integer IDCT)
     "jpeg_pixel_decode_features",
+    # round-7: color 4:2:0 to RGB (upsample + fixed-point CSC on top)
+    "jpeg_color_pixel_decode_features",
     "wav_codec_roundtrip_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",
+    # round-7: permissive corrupt-census twins for PGM/RAWV
+    "pgm_permissive_decode_census",
+    "rawv_permissive_sample_census",
     # multimodal family (payload = text bytes)
     "multimodal_asset_catalog",
     "image_decode_stub",
@@ -258,6 +263,9 @@ _EVENTS_FUZZED = (
     "corrupt_json_lines_census",
     "orc_roundtrip_counts",
     "partitioned_prune_purchase_days",
+    # round-7: transactional compaction execution + file-level time travel
+    "tx_compaction_roundtrip_census",
+    "tx_snapshot_time_travel_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -34,8 +34,9 @@ def test_restart_markers_present_and_reset_prediction():
     rsts = [scan.count(bytes([0xFF, 0xD0 + i])) for i in range(8)]
     assert sum(rsts) == (n_blocks - 1) // RESTART_INTERVAL
     # decode succeeds -> prediction reset matched on both sides
-    nb, _, blocks = decode_jpeg_coefs(payload)
+    nb, _, blocks, sw, sh = decode_jpeg_coefs(payload)
     assert nb == n_blocks and len(blocks) == n_blocks
+    assert (sw, sh) == (w, h)  # stream SOF0 == closed form (ADVICE r6)
 
 
 def test_byte_stuffing_occurs_across_corpus():
@@ -94,8 +95,8 @@ def test_integer_idct_tracks_float_idct_within_one():
     zz = zigzag_uv()
     for doc_id in (-9, 0, 1, 7, 42):
         payload = encode_jpeg(doc_id)
-        got = decode_jpeg_pixels_one(payload)
-        _, qt, blocks = decode_jpeg_coefs(payload)
+        got, _w, _h = decode_jpeg_pixels_one(payload)
+        _, qt, blocks, _, _ = decode_jpeg_coefs(payload)
         for b, q in enumerate(blocks):
             ref = np.zeros((8, 8))
             for z, c in enumerate(q):
@@ -142,3 +143,118 @@ def test_pixel_features_layout(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_px"] == w * h
         assert 0 <= r["min_px"] <= r["max_px"] <= 255
+
+
+# --- round-7 color path: 4:2:0 YCbCr must BE a JPEG color pipeline ----------
+
+
+def test_color_roundtrip_matches_coefficient_plan():
+    from pulsar_project_spark.operators.jpeg import (
+        JPEG_QTABLE,
+        JPEG_QTABLE_CHROMA,
+        decode_jpeg_color_coefs,
+        encode_jpeg_color,
+        jpeg_color_dims,
+        jpeg_color_qcoefs,
+    )
+
+    for doc_id in (-9, -1, 0, 1, 5, 7, 42):
+        w, h, qts, blocks = decode_jpeg_color_coefs(encode_jpeg_color(doc_id))
+        assert (w, h) == jpeg_color_dims(doc_id)
+        assert qts[0] == list(JPEG_QTABLE)
+        assert qts[1] == qts[2] == list(JPEG_QTABLE_CHROMA)
+        n_mcus = (w // 16) * (h // 16)
+        assert [len(blocks[c]) for c in range(3)] == [4 * n_mcus, n_mcus,
+                                                      n_mcus]
+        for c in range(3):
+            for b, q in enumerate(blocks[c]):
+                assert q == jpeg_color_qcoefs(doc_id, c, b), (doc_id, c, b)
+
+
+def test_color_restart_markers_reset_all_three_predictors():
+    from pulsar_project_spark.operators.jpeg import (
+        RESTART_INTERVAL_COLOR,
+        decode_jpeg_color_coefs,
+        encode_jpeg_color,
+    )
+
+    # doc 1 is 32x32 -> 4 MCUs -> one RST at interval 2; decode success
+    # across it proves both sides reset Y AND chroma predictors
+    payload = encode_jpeg_color(1)
+    scan = payload[payload.index(b"\xff\xda") + 14:]
+    n_rst = sum(scan.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst == (4 - 1) // RESTART_INTERVAL_COLOR
+    decode_jpeg_color_coefs(payload)  # would raise on a predictor bug
+
+
+def test_color_integer_pipeline_tracks_float_pipeline():
+    """The fixed-point IDCT + nearest upsample + fixed-point CSC must
+    be a real color decode: every R/G/B sample within 3 of the float
+    pipeline (1 LSB IDCT + amplified chroma error + CSC rounding)."""
+    import math
+
+    import numpy as np
+
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_color_coefs,
+        decode_jpeg_color_pixels_one,
+        encode_jpeg_color,
+        zigzag_uv,
+    )
+
+    zz = zigzag_uv()
+
+    def float_plane(blocks, qt, w, h, block_px):
+        plane = np.zeros((h, w))
+        for b, q in enumerate(blocks):
+            ref = np.zeros((8, 8))
+            for z, c in enumerate(q):
+                if not c:
+                    continue
+                u, v = zz[z]
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                ys = np.cos((2 * np.arange(8) + 1) * u * np.pi / 16)
+                xs = np.cos((2 * np.arange(8) + 1) * v * np.pi / 16)
+                ref += 0.25 * cu * cv * c * qt[z] * np.outer(ys, xs)
+            y0, x0 = block_px(b)
+            plane[y0:y0 + 8, x0:x0 + 8] = np.clip(ref + 128, 0, 255)
+        return plane
+
+    for doc_id in (-9, 0, 1, 7):
+        payload = encode_jpeg_color(doc_id)
+        w, h, qts, blocks = decode_jpeg_color_coefs(payload)
+        mw = w // 16
+        yf = float_plane(blocks[0], qts[0], w, h,
+                         lambda b: ((b // 4 // mw) * 16 + (b % 4 // 2) * 8,
+                                    (b // 4 % mw) * 16 + (b % 4 % 2) * 8))
+        cbf = float_plane(blocks[1], qts[1], w // 2, h // 2,
+                          lambda b: ((b // mw) * 8, (b % mw) * 8))
+        crf = float_plane(blocks[2], qts[2], w // 2, h // 2,
+                          lambda b: ((b // mw) * 8, (b % mw) * 8))
+        cbu = cbf.repeat(2, 0).repeat(2, 1) - 128
+        cru = crf.repeat(2, 0).repeat(2, 1) - 128
+        rf = np.clip(yf + 1.402 * cru, 0, 255)
+        gf = np.clip(yf - 0.344136 * cbu - 0.714136 * cru, 0, 255)
+        bf = np.clip(yf + 1.772 * cbu, 0, 255)
+        r, g, b = decode_jpeg_color_pixels_one(payload)
+        for got, ref, name in ((r, rf, "R"), (g, gf, "G"), (b, bf, "B")):
+            assert np.abs(got - ref).max() <= 3, (
+                f"doc {doc_id} {name}: integer color pipeline diverged")
+
+
+def test_color_corruption_raises_valueerror():
+    import pytest as _pytest
+
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_color_coefs,
+        encode_jpeg_color,
+    )
+
+    payload = bytearray(encode_jpeg_color(5))
+    i = payload.index(b"\xff\xda") + 20
+    payload[i] ^= 0x55
+    with _pytest.raises((ValueError, IndexError, KeyError)):
+        decode_jpeg_color_coefs(bytes(payload))
+    with _pytest.raises(ValueError):
+        decode_jpeg_color_coefs(b"\x00\x00")

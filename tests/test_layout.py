@@ -84,3 +84,46 @@ def test_zorder_files_bound_both_dimensions(spark):
      .write.mode("overwrite").parquet(sdir))
     sorted_spans = _file_spans(sdir, ("a", "b"))
     assert all(s["b"][1] - s["b"][0] >= _DOMAIN - 1 for s in sorted_spans)
+
+
+def test_norm16_overflow_guard_raises_in_both_engines(spark, duck):
+    """ADVICE r6: mixed-sign bounds spanning >= 2^63 used to wrap
+    silently in Spark (non-ANSI) while DuckDB raised — the engines
+    diverged instead of both failing loudly. norm16_sql now carries an
+    overflow guard testing the span WITHOUT the subtraction; both
+    engines must raise, and in-range mixed-sign bounds must still
+    produce identical buckets."""
+    import pytest
+
+    from pulsar_project_spark.operators.layout import norm16_sql
+
+    # spanning case: lo ~ -2^62, hi ~ +2^62 -> span ~ 2^63, must raise
+    lo, hi = -(1 << 62), (1 << 62)
+    spark_expr = norm16_sql("v", str(lo), str(hi), intdiv="div")
+    duck_expr = norm16_sql("v", str(lo), str(hi), intdiv="//")
+    with pytest.raises(Exception, match="norm16"):
+        spark.sql(f"SELECT {spark_expr} AS b FROM (SELECT 0 AS v)").collect()
+    with pytest.raises(Exception, match="norm16"):
+        duck.execute(f"SELECT {duck_expr} AS b FROM (SELECT 0 AS v)").fetchall()
+
+    # in-range mixed-sign case (span 2^62 < 2^63): both engines agree,
+    # divide-first branch, full bucket range covered at the ends
+    lo, hi = -(1 << 61), (1 << 61)
+    vals = [lo, -1, 0, 1, hi]
+    spark_expr = norm16_sql("v", str(lo), str(hi), intdiv="div")
+    duck_expr = norm16_sql("v", str(lo), str(hi), intdiv="//")
+    got_spark = [
+        r["b"] for r in spark.sql(
+            f"SELECT {spark_expr} AS b FROM VALUES "
+            + ",".join(f"({v}L)" for v in vals) + " AS t(v) ORDER BY v"
+        ).collect()
+    ]
+    got_duck = [
+        r[0] for r in duck.execute(
+            f"SELECT {duck_expr} AS b FROM (SELECT unnest(?) AS v) ORDER BY v",
+            [vals],
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == 0 and got_spark[-1] == 65535
+    assert all(0 <= b <= 65535 for b in got_spark)

@@ -1,0 +1,136 @@
+"""Crash-safety and isolation gates for the transactional table log.
+
+VERDICT r6 "Next round" #6: the compaction planner was driver-green;
+execution needs a commit protocol where readers NEVER see a half-swap
+and concurrent writers never clobber each other. These tests drive
+every dangerous interleaving the protocol claims to survive — crash
+before commit, CAS race, reader pinned on an old snapshot across a
+compaction and a vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pulsar_project_spark.sources.txlog import (
+    TxConflict,
+    _commit,
+    _stage_dataframe,
+    plan_compaction,
+    tx_append,
+    tx_compact,
+    tx_init,
+    tx_latest_version,
+    tx_read,
+    tx_snapshot,
+    tx_vacuum,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    path = tempfile.mkdtemp(prefix="txlog_")
+    tx_init(path)
+    return path
+
+
+def _census(spark, table, version=None):
+    from pyspark.sql import functions as F
+
+    df = tx_read(spark, table, version)
+    row = df.agg(F.count("id"), F.sum("v")).first()
+    return row[0], row[1]
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 3 AS v")
+
+
+def test_append_read_roundtrip(spark, table):
+    tx_append(_mk(spark, 0, 100), table, n_files=4)
+    tx_append(_mk(spark, 100, 150), table, n_files=4)
+    assert tx_latest_version(table) == 2
+    assert _census(spark, table) == (150, sum(3 * i for i in range(150)))
+
+
+def test_crash_before_commit_is_invisible(spark, table):
+    tx_append(_mk(spark, 0, 50), table, n_files=2)
+    before = _census(spark, table)
+    v_before = tx_latest_version(table)
+    # simulate a writer that staged + moved its data files and DIED
+    # before the manifest link: readers must see nothing
+    _stage_dataframe(_mk(spark, 50, 90), table, n_files=2)
+    assert tx_latest_version(table) == v_before
+    assert _census(spark, table) == before
+    # and a later healthy append is unaffected by the orphan files
+    tx_append(_mk(spark, 90, 100), table)
+    assert _census(spark, table) == (60, sum(3 * i for i in range(50))
+                                     + sum(3 * i for i in range(90, 100)))
+
+
+def test_cas_race_exactly_one_winner(spark, table):
+    v = tx_append(_mk(spark, 0, 10), table)
+    files_a = _stage_dataframe(_mk(spark, 10, 20), table, n_files=1)
+    files_b = _stage_dataframe(_mk(spark, 20, 30), table, n_files=1)
+    snap = tx_snapshot(table)
+    assert snap["version"] == v
+    _commit(table, v, snap["files"] + files_a, op="append")
+    with pytest.raises(TxConflict):
+        _commit(table, v, snap["files"] + files_b, op="append")
+    # the loser rebases: re-read, retry at the new head
+    snap2 = tx_snapshot(table)
+    _commit(table, snap2["version"], snap2["files"] + files_b, op="append")
+    assert _census(spark, table) == (30, sum(3 * i for i in range(30)))
+
+
+def test_compaction_preserves_data_and_merges_files(spark, table):
+    for lo in range(0, 400, 100):
+        tx_append(_mk(spark, lo, lo + 100), table, n_files=5)
+    n_before = len(tx_snapshot(table)["files"])
+    assert n_before == 20
+    census_before = _census(spark, table)
+    tx_compact(spark, table, target_bytes=1 << 30)  # everything: 1 bucket
+    snap = tx_snapshot(table)
+    assert snap["op"] == "compact"
+    assert len(snap["files"]) == 1
+    assert _census(spark, table) == census_before
+
+
+def test_reader_snapshot_survives_compaction(spark, table):
+    tx_append(_mk(spark, 0, 100), table, n_files=8)
+    v1 = tx_latest_version(table)
+    pinned = tx_read(spark, table, v1)  # plan pinned to v1's file list
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_append(_mk(spark, 100, 200), table)
+    # the pinned plan still executes against the ORIGINAL files
+    assert pinned.count() == 100
+    # and explicit time travel to v1 agrees
+    assert _census(spark, table, version=v1) == (
+        100, sum(3 * i for i in range(100)))
+
+
+def test_vacuum_reclaims_only_dead_files(spark, table):
+    tx_append(_mk(spark, 0, 100), table, n_files=8)
+    _stage_dataframe(_mk(spark, 0, 5), table, n_files=1)  # crashed orphan
+    tx_compact(spark, table, target_bytes=1 << 30)
+    census = _census(spark, table)
+    removed = tx_vacuum(table)
+    assert removed == 9  # 8 replaced inputs + 1 orphan
+    assert _census(spark, table) == census
+    # time travel to pre-compaction versions is now (documented) gone
+    with pytest.raises(Exception):
+        tx_read(spark, table, version=1).count()
+
+
+def test_plan_compaction_only_merging_buckets(spark, table):
+    tx_append(_mk(spark, 0, 1000), table, n_files=4)
+    sizes = [os.path.getsize(os.path.join(table, f))
+             for f in tx_snapshot(table)["files"]]
+    # target slightly above one file: prefix-sum packing pairs files up
+    buckets = plan_compaction(table, target_bytes=int(sum(sizes) / 2) + 1)
+    assert buckets and all(len(b) >= 2 for b in buckets)
+    total = sum(len(b) for b in buckets)
+    assert total <= 4
