@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StructField, StructType,
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 # Canonical Huffman tables (ITU T.81 Annex K layout: BITS = #codes per
@@ -802,3 +802,35 @@ def decode_jpeg_color_pixel_features(jpegs: DataFrame) -> DataFrame:
                                "min_b"])
 
     return jpegs.mapInPandas(batches, JPEG_COLOR_PIXEL_SCHEMA)
+
+
+JPEG_COLOR_PERMISSIVE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("status", StringType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+])
+
+
+def decode_jpeg_color_features_permissive(jpegs: DataFrame) -> DataFrame:
+    """PERMISSIVE color decode: a corrupt stream becomes an ERROR ROW
+    at the asset boundary, never a task-killing exception — the
+    ``decode_png_features_permissive`` posture, completing the
+    corrupt-tolerance story across all four real codec formats
+    (PNG/PGM/RAWV/JPEG)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["jpeg"]):
+                try:
+                    r, g, b = decode_jpeg_color_pixels_one(payload)
+                    rows.append((int(doc_id), "ok", int(r.sum()),
+                                 int(g.sum()), int(b.sum())))
+                except Exception:
+                    rows.append((int(doc_id), "error", None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "sum_r", "sum_g",
+                               "sum_b"])
+
+    return jpegs.mapInPandas(batches, JPEG_COLOR_PERMISSIVE_SCHEMA)

@@ -406,6 +406,9 @@ def _build_tx_events_table(spark: SparkSession, sf_dir: str) -> str:
             ev.filter(F.pmod(F.col("event_id"), F.lit(_TX_SPLITS)) == r),
             path, n_files=4,
         )
+    # NULL event_ids belong to no residue class; a dirty corpus must
+    # not silently lose them (the total census hashes against ALL rows)
+    tx_append(ev.filter(F.col("event_id").isNull()), path, n_files=1)
     return path
 
 
@@ -479,3 +482,78 @@ def q_tx_snapshot_time_travel_census(spark: SparkSession, sf_dir: str) -> DataFr
     path = _build_tx_events_table(spark, sf_dir)
     tx_compact(spark, path, target_bytes=1 << 22)
     return _tx_census(spark, path, version=1)
+
+
+_TX_ZORDER_SQL = """
+SELECT ((user_id % 97) + 97) % 97 AS user_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS max_day
+FROM events
+GROUP BY user_bucket
+"""
+
+
+@declare("tx_optimize_zorder_census", oracle=_TX_ZORDER_SQL)
+def q_tx_optimize_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY, executed transactionally: two committed
+    appends are rewritten as one Z-clustered file set on
+    (user_id, day) behind the same atomic manifest CAS, and the census
+    over the post-OPTIMIZE snapshot — 97 user buckets × (count, exact
+    cents, max day) — must hash-match the oracle over the original
+    parquet, so a rewrite that loses/duplicates a row or corrupts an
+    attribute breaks the gate. The layout payoff (every output file's
+    footer stats bounding BOTH dims) is asserted from the actual
+    written files in tests/test_txlog.py; this query certifies the
+    rewrite is data-invariant, which is the half a hash CAN check.
+
+    Scale shape: one mergeable min/max bounds aggregate broadcast back,
+    one range-exchange on the Morton code, one in-file sort — the
+    standing layout-maintenance job of a 100 TB lakehouse table, here
+    composed with the commit protocol instead of an unsafe in-place
+    overwrite."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_optimize_zorder,
+        tx_snapshot,
+    )
+
+    path = _rt_path("txlog_zorder")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    for r in range(2):
+        tx_append(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == r).drop(
+                "event_id"),
+            path, n_files=3,
+        )
+    tx_append(ev.filter(F.col("event_id").isNull()).drop("event_id"),
+              path, n_files=1)
+    tx_optimize_zorder(spark, path, "user_id", "day", n_files=8)
+    from pulsar_project_spark.sources.txlog import tx_read
+    if not tx_snapshot(path, None)["files"]:
+        from pyspark.sql.types import LongType, StructField, StructType
+        return spark.createDataFrame([], StructType([
+            StructField("user_bucket", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("max_day", LongType()),
+        ]))
+    back = tx_read(spark, path)
+    return back.groupBy(
+        F.pmod(F.col("user_id"), F.lit(97)).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.max("day").alias("max_day"),
+    )

@@ -673,7 +673,8 @@ def q_jpeg_pixel_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_pixel_features(synthesize_jpeg(docs))
 
 
-def _jpeg_color_pixel_oracle() -> str:
+def _jpeg_color_pixel_oracle(doc_filter: str = "",
+                             tail: str | None = None) -> str:
     """Color-pixel oracle: replays the per-component closed forms +
     dequant + the SAME integer IDCT kernel as the grayscale pixel
     oracle, then the two color-only steps — 2x nearest chroma upsample
@@ -733,7 +734,7 @@ WITH d AS (
   SELECT doc_id,
          16 + ((doc_id % 2 + 2) % 2) * 16 AS w,
          16 + (((doc_id % 3 + 3) % 3) % 2) * 16 AS h
-  FROM documents WHERE doc_id IS NOT NULL
+  FROM documents WHERE doc_id IS NOT NULL {doc_filter}
 ), dm AS (
   SELECT doc_id, w, h, w // 16 AS mw, (w // 16) * (h // 16) AS mcus FROM d
 ), yb AS (
@@ -780,6 +781,7 @@ ypx AS (
   JOIN cpx cr ON cr.doc_id = yp.doc_id AND cr.c = 2
              AND cr.cx = yp.x // 2 AND cr.cy = yp.y // 2
 )
+{tail or '''
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
@@ -790,6 +792,7 @@ SELECT doc_id,
        CAST(max(r) AS INTEGER) AS max_r,
        CAST(min(b) AS INTEGER) AS min_b
 FROM rgb GROUP BY doc_id, w, h
+'''}
 """
 
 
@@ -816,3 +819,65 @@ def q_jpeg_color_pixel_decode_features(spark: SparkSession, sf_dir: str) -> Data
         F.col("doc_id").isNotNull()
     )
     return decode_jpeg_color_pixel_features(synthesize_jpeg_color(docs))
+
+
+_JPEG_COLOR_PERMISSIVE_TAIL = """
+SELECT * FROM (
+  SELECT 'ok' AS status, count(DISTINCT doc_id) AS n_assets,
+         CAST(sum(r) AS BIGINT) AS total_sum_r,
+         CAST(sum(g) AS BIGINT) AS total_sum_g,
+         CAST(sum(b) AS BIGINT) AS total_sum_b
+  FROM rgb
+) WHERE n_assets > 0
+UNION ALL
+SELECT * FROM (
+  SELECT 'error' AS status, count(*) AS n_assets,
+         CAST(NULL AS BIGINT) AS total_sum_r,
+         CAST(NULL AS BIGINT) AS total_sum_g,
+         CAST(NULL AS BIGINT) AS total_sum_b
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 7 = 0
+) WHERE n_assets > 0
+"""
+
+
+@declare(
+    "jpeg_color_permissive_decode_census",
+    oracle=_jpeg_color_pixel_oracle(
+        doc_filter="AND doc_id % 7 != 0",
+        tail=_JPEG_COLOR_PERMISSIVE_TAIL,
+    ),
+)
+def q_jpeg_color_permissive_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-asset-tolerant COLOR JPEG decode — completes the
+    permissive posture across all four real codec formats (PNG, PGM,
+    RAWV, and now JPEG): every 7th color stream has its SOI marker's
+    first byte spliced JVM-side, the PERMISSIVE decoder turns each
+    damaged asset into a ``status='error'`` row instead of a
+    task-killing exception, and the 'ok' branch's RGB sums are replayed
+    by the SAME full color-pixel oracle (shared CTE chain, filtered to
+    the surviving assets) — so tolerance cannot hide a mis-decode."""
+    from pulsar_project_spark.operators.jpeg import (
+        decode_jpeg_color_features_permissive,
+        synthesize_jpeg_color,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    jpegs = synthesize_jpeg_color(docs)
+    corrupted = jpegs.withColumn(
+        "jpeg",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.expr("X'58'"),
+                F.expr("substring(jpeg, 2, octet_length(jpeg) - 1)"),
+            ),
+        ).otherwise(F.col("jpeg")),
+    )
+    feats = decode_jpeg_color_features_permissive(corrupted)
+    return feats.groupBy("status").agg(
+        F.countDistinct("doc_id").alias("n_assets"),
+        F.sum("sum_r").alias("total_sum_r"),
+        F.sum("sum_g").alias("total_sum_g"),
+        F.sum("sum_b").alias("total_sum_b"),
+    )

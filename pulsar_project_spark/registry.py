@@ -54,8 +54,10 @@ NEW_R7: tuple[str, ...] = (
     "pgm_permissive_decode_census",    # corrupt-census twin (VERDICT #3)
     "rawv_permissive_sample_census",   # corrupt-census twin (VERDICT #3)
     "jpeg_color_pixel_decode_features", # YCbCr 4:2:0 -> RGB (VERDICT #2)
+    "jpeg_color_permissive_decode_census", # corrupt-tolerant color decode
     "tx_compaction_roundtrip_census",  # transactional compaction (VERDICT #6)
     "tx_snapshot_time_travel_census",  # file-level time travel (VERDICT #6)
+    "tx_optimize_zorder_census",       # OPTIMIZE ZORDER behind the CAS
 )
 
 RECERTS_R7: tuple[str, ...] = (

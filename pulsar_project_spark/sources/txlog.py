@@ -243,3 +243,47 @@ def tx_vacuum(table: str) -> int:
         if f.endswith(".json") and int(f[1:9]) != latest:
             os.unlink(os.path.join(mdir, f))
     return removed
+
+
+def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
+                       col_b: str, n_files: int = 8,
+                       max_retries: int = 3) -> int:
+    """OPTIMIZE ... ZORDER BY (a, b): rewrite the whole snapshot
+    Z-clustered — norm16-normalize both dims by their observed bounds
+    (one mergeable min/max aggregate broadcast back), range-partition
+    on the Morton code, sort within files — and commit the rewritten
+    file set with the same atomic CAS as compaction. Readers of any
+    committed version are untouched; the rewrite is pure layout (the
+    oracle census proves zero data change) but every output file's
+    min/max footer stats now bound BOTH dims, which is what lets a
+    100 TB reader skip files on either predicate (tests/test_txlog.py
+    asserts the written footer spans)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.layout import norm16_sql, zvalue
+
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        if not snap["files"]:
+            return snap["version"]
+        df = tx_read(spark, table, snap["version"])
+        bounds = df.agg(
+            F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+            F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+        )
+        a16 = F.expr(norm16_sql(col_a, "__amin", "__amax"))
+        b16 = F.expr(norm16_sql(col_b, "__bmin", "__bmax"))
+        arranged = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("__z", zvalue(a16, b16))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+        )
+        produced = _stage_dataframe(arranged, table)
+        try:
+            return _commit(table, snap["version"], produced,
+                           op="optimize-zorder")
+        except TxConflict:
+            continue  # staged files orphaned; vacuum reclaims them
+    raise TxConflict(f"optimize lost {max_retries} CAS races in {table}")

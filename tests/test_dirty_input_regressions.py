@@ -124,6 +124,7 @@ _MM_NEGATIVE_ID_QUERIES = (
     "jpeg_entropy_roundtrip_features",
     "jpeg_pixel_decode_features",
     "jpeg_color_pixel_decode_features",
+    "jpeg_color_permissive_decode_census",
     # round-7: permissive corrupt-census twins (the -21/-7 ids below
     # exercise the % 7 == 0 corruption rule on the signed branch)
     "pgm_permissive_decode_census",

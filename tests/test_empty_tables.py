@@ -47,6 +47,7 @@ _REPRESENTATIVE = (
     "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
     "tx_compaction_roundtrip_census",   # tx compaction on a 0-row table
     "tx_snapshot_time_travel_census",   # time travel over empty commits
+    "tx_optimize_zorder_census",        # zorder rewrite of a 0-row table
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance
@@ -81,6 +82,7 @@ _REPRESENTATIVE = (
     "pgm_permissive_decode_census",     # corrupt-tolerant PGM on 0 docs
     "rawv_permissive_sample_census",    # corrupt-tolerant video on 0 docs
     "jpeg_color_pixel_decode_features", # color decode over 0 assets
+    "jpeg_color_permissive_decode_census",  # tolerant color on 0 assets
     "pq_code_assignment",               # PQ encode on 0 vectors
     "pq_adc_topk",                      # ADC search on 0 codes
     "pq_trained_code_assignment",       # Lloyd round + encode on 0 vectors

@@ -148,6 +148,7 @@ _PIPELINE_FUZZED = (
     "jpeg_pixel_decode_features",
     # round-7: color 4:2:0 to RGB (upsample + fixed-point CSC on top)
     "jpeg_color_pixel_decode_features",
+    "jpeg_color_permissive_decode_census",
     "wav_codec_roundtrip_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",
@@ -266,6 +267,7 @@ _EVENTS_FUZZED = (
     # round-7: transactional compaction execution + file-level time travel
     "tx_compaction_roundtrip_census",
     "tx_snapshot_time_travel_census",
+    "tx_optimize_zorder_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

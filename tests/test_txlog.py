@@ -134,3 +134,67 @@ def test_plan_compaction_only_merging_buckets(spark, table):
     assert buckets and all(len(b) >= 2 for b in buckets)
     total = sum(len(b) for b in buckets)
     assert total <= 4
+
+
+def test_optimize_zorder_bounds_both_dims_and_preserves_data(spark, table):
+    import pyarrow.parquet as papq
+
+    from pulsar_project_spark.sources.txlog import tx_optimize_zorder
+
+    # 64x64 grid: after OPTIMIZE ZORDER BY (a, b), every rewritten
+    # file's footer stats must bound BOTH dims (median span <= half
+    # domain) — a single-column sort would leave b unbounded per file
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 AS a", "id div 64 AS b", "id AS v")
+    tx_append(grid, table, n_files=4)
+    before = spark.createDataFrame(
+        tx_read(spark, table).collect()).agg({"v": "sum"}).first()[0]
+    v = tx_optimize_zorder(spark, table, "a", "b", n_files=16)
+    snap = tx_snapshot(table)
+    assert snap["version"] == v and snap["op"] == "optimize-zorder"
+    spans = {"a": [], "b": []}
+    for f in snap["files"]:
+        md = papq.read_metadata(os.path.join(table, f))
+        for c in ("a", "b"):
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for i in range(g.num_columns):
+                    col = g.column(i)
+                    if col.path_in_schema == c and col.statistics:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans[c].append(hi - lo)
+    assert len(spans["a"]) >= 8
+    for c in ("a", "b"):
+        widths = sorted(spans[c])
+        assert widths[len(widths) // 2] <= 32, (c, widths)
+    # and the rewrite is pure layout: data fingerprint unchanged
+    after = tx_read(spark, table).agg({"v": "sum"}).first()[0]
+    assert after == before
+
+
+def test_concurrent_appends_all_commit_via_rebase(spark, table):
+    """Four writers appending simultaneously: every CAS loser must
+    rebase and land, no rows lost, versions strictly sequential."""
+    import threading
+
+    errs = []
+
+    def worker(lo):
+        try:
+            tx_append(_mk(spark, lo, lo + 100), table, n_files=2)
+        except Exception as exc:  # pragma: no cover - failure evidence
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i * 100,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert tx_latest_version(table) == 4
+    assert _census(spark, table) == (400, sum(3 * i for i in range(400)))

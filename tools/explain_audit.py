@@ -46,6 +46,7 @@ ALLOWED_NESTED_LOOP = {
     "referential_integrity_census",  # 1-row x 1-row count crossJoins per relation
     "cdc_snapshot_at_time",      # 1-row median-cut broadcast crossJoin
     "value_equiwidth_histogram", # 1-row min/max-bounds broadcast crossJoin
+    "tx_optimize_zorder_census", # 1-row min/max-bounds broadcast crossJoin (zorder rewrite)
 }
 
 
