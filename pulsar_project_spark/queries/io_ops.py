@@ -557,3 +557,70 @@ def q_tx_optimize_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("total_cents"),
         F.max("day").alias("max_day"),
     )
+
+
+_TX_PRUNE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id BETWEEN 0 AND 400
+GROUP BY event_type
+"""
+
+
+@declare("tx_pruned_read_census", oracle=_TX_PRUNE_SQL)
+def q_tx_pruned_read_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping, end to end: OPTIMIZE ZORDER records
+    each rewritten file's (user_id, day) min/max bounds INTO the
+    manifest (Iceberg's column-bounds pattern), and ``tx_read_pruned``
+    then drops every file whose bounds cannot intersect the predicate
+    BEFORE Spark lists or opens it — planning-time skipping with zero
+    I/O, the step beyond parquet footer pruning (which still pays one
+    open+seek per file; at 100 TB that is millions of round trips).
+    Correctness never rests on the stats: the residual filter re-applies
+    the predicate exactly, and this census must hash-match the oracle's
+    filtered census over the original parquet. The actual file-skip
+    count is pinned in tests/test_txlog.py (layout-dependent, so it
+    belongs to a test, not a hash)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_optimize_zorder,
+        tx_read_pruned,
+        tx_snapshot,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_prune")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append(ev, path, n_files=4)
+    tx_optimize_zorder(spark, path, "user_id", "day", n_files=8)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    try:
+        pruned, _n_read, _n_total = tx_read_pruned(
+            spark, path, "user_id", 0, 400)
+    except ValueError:
+        # bounds PROVED no file intersects the range: the census of
+        # nothing (a valid outcome for a degenerate corpus)
+        return spark.createDataFrame([], empty_schema)
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )

@@ -175,3 +175,31 @@ def q_late_arrival_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_late"),
     )
+
+
+_TX_SINK_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("streaming_tx_exactly_once_census", oracle=_TX_SINK_SQL)
+def q_streaming_tx_exactly_once_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE streaming query strong enough to carry a full hash
+    oracle: events stream-land into the transactional table log via an
+    idempotent foreachBatch sink (txn id = (app, batchId) inside the
+    manifest — the commit and its replay check share one atomic CAS),
+    then the run restarts the stream against the same checkpoint (must
+    commit nothing) AND force-replays batch 0's commit (must
+    deduplicate). Only after surviving both does it census the landed
+    table — against the oracle's census of the ORIGINAL parquet, so a
+    lost batch, doubled batch, or value drift through the
+    stream-land-read chain breaks the hash. Exactly-once here is not a
+    claim, it's the gate."""
+    from pulsar_project_spark.streaming.pipeline import run_streaming_tx_sink
+
+    return run_streaming_tx_sink(spark, sf_dir)

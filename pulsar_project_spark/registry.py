@@ -58,6 +58,8 @@ NEW_R7: tuple[str, ...] = (
     "tx_compaction_roundtrip_census",  # transactional compaction (VERDICT #6)
     "tx_snapshot_time_travel_census",  # file-level time travel (VERDICT #6)
     "tx_optimize_zorder_census",       # OPTIMIZE ZORDER behind the CAS
+    "streaming_tx_exactly_once_census", # idempotent foreachBatch landing
+    "tx_pruned_read_census",           # manifest-stats planning-time skip
 )
 
 RECERTS_R7: tuple[str, ...] = (

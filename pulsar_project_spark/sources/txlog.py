@@ -93,12 +93,16 @@ def tx_snapshot(table: str, version: int | None = None) -> dict:
 
 
 def _commit(table: str, expected_parent: int | None,
-            files: list[str], op: str) -> int:
+            files: list[str], op: str,
+            txn: dict | None = None,
+            stats: dict | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
     ``os.link`` it to its final version name — the one atomic step.
-    Raises ``TxConflict`` if that version already exists."""
+    Raises ``TxConflict`` if that version already exists. ``txn``
+    (writer-transaction id, see ``tx_append_txn``) rides inside the
+    manifest so idempotency-check and commit share the CAS."""
     version = 0 if expected_parent is None else expected_parent + 1
     manifest = {
         "version": version,
@@ -106,6 +110,10 @@ def _commit(table: str, expected_parent: int | None,
         "op": op,
         "files": sorted(files),
     }
+    if txn is not None:
+        manifest["txn"] = txn
+    if stats is not None:
+        manifest["stats"] = stats
     mdir = os.path.join(table, _MANIFEST_DIR)
     tmp = os.path.join(mdir, f".v{version:08d}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
@@ -247,7 +255,8 @@ def tx_vacuum(table: str) -> int:
 
 def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
                        col_b: str, n_files: int = 8,
-                       max_retries: int = 3) -> int:
+                       max_retries: int = 3,
+                       record_stats: bool = True) -> int:
     """OPTIMIZE ... ZORDER BY (a, b): rewrite the whole snapshot
     Z-clustered — norm16-normalize both dims by their observed bounds
     (one mergeable min/max aggregate broadcast back), range-partition
@@ -281,9 +290,121 @@ def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
             .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
         )
         produced = _stage_dataframe(arranged, table)
+        stats = (_collect_file_stats(table, produced, [col_a, col_b])
+                 if record_stats else None)
         try:
             return _commit(table, snap["version"], produced,
-                           op="optimize-zorder")
+                           op="optimize-zorder", stats=stats)
         except TxConflict:
             continue  # staged files orphaned; vacuum reclaims them
     raise TxConflict(f"optimize lost {max_retries} CAS races in {table}")
+
+
+def tx_txn_version(table: str, app: str, batch: int) -> int | None:
+    """Version whose manifest carries writer-transaction id
+    ``(app, batch)``, or None. Manifests are metadata (one small JSON
+    per commit), so the scan is driver-trivial at any data scale."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    for f in sorted(os.listdir(mdir)):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        txn = m.get("txn")
+        if txn and txn.get("app") == app and txn.get("batch") == batch:
+            return m["version"]
+    return None
+
+
+def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
+                  n_files: int | None = None, max_retries: int = 8) -> int:
+    """IDEMPOTENT append keyed by writer-transaction id ``(app,
+    batch)`` — the Delta `txn` pattern that makes a streaming
+    foreachBatch sink exactly-once: Structured Streaming replays a
+    failed micro-batch with the SAME batchId, and a replayed commit
+    must become a no-op, never a duplicate. The txn id travels INSIDE
+    the manifest, so the dedup check and the commit are one atomic
+    CAS — there is no window where a replay can double-append."""
+    if tx_txn_version(table, app, batch) is not None:
+        return tx_txn_version(table, app, batch)
+    new_files = _stage_dataframe(df, table, n_files)
+    for _ in range(max_retries):
+        done = tx_txn_version(table, app, batch)
+        if done is not None:
+            return done  # concurrent replay won; our staged files are
+            # unreferenced orphans, reclaimed by vacuum
+        snap = tx_snapshot(table)
+        try:
+            return _commit(table, snap["version"],
+                           snap["files"] + new_files, op="append",
+                           txn={"app": app, "batch": batch})
+        except TxConflict:
+            continue
+    raise TxConflict(f"txn append lost {max_retries} CAS races in {table}")
+
+
+def _collect_file_stats(table: str, names: list[str],
+                        cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` from the parquet FOOTERS of freshly
+    staged files — Iceberg's manifest column bounds. Read once at
+    commit time (the files were just written, footers are hot), carried
+    as metadata forever after."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, dict] = {}
+    for name in names:
+        md = papq.read_metadata(os.path.join(table, name))
+        st: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                c = col.path_in_schema
+                if c in cols and col.statistics is not None \
+                        and col.statistics.has_min_max:
+                    s = col.statistics
+                    if c in st:
+                        st[c] = [min(st[c][0], s.min), max(st[c][1], s.max)]
+                    else:
+                        st[c] = [s.min, s.max]
+        out[name] = st
+    return out
+
+
+def _merged_stats(snap: dict, files: list[str], fresh: dict) -> dict:
+    """Stats for the NEW manifest: carry forward the previous
+    manifest's entries for kept files, add the fresh files' entries."""
+    prev = snap.get("stats", {})
+    keep = {n: prev[n] for n in files if n in prev}
+    keep.update(fresh)
+    return keep
+
+
+def tx_read_pruned(spark: SparkSession, table: str, col: str,
+                   lo, hi, version: int | None = None):
+    """Snapshot read with DRIVER-SIDE file pruning: drop every file
+    whose manifest bounds for ``col`` cannot intersect [lo, hi] BEFORE
+    Spark ever lists or opens it — at 100 TB the planning-time win of
+    an Iceberg manifest over a bare directory (footer pruning still
+    needs one open+seek per file; this needs zero I/O). Files without
+    recorded bounds are conservatively kept. Returns
+    (DataFrame-with-the-residual-filter-applied, n_files_read,
+    n_files_total); correctness never depends on the stats — the
+    residual filter re-applies the predicate exactly."""
+    snap = tx_snapshot(table, version)
+    stats = snap.get("stats", {})
+    chosen = []
+    for name in snap["files"]:
+        b = stats.get(name, {}).get(col)
+        if b is None or not (b[0] > hi or b[1] < lo):
+            chosen.append(name)
+    if not chosen:
+        raise ValueError(
+            f"no file of {table} v{snap['version']} can contain "
+            f"{col} in [{lo}, {hi}]"
+        )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*(os.path.join(table, n) for n in chosen))
+    return (df.filter(F.col(col).between(lo, hi)),
+            len(chosen), len(snap["files"]))

@@ -674,3 +674,84 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
         (F.count("*") - F.sum("attributed")).cast("bigint")
         .alias("n_unattributed"),
     )
+
+
+def run_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming landing into the transactional table log
+    (sources/txlog.py): each micro-batch commits as one idempotent
+    ``tx_append_txn`` keyed by (app, batchId) — Structured Streaming
+    replays a failed batch with the SAME batchId, and the txn id rides
+    INSIDE the manifest so the replay check and the commit share one
+    atomic CAS. The run then (a) restarts the stream against the same
+    checkpoint (no new files -> zero new commits) and (b) force-replays
+    batch 0's commit — the no-op path a crashed-after-commit executor
+    exercises. The returned census hashes against the oracle over the
+    ORIGINAL parquet, so a duplicated or lost batch breaks the gate.
+
+    Scale shape: the sink is a plain parquet write per batch plus one
+    8-byte-scale manifest link; commit cost is independent of table
+    size. This is the landing-zone pattern the compaction +
+    OPTIMIZE ZORDER maintenance jobs then operate on."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_txn,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{os.getpid()}", "tx_stream")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    # table + checkpoint are one unit: wiping one without the other
+    # either loses data forever or double-lands it
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    tx_init(table)
+
+    app = "events_landing"
+    ev = events_stream(spark, sf_dir)
+    proj = ev.select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        tx_append_txn(bdf, table, app=app, batch=batch_id, n_files=4)
+
+    def drain_once() -> None:
+        q = (
+            proj.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    drain_once()  # restart, same checkpoint: no new files, no commits
+    v_after_restart = tx_snapshot(table)["version"]
+    # executor-crash replay: re-deliver a commit under batch 0's txn id
+    # (the payload is irrelevant — the id already in the manifest chain
+    # MUST make the whole call a no-op before anything is referenced)
+    if tx_snapshot(table)["files"]:
+        replay_payload = tx_read(spark, table)
+        tx_append_txn(replay_payload, table, app=app, batch=0, n_files=1)
+        if tx_snapshot(table)["version"] != v_after_restart:
+            raise AssertionError("replayed batch 0 was not deduplicated")
+
+    if not tx_snapshot(table)["files"]:
+        return spark.createDataFrame([], StructType([
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("last_us", LongType()),
+        ]))
+    return tx_read(spark, table).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.max("ts_us").alias("last_us"),
+    )

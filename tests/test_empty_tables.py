@@ -48,6 +48,8 @@ _REPRESENTATIVE = (
     "tx_compaction_roundtrip_census",   # tx compaction on a 0-row table
     "tx_snapshot_time_travel_census",   # time travel over empty commits
     "tx_optimize_zorder_census",        # zorder rewrite of a 0-row table
+    "streaming_tx_exactly_once_census", # stream-land 0 rows, replay no-op
+    "tx_pruned_read_census",            # stats pruning over 0 files
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -198,3 +198,28 @@ def test_concurrent_appends_all_commit_via_rebase(spark, table):
     assert not errs
     assert tx_latest_version(table) == 4
     assert _census(spark, table) == (400, sum(3 * i for i in range(400)))
+
+
+def test_manifest_stats_prune_skips_files_and_loses_nothing(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_optimize_zorder,
+        tx_read_pruned,
+    )
+
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 AS a", "id div 64 AS b", "id AS v")
+    tx_append(grid, table, n_files=4)
+    tx_optimize_zorder(spark, table, "a", "b", n_files=16)
+    snap = tx_snapshot(table)
+    assert "stats" in snap and len(snap["stats"]) == len(snap["files"])
+    # a narrow range on `a`: the manifest bounds must let the planner
+    # skip MOST files without opening any
+    df, n_read, n_total = tx_read_pruned(spark, table, "a", 3, 6)
+    assert n_total >= 8 and n_read < n_total / 2, (n_read, n_total)
+    got = sorted(r["v"] for r in df.collect())
+    want = sorted(i for i in range(64 * 64) if 3 <= i % 64 <= 6)
+    assert got == want  # residual filter keeps it exact
+    # proven-empty range raises (no file can contain a = 1000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tx_read_pruned(spark, table, "a", 1000, 2000)
