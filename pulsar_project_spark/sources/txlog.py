@@ -325,8 +325,9 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
     must become a no-op, never a duplicate. The txn id travels INSIDE
     the manifest, so the dedup check and the commit are one atomic
     CAS — there is no window where a replay can double-append."""
-    if tx_txn_version(table, app, batch) is not None:
-        return tx_txn_version(table, app, batch)
+    done = tx_txn_version(table, app, batch)
+    if done is not None:
+        return done
     new_files = _stage_dataframe(df, table, n_files)
     for _ in range(max_retries):
         done = tx_txn_version(table, app, batch)

@@ -210,12 +210,16 @@ def test_every_streaming_query_names_an_oracle_backed_twin():
     qs, osql = e.queries(), e.oracle_sql()
     rows_only_streaming = sorted(
         n for n in qs
-        if n.startswith("streaming_") or n == "mq_pipeline_roundtrip"
+        if (n.startswith("streaming_") or n == "mq_pipeline_roundtrip")
+        and n not in osql  # an oracle-backed streaming query (the tx
+        # exactly-once census) certifies ITSELF — no twin needed
     )
     assert rows_only_streaming == sorted(TWIN_OF), (
         "every rows-only streaming query needs a named twin")
     for twin in TWIN_OF.values():
         assert twin in osql, f"twin {twin} is not oracle-backed"
+    # and the self-certifying exception really is oracle-backed
+    assert "streaming_tx_exactly_once_census" in osql
 
 
 def test_twin_topic_frequencies(spark):
