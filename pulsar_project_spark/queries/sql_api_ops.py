@@ -147,3 +147,74 @@ def q_sql_trade_volume_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality filter."""
     register_views(spark, sf_dir)
     return spark.sql(_TRADE_VOLUME_IDENTICAL_SQL)
+
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE hops AS (
+    SELECT 'view' AS node, 0 AS hop
+  UNION ALL
+    SELECT e.dst AS node, h.hop + 1 AS hop
+    FROM hops h
+    JOIN (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL AND event_id IS NOT NULL
+      ) t WHERE dst IS NOT NULL AND dst <> src
+    ) e ON e.src = h.node
+    WHERE h.hop < 4
+)
+SELECT node, min(hop) AS min_hop, count(*) AS n_walks
+FROM hops GROUP BY node
+"""
+
+
+@declare("sql_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+def q_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the Spark 4 SQL surface (new engine
+    capability this round): bounded-depth reachability over the
+    observed event-type transition graph — the seed is 'view', each
+    round follows every distinct (src, dst) transition edge, depth
+    capped at 4 (the node set is the 5 event types, so 4 hops reach
+    everything reachable). The IDENTICAL ANSI text runs on Spark and
+    as its own DuckDB oracle; min-hop AND the bounded-walk count must
+    both match, so the two engines' recursion semantics (bag UNION
+    ALL, per-round join) are certified against each other. The
+    deterministic-edge guard drops NULL ts/event_id rows because the
+    engines disagree on NULL ordering inside LEAD's window sort.
+
+    Scale shape: the edge derivation is one window pass + DISTINCT
+    over a 25-cell domain; each recursion round joins a <=5-row
+    frontier against a broadcast 25-row edge set — the recursion is
+    metadata-sized no matter the corpus."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+_LATERAL_ORDER_PROFILE_SQL = """
+SELECT c.c_custkey, c.c_name, o.top_price, o.n_orders
+FROM customer c,
+LATERAL (
+  SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
+  FROM orders WHERE o_custkey = c.c_custkey
+) o
+WHERE c.c_acctbal > 9000
+"""
+
+
+@declare("sql_lateral_order_profile", oracle=_LATERAL_ORDER_PROFILE_SQL)
+def q_sql_lateral_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery on the SQL surface: per rich
+    customer, an inline aggregate over exactly their orders. Catalyst
+    DECORRELATES this (no per-row re-execution, no nested loop — the
+    plan audit enforces it): the subquery becomes one grouped
+    aggregate joined back on the correlation key, which is the 100 TB
+    shape. Customers with no orders keep their row (scalar aggregate
+    over zero rows -> NULL max, 0 count) — the semantics LATERAL
+    guarantees and a plain inner join would lose; identical text is
+    its own DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_ORDER_PROFILE_SQL)

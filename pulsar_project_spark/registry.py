@@ -60,6 +60,8 @@ NEW_R7: tuple[str, ...] = (
     "tx_optimize_zorder_census",       # OPTIMIZE ZORDER behind the CAS
     "streaming_tx_exactly_once_census", # idempotent foreachBatch landing
     "tx_pruned_read_census",           # manifest-stats planning-time skip
+    "sql_recursive_reachability",      # WITH RECURSIVE, identical-text oracle
+    "sql_lateral_order_profile",       # LATERAL correlated agg, decorrelated
 )
 
 RECERTS_R7: tuple[str, ...] = (

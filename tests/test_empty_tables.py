@@ -50,6 +50,11 @@ _REPRESENTATIVE = (
     "tx_optimize_zorder_census",        # zorder rewrite of a 0-row table
     "streaming_tx_exactly_once_census", # stream-land 0 rows, replay no-op
     "tx_pruned_read_census",            # stats pruning over 0 files
+    "sql_lateral_order_profile",        # lateral agg over 0 customers
+    # (sql_recursive_reachability's UNCONDITIONAL seed row means both
+    # engines correctly return 1 row on empty events — like the global
+    # aggregates noted below, it doesn't belong in a zero-rows-out
+    # gate; its empty-input parity is covered by the oracle gate)
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

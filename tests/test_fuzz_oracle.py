@@ -269,6 +269,7 @@ _EVENTS_FUZZED = (
     "tx_snapshot_time_travel_census",
     "tx_optimize_zorder_census",
     "tx_pruned_read_census",
+    "sql_recursive_reachability",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",
