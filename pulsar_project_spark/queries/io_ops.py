@@ -624,3 +624,150 @@ def q_tx_pruned_read_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+_TX_DELETE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id IS NULL OR user_id NOT BETWEEN 100 AND 300
+GROUP BY event_type
+"""
+
+
+@declare("tx_delete_range_census", oracle=_TX_DELETE_SQL)
+def q_tx_delete_range_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE, executed transactionally: after OPTIMIZE
+    ZORDER records per-file (user_id, day) bounds, ``tx_delete_range``
+    rewrites ONLY the files whose bounds can contain user_id in
+    [100, 300] (untouched files carry by name — at 100 TB that is the
+    difference between a targeted delete and a full-table rewrite),
+    drops the matching rows, refreshes the rewritten files' bounds,
+    and swaps behind the CAS. NULL user_ids survive by SQL range
+    semantics — the oracle census over the original parquet encodes
+    exactly that survivor set, so an over- or under-delete breaks the
+    hash. The only-overlapping-files-touched property is pinned in
+    tests/test_txlog.py (layout-dependent, so it belongs to a test)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_delete_range,
+        tx_init,
+        tx_optimize_zorder,
+        tx_read,
+        tx_snapshot,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_delete")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append(ev, path, n_files=4)
+    tx_optimize_zorder(spark, path, "user_id", "day", n_files=8)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_delete_range(spark, path, "user_id", 100, 300)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    return tx_read(spark, path).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+_TX_MERGE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), upd AS (
+  SELECT user_id, cents FROM per_user WHERE user_id BETWEEN 100 AND 300
+)
+SELECT CAST((SELECT count(*) FROM per_user)
+          + (SELECT count(*) FROM upd) AS BIGINT) AS n_users,
+       CAST(COALESCE((SELECT sum(cents) FROM per_user), 0)
+          + 2 * COALESCE((SELECT sum(cents) FROM upd), 0) AS BIGINT)
+         AS total_cents
+"""
+
+
+@declare("tx_merge_upsert_census", oracle=_TX_MERGE_SQL)
+def q_tx_merge_upsert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE completing the DML trio (append / delete /
+    merge) on the transactional log: a per-user totals table is
+    Z-clustered with recorded bounds, then one tight-ranged merge
+    REPLACES users 100-300 with doubled totals and a second
+    beyond-range merge INSERTS shadow users (user_id + 10^7, original
+    totals) — the bounds test rewrites only the overlapping files for
+    the first and zero files for the second (pinned in
+    tests/test_txlog.py). The global census after both merges —
+    original users + shadow count, original cents + twice the doubled
+    range — is replayed by the oracle from the raw events, so a lost
+    replacement, doubled insert, or clobbered bystander row breaks the
+    hash."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_merge_upsert,
+        tx_optimize_zorder,
+        tx_read,
+        tx_snapshot,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("n_users", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+
+    def _empty():
+        return spark.createDataFrame([(0, 0)], empty_schema)
+
+    path = _rt_path("txlog_merge")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    per_user = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    tx_append(per_user, path, n_files=4)
+    tx_optimize_zorder(spark, path, "user_id", "user_id", n_files=8)
+    if not tx_snapshot(path)["files"]:
+        return _empty()
+    in_range = tx_read(spark, path).filter(
+        F.col("user_id").between(100, 300))
+    tx_merge_upsert(
+        spark, path,
+        in_range.select("user_id", (F.col("cents") * 2).alias("cents")),
+        "user_id")
+    tx_merge_upsert(
+        spark, path,
+        in_range.select((F.col("user_id") + 10_000_000).alias("user_id"),
+                        "cents"),
+        "user_id")
+    return tx_read(spark, path).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint")
+        .alias("total_cents"),
+    )

@@ -62,6 +62,8 @@ NEW_R7: tuple[str, ...] = (
     "tx_pruned_read_census",           # manifest-stats planning-time skip
     "sql_recursive_reachability",      # WITH RECURSIVE, identical-text oracle
     "sql_lateral_order_profile",       # LATERAL correlated agg, decorrelated
+    "tx_delete_range_census",          # copy-on-write DELETE via bounds
+    "tx_merge_upsert_census",          # copy-on-write MERGE (DML trio)
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -409,3 +409,105 @@ def tx_read_pruned(spark: SparkSession, table: str, col: str,
     df = spark.read.parquet(*(os.path.join(table, n) for n in chosen))
     return (df.filter(F.col(col).between(lo, hi)),
             len(chosen), len(snap["files"]))
+
+
+def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
+                    max_retries: int = 3) -> int:
+    """Copy-on-write DELETE WHERE col BETWEEN lo AND hi: the manifest's
+    column bounds pick the files that can contain matches (files
+    without recorded bounds are conservatively rewritten), ONLY those
+    files are read back and rewritten without the matching rows, and
+    the swap commits behind the same CAS — untouched files are carried
+    by name, zero bytes moved. NULL values in ``col`` never match a
+    range predicate (SQL semantics), so they survive. This is the
+    Delta/Iceberg copy-on-write DELETE reduced to its correctness
+    core; at 100 TB the bounds test is what keeps a targeted delete
+    from rewriting the whole table."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        stats = snap.get("stats", {})
+        affected, kept = [], []
+        for name in snap["files"]:
+            b = stats.get(name, {}).get(col)
+            if b is None or not (b[0] > hi or b[1] < lo):
+                affected.append(name)
+            else:
+                kept.append(name)
+        if not affected:
+            return snap["version"]
+        src = spark.read.parquet(
+            *(os.path.join(table, n) for n in affected))
+        survivors = src.filter(
+            F.col(col).isNull() | ~F.col(col).between(lo, hi))
+        produced = _stage_dataframe(survivors, table,
+                                    n_files=max(1, len(affected) // 2))
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        fresh = (_collect_file_stats(table, produced, stat_cols)
+                 if stat_cols else {})
+        try:
+            return _commit(
+                table, snap["version"], kept + produced, op="delete",
+                stats=_merged_stats(snap, kept, fresh) if stats else None)
+        except TxConflict:
+            continue
+    raise TxConflict(f"delete lost {max_retries} CAS races in {table}")
+
+
+def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
+                    key_col: str, max_retries: int = 3) -> int:
+    """Copy-on-write MERGE (upsert) keyed on ``key_col``: the updates'
+    observed key range picks the files that can contain matching keys
+    (manifest bounds; files without bounds conservatively rewritten),
+    those files are rewritten with matched rows REPLACED, and every
+    update row lands exactly once (replacement or insert) — all behind
+    the same CAS. Kept files cannot contain matches by the bounds
+    argument, so carrying them by name is sound, not an optimization
+    gamble. The range test is the GLOBAL [min, max] of the update
+    keys, so a batch mixing low-key replacements with high-key inserts
+    spans everything and rewrites everything — batch updates by key
+    locality (one merge per partition-range, the Delta usage pattern)
+    to keep it targeted. Precondition: unique keys within ``updates``
+    (duplicate update keys make 'the' replacement ambiguous — fail
+    loudly, the ``pq_train`` precedent)."""
+    from pyspark.sql import functions as F
+
+    n_rows, n_keys = updates.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col)).first()
+    if n_rows != n_keys:
+        raise ValueError(
+            f"tx_merge_upsert: need unique {key_col}s in updates "
+            f"(got {n_rows} rows, {n_keys} distinct)")
+    if n_rows == 0:
+        return tx_latest_version(table)
+    ulo, uhi = updates.agg(F.min(key_col), F.max(key_col)).first()
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        stats = snap.get("stats", {})
+        affected, kept = [], []
+        for name in snap["files"]:
+            b = stats.get(name, {}).get(key_col)
+            if b is None or not (b[0] > uhi or b[1] < ulo):
+                affected.append(name)
+            else:
+                kept.append(name)
+        if affected:
+            src = spark.read.parquet(
+                *(os.path.join(table, n) for n in affected))
+            merged = src.join(updates.select(key_col), key_col,
+                              "left_anti").unionByName(updates)
+        else:
+            merged = updates
+        produced = _stage_dataframe(
+            merged, table, n_files=max(1, len(affected)) if affected else 1)
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        fresh = (_collect_file_stats(table, produced, stat_cols)
+                 if stat_cols else {})
+        try:
+            return _commit(
+                table, snap["version"], kept + produced, op="merge",
+                stats=_merged_stats(snap, kept, fresh) if stats else None)
+        except TxConflict:
+            continue
+    raise TxConflict(f"merge lost {max_retries} CAS races in {table}")

@@ -51,6 +51,10 @@ _REPRESENTATIVE = (
     "streaming_tx_exactly_once_census", # stream-land 0 rows, replay no-op
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers
+    "tx_delete_range_census",           # delete over a 0-row table
+    # (tx_merge_upsert_census is a GLOBAL aggregate: on empty input it
+    # correctly returns one (0, 0) row in both engines — zero-rows-out
+    # doesn't apply; its empty-input parity is in the oracle gate)
     # (sql_recursive_reachability's UNCONDITIONAL seed row means both
     # engines correctly return 1 row on empty events — like the global
     # aggregates noted below, it doesn't belong in a zero-rows-out

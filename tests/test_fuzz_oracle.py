@@ -269,6 +269,8 @@ _EVENTS_FUZZED = (
     "tx_snapshot_time_travel_census",
     "tx_optimize_zorder_census",
     "tx_pruned_read_census",
+    "tx_delete_range_census",
+    "tx_merge_upsert_census",
     "sql_recursive_reachability",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",

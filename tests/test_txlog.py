@@ -223,3 +223,100 @@ def test_manifest_stats_prune_skips_files_and_loses_nothing(spark, table):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tx_read_pruned(spark, table, "a", 1000, 2000)
+
+
+def test_delete_range_rewrites_only_overlapping_files(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_optimize_zorder,
+    )
+
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 AS a", "id div 64 AS b", "id AS v")
+    tx_append(grid, table, n_files=4)
+    tx_optimize_zorder(spark, table, "a", "b", n_files=16)
+    files_before = set(tx_snapshot(table)["files"])
+    v = tx_delete_range(spark, table, "a", 10, 13)
+    snap = tx_snapshot(table)
+    assert snap["version"] == v and snap["op"] == "delete"
+    carried = files_before & set(snap["files"])
+    # the bounds test must carry MOST clustered files by name untouched
+    assert len(carried) > len(files_before) / 2, (
+        len(carried), len(files_before))
+    got = sorted(r["v"] for r in tx_read(spark, table).collect())
+    want = sorted(i for i in range(64 * 64) if not (10 <= i % 64 <= 13))
+    assert got == want
+    # stats were refreshed for the rewritten files: a follow-up pruned
+    # read still skips
+    from pulsar_project_spark.sources.txlog import tx_read_pruned
+    _df, n_read, n_total = tx_read_pruned(spark, table, "a", 3, 6)
+    assert n_read < n_total
+
+
+def test_delete_range_keeps_nulls_and_noops_outside_bounds(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_optimize_zorder,
+    )
+
+    rows = spark.createDataFrame(
+        [(None, 1, 100), (5, 2, 101), (50, 3, 102)],
+        "a: bigint, b: bigint, v: bigint")
+    tx_append(rows, table, n_files=1)
+    tx_optimize_zorder(spark, table, "a", "b", n_files=1)
+    v1 = tx_latest_version(table)
+    # range that PROVABLY matches nothing: bounds say skip, version unchanged
+    assert tx_delete_range(spark, table, "a", 1000, 2000) == v1
+    # delete a=5; the NULL row must survive (SQL range semantics)
+    tx_delete_range(spark, table, "a", 0, 10)
+    got = sorted(((r["a"], r["v"]) for r in
+                  tx_read(spark, table).collect()),
+                 key=lambda t: t[1])
+    assert got == [(None, 100), (50, 102)]
+
+
+def test_merge_upsert_replaces_inserts_and_carries_files(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_merge_upsert,
+        tx_optimize_zorder,
+    )
+
+    base = spark.range(1000).selectExpr("id AS k", "id AS b", "id * 3 AS v")
+    tx_append(base, table, n_files=4)
+    tx_optimize_zorder(spark, table, "k", "b", n_files=8)
+    files_before = set(tx_snapshot(table)["files"])
+    # replace k in [10, 19] with v = -1 (tight key range: the bounds
+    # test must carry the clustered files outside it by name)
+    ups = spark.createDataFrame(
+        [(k, k, -1) for k in range(10, 20)],
+        "k: bigint, b: bigint, v: bigint")
+    v = tx_merge_upsert(spark, table, ups, "k")
+    snap = tx_snapshot(table)
+    assert snap["version"] == v and snap["op"] == "merge"
+    carried = files_before & set(snap["files"])
+    assert carried, "bounds should carry non-overlapping files"
+    # pure-insert batch: key range beyond every file's bounds -> zero
+    # files rewritten, updates land as the only new file
+    files_mid = set(tx_snapshot(table)["files"])
+    ins = spark.createDataFrame(
+        [(k, k, 7) for k in range(2000, 2005)],
+        "k: bigint, b: bigint, v: bigint")
+    tx_merge_upsert(spark, table, ins, "k")
+    snap = tx_snapshot(table)
+    assert files_mid <= set(snap["files"])
+    rows = {r["k"]: r["v"] for r in tx_read(spark, table).collect()}
+    assert len(rows) == 1005
+    assert all(rows[k] == -1 for k in range(10, 20))
+    assert all(rows[k] == 7 for k in range(2000, 2005))
+    assert rows[500] == 1500
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, table):
+    import pytest as _pytest
+
+    from pulsar_project_spark.sources.txlog import tx_merge_upsert
+
+    tx_append(spark.range(10).selectExpr("id AS k", "id AS v"), table)
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "k: bigint, v: bigint")
+    with _pytest.raises(ValueError, match="unique"):
+        tx_merge_upsert(spark, table, dup, "k")
