@@ -64,6 +64,7 @@ NEW_R7: tuple[str, ...] = (
     "sql_lateral_order_profile",       # LATERAL correlated agg, decorrelated
     "tx_delete_range_census",          # copy-on-write DELETE via bounds
     "tx_merge_upsert_census",          # copy-on-write MERGE (DML trio)
+    "coorder_part_triangles",          # support-thresholded triangle census
 )
 
 RECERTS_R7: tuple[str, ...] = (

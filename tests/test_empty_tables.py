@@ -52,9 +52,10 @@ _REPRESENTATIVE = (
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers
     "tx_delete_range_census",           # delete over a 0-row table
-    # (tx_merge_upsert_census is a GLOBAL aggregate: on empty input it
-    # correctly returns one (0, 0) row in both engines — zero-rows-out
-    # doesn't apply; its empty-input parity is in the oracle gate)
+    # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
+    # aggregates: on empty input each correctly returns one all-zero
+    # row in both engines — zero-rows-out doesn't apply; their
+    # empty-input parity is covered by the oracle gate)
     # (sql_recursive_reachability's UNCONDITIONAL seed row means both
     # engines correctly return 1 row on empty events — like the global
     # aggregates noted below, it doesn't belong in a zero-rows-out

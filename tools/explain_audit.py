@@ -47,6 +47,7 @@ ALLOWED_NESTED_LOOP = {
     "cdc_snapshot_at_time",      # 1-row median-cut broadcast crossJoin
     "value_equiwidth_histogram", # 1-row min/max-bounds broadcast crossJoin
     "tx_optimize_zorder_census", # 1-row min/max-bounds broadcast crossJoin (zorder rewrite)
+    "coorder_part_triangles",    # three 1-row count aggregates crossJoined
 }
 
 
