@@ -241,3 +241,93 @@ def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --- Distributed Pareto frontier (skyline) ----------------------------------
+
+# Price-band width (cents) for the banded skyline. Bands are a
+# CORRECTNESS-preserving partitioning: every part in band b-1 is strictly
+# cheaper than every part in band b, so cross-band dominance reduces to a
+# running max over the tiny per-band summary — the declared-constant
+# precedent (MAX_BUCKET / TRIANGLE_DEGREE_CAP).
+SKYLINE_BAND_CENTS = 1_000
+
+_SKYLINE_SQL = """
+SELECT p.p_brand, p.p_partkey, p.p_name, p.p_size,
+       CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand AND (
+        (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+)
+"""
+
+
+@declare("pareto_frontier_parts", oracle=_SKYLINE_SQL)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline): the parts for which no
+    same-brand part is both cheaper-or-equal and bigger (with one
+    strict) — the multi-objective shortlist every procurement /
+    recommendation surface wants. The oracle states the QUADRATIC
+    NOT-EXISTS semantics; the Spark side computes it in O(n log n)
+    without a global sort via price bands:
+
+    * local pass — window partitioned by (brand, band), ordered by
+      integer price cents: `max(size) RANGE .. 1 PRECEDING` catches
+      strictly-cheaper dominators, `RANGE .. CURRENT ROW` (minus self)
+      catches equal-price-bigger ones;
+    * cross-band pass — every part in a lower band is strictly cheaper
+      by construction, so the per-(brand, band) max-size summary
+      (bounded by brands x bands — metadata-sized at any corpus scale)
+      carries dominance across bands through one exclusive running max,
+      broadcast back onto the parts.
+
+    Scale shape: one shuffle of parts on (brand, band) — partitions
+    stay small because a band is a price decile, not the whole brand —
+    plus a broadcast of the tiny summary. No quadratic pair blow-up,
+    no single-partition window."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    p = part.select(
+        "p_brand", "p_partkey", "p_name", "p_size",
+        cents.alias("price_cents"),
+        (cents / SKYLINE_BAND_CENTS).cast("bigint").alias("band"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand", "band").orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand", "band").orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = p.select(
+        "*",
+        F.max("p_size").over(w_cheaper).alias("max_sz_cheaper"),
+        F.max("p_size").over(w_le).alias("max_sz_le"),
+    )
+    band_summary = p.groupBy("p_brand", "band").agg(
+        F.max("p_size").alias("band_max_sz"))
+    w_prev_bands = (
+        Window.partitionBy("p_brand").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = band_summary.select(
+        "p_brand", "band",
+        F.max("band_max_sz").over(w_prev_bands).alias("max_sz_prev_bands"),
+    )
+    return (
+        local.join(F.broadcast(prev), ["p_brand", "band"])
+        .filter(
+            (F.col("max_sz_cheaper").isNull()
+             | (F.col("max_sz_cheaper") < F.col("p_size")))
+            & (F.col("max_sz_le") <= F.col("p_size"))
+            & (F.col("max_sz_prev_bands").isNull()
+               | (F.col("max_sz_prev_bands") < F.col("p_size")))
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_size", "price_cents")
+    )

@@ -525,3 +525,134 @@ def q_functional_dependency_census(spark: SparkSession, sf_dir: str) -> DataFram
                  "n_violating", "max_dependents")
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# --- TPC-H Q21/Q22 shapes (multi-EXISTS decorrelation, anti-join + exact
+# scalar mean) — completing the classic correlated-subquery family ----------
+
+_SOLE_LATE_SQL = """
+WITH l1 AS (
+  SELECT l_suppkey, l_orderkey,
+         l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), ps AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS any_late
+  FROM l1 GROUP BY l_orderkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM ps a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+WHERE a.any_late
+  AND EXISTS (SELECT 1 FROM ps b
+              WHERE b.l_orderkey = a.l_orderkey
+                AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ps c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey AND c.any_late)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@declare("sole_late_supplier_waits", oracle=_SOLE_LATE_SQL)
+def q_sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (no commitdate column, so "late" = shipped more
+    than a year after the order date): per supplier, the number of
+    finished multi-supplier orders where THEY were the only late
+    supplier — the classic double correlated subquery (EXISTS another
+    supplier / NOT EXISTS another LATE supplier). The oracle keeps the
+    textbook EXISTS/NOT-EXISTS text; the Spark side runs the
+    decorrelation explicitly: per-(order, supplier) late flags, then
+    ONE grouped aggregate per order (supplier count + late-supplier
+    count) joined back — `n_supp > 1 AND n_late = 1 AND any_late`
+    is exactly the two EXISTS conditions, with no correlated
+    re-execution and no second pass over the fact.
+
+    Scale shape: lineitem shuffles once on orderkey for the
+    order-supplier flags; the per-order rollup reuses that
+    partitioning (no re-shuffle under AQE); the supplier dim
+    broadcasts. Window-free, so no global sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    flags = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+             .alias("any_late"))
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    return (
+        flags.join(per_order, "l_orderkey")
+        .filter(F.col("any_late") & (F.col("n_supp") > 1)
+                & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_DORMANT_RICH_SQL = """
+WITH pos AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s
+  FROM customer WHERE c_acctbal > 0
+), rich AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c, pos
+  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+)
+SELECT n.n_name,
+       count(*) AS n_dormant,
+       CAST(sum(r.bal_cents) AS BIGINT) AS total_balance_cents
+FROM rich r JOIN nation n ON n.n_nationkey = r.c_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = r.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY n.n_name
+"""
+
+
+@declare("dormant_rich_customers", oracle=_DORMANT_RICH_SQL)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: per nation, customers whose balance beats the
+    positive-balance mean but who placed no order since 2000 — the
+    global-scalar-subquery + anti-join shape. The mean comparison is
+    exact integer cross-multiplication (cents·n > Σcents; a float avg
+    is reduction-order-dependent across engines — the
+    orders_above_priority_mean discipline), and the NOT EXISTS
+    decorrelates to a LEFT ANTI join against only the post-cutoff
+    order slice.
+
+    Scale shape: the scalar (n, Σ) aggregate is one map-side-combined
+    pass riding a 1-row broadcast; the anti join probes a
+    date-pruned orders scan (predicate pushed to parquet) shuffled on
+    custkey; the nation dim broadcasts into a 25-group rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("s"))
+    rich = (
+        cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_dormant"),
+             F.sum("bal_cents").alias("total_balance_cents"))
+    )

@@ -65,6 +65,9 @@ NEW_R7: tuple[str, ...] = (
     "tx_delete_range_census",          # copy-on-write DELETE via bounds
     "tx_merge_upsert_census",          # copy-on-write MERGE (DML trio)
     "coorder_part_triangles",          # support-thresholded triangle census
+    "sole_late_supplier_waits",        # Q21 shape: double-EXISTS decorrelated
+    "dormant_rich_customers",          # Q22 shape: exact mean + anti join
+    "pareto_frontier_parts",           # banded distributed skyline
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -60,6 +60,9 @@ _REPRESENTATIVE = (
     # engines correctly return 1 row on empty events — like the global
     # aggregates noted below, it doesn't belong in a zero-rows-out
     # gate; its empty-input parity is covered by the oracle gate)
+    "sole_late_supplier_waits",         # Q21 decorrelation on 0 lineitems
+    "dormant_rich_customers",           # Q22 anti-join, NULL scalar mean
+    "pareto_frontier_parts",            # banded skyline on 0 parts
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -441,6 +441,16 @@ _STAR_FUZZED = (
     "top_revenue_orders",
     "nation_revenue_share",
     "kv_lookup_miss_message",
+    # round-7: dense fuzz baskets stress the support threshold + wedge
+    # join (≤40 lineitems over ≤7 parts → near-complete co-order graphs)
+    "coorder_part_triangles",
+    # round-7 Q21/Q22/skyline shapes: single-supplier fuzz lineitems make
+    # Q21 vacuously empty (parity still checked); Q22 exercises the
+    # no-orders-at-all anti-join branch; the skyline gets dense
+    # equal-price/equal-size tie corpora the real data never produces
+    "sole_late_supplier_waits",
+    "dormant_rich_customers",
+    "pareto_frontier_parts",
 )
 
 
