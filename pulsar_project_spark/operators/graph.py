@@ -88,3 +88,40 @@ def pagerank_integer(nodes: DataFrame, edges: DataFrame,
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+# --- k-core peel ------------------------------------------------------------
+
+# Bounded-round peel toward the k-core: each round drops every node
+# whose CURRENT degree is < k, then keeps only edges with both ends
+# surviving. A fixed round count (not run-to-fixpoint) keeps the
+# semantics closed-form and SQL-replayable — the bounded-depth
+# reachability / fixed-iteration PageRank precedent; at any corpus
+# size round r's output is a deterministic function of the input.
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def kcore_peel(edges: "DataFrame", k: int = KCORE_K,
+               rounds: int = KCORE_ROUNDS) -> "DataFrame":
+    """Peel ``rounds`` times toward the k-core of an undirected simple
+    graph given as canonical edges (a < b, deduplicated); returns the
+    surviving edge set. Every round is two linear passes — a degree
+    aggregate and two LEFT SEMI probes — so per-round cost is O(|E|)
+    with one shuffle on the (shrinking) edge list; the per-round
+    localCheckpoint truncates the 2·rounds-join lineage (the PageRank
+    loop-invariant rule)."""
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("p"))
+            .unionAll(e.select(F.col("b").alias("p")))
+            .groupBy("p").agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("p")
+        e = (
+            e.join(keep, e["a"] == keep["p"], "left_semi")
+            .join(keep, e["b"] == keep["p"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e

@@ -223,3 +223,78 @@ def q_coorder_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri.agg(
             F.count("*").cast("bigint").alias("n_triangles")))
     )
+
+
+def _kcore_sql() -> str:
+    from pulsar_project_spark.operators.graph import KCORE_K, KCORE_ROUNDS
+
+    blocks = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        # AS MATERIALIZED (DuckDB-only oracle text): each round references
+        # the previous one 3x, so default CTE inlining would expand the
+        # chain 3^rounds-fold — materializing keeps the replay linear.
+        blocks.append(f"""k{r} AS MATERIALIZED (
+  SELECT p FROM (
+    SELECT a AS p FROM {prev} UNION ALL SELECT b AS p FROM {prev}
+  ) GROUP BY p HAVING count(*) >= {KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT p FROM k{r}) AND b IN (SELECT p FROM k{r})
+)""")
+    body = ",\n".join(blocks)
+    last = f"e{KCORE_ROUNDS}"
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT l1.p AS a, l2.p AS b
+  FROM op l1 JOIN op l2 ON l1.ok = l2.ok AND l1.p < l2.p
+  GROUP BY l1.p, l2.p
+  HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+{body}
+SELECT p AS part, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS p FROM {last} UNION ALL SELECT b AS p FROM {last}
+) GROUP BY p
+"""
+
+
+@declare("coorder_part_kcore", oracle=_kcore_sql())
+def q_coorder_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel over the frequent co-purchase graph —
+    completing the graph-analytics family (PageRank → components →
+    triangles → k-core): six peel rounds toward the 3-core, emitting
+    every surviving part with its residual degree. The k-core is the
+    dense-subgraph primitive (spam/bot rings, community nuclei,
+    visualization skeletons); the bounded round count is the declared,
+    closed-form semantics — the oracle unrolls the SAME six
+    degree-filter/semi-join rounds as CTE blocks, so a wrong degree
+    count or a missed cascade in ANY round breaks the hash (the
+    fixed-iteration PageRank pattern).
+
+    Scale shape: the support-thresholded edge derivation is the same
+    certified sparsification as the triangle census; each peel round
+    is one degree aggregate plus two LEFT SEMI probes on a shrinking
+    edge list (equi-shuffles only, lineage checkpoint-truncated) —
+    O(rounds · |E|) total, no quadratic step anywhere."""
+    from pulsar_project_spark.operators.graph import kcore_peel
+
+    op = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    edges0 = (
+        op.alias("x").join(op.alias("y"), "ok")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    core = kcore_peel(edges0)
+    return (
+        core.select(F.col("a").alias("part"))
+        .unionAll(core.select(F.col("b").alias("part")))
+        .groupBy("part").agg(F.count("*").alias("degree"))
+    )

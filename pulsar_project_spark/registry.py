@@ -68,6 +68,7 @@ NEW_R7: tuple[str, ...] = (
     "sole_late_supplier_waits",        # Q21 shape: double-EXISTS decorrelated
     "dormant_rich_customers",          # Q22 shape: exact mean + anti join
     "pareto_frontier_parts",           # banded distributed skyline
+    "coorder_part_kcore",              # bounded 3-core peel, unrolled oracle
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -63,6 +63,7 @@ _REPRESENTATIVE = (
     "sole_late_supplier_waits",         # Q21 decorrelation on 0 lineitems
     "dormant_rich_customers",           # Q22 anti-join, NULL scalar mean
     "pareto_frontier_parts",            # banded skyline on 0 parts
+    "coorder_part_kcore",               # 6 peel rounds over 0 edges
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance
