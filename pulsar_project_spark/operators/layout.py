@@ -172,3 +172,100 @@ def zorder_bucket_stats(df: DataFrame, col_a: str, col_b: str,
             F.max(col_b).alias(f"max_{col_b}"),
         )
     )
+
+
+# --- Hilbert curve ----------------------------------------------------------
+
+# Bits per dimension for the Hilbert index — same 16-bit domain as the
+# Morton path, so the two curves are directly comparable bucket-for-
+# bucket (and zbucket_shift applies to both 32-bit codes).
+HILBERT_BITS = Z_BITS
+
+
+def hilbert_round_sql(r: int, x: str, y: str, d: str,
+                      intdiv: str = "div") -> tuple[str, str, str]:
+    """One Hilbert xy→d round as SQL expression strings (new_x, new_y,
+    new_d), shared VERBATIM between the Spark plan (``intdiv='div'``)
+    and the DuckDB oracle (``intdiv='//'``) — the norm16_sql
+    discipline. This is the MASKED variant of the classic algorithm:
+    coordinates are reduced mod s every round, so every intermediate
+    stays in [0, s) — no negative values, hence no reliance on
+    matching two's-complement semantics between engines. The quadrant
+    digit ((3·rx) XOR ry) is spelled as a CASE over the four (rx, ry)
+    cells: integer-only, XOR-free (DuckDB spells xor as a function,
+    Spark as an operator — CASE sidesteps the spelling drift).
+
+    Only the low 2·(HILBERT_BITS − r) bits of the inputs matter at
+    round r; callers chain rounds through per-round projections (Spark
+    withColumn stages / MATERIALIZED CTEs), NOT textual substitution —
+    each round references its inputs several times, so inlining would
+    grow the expression tree exponentially."""
+    s = 1 << (HILBERT_BITS - 1 - r)
+    rx = f"(({x} {intdiv} {s}) % 2)"
+    ry = f"(({y} {intdiv} {s}) % 2)"
+    quad = (f"(CASE WHEN {rx} = 0 THEN {ry} "
+            f"WHEN {ry} = 1 THEN 2 ELSE 3 END)")
+    xm = f"({x} % {s})"
+    ym = f"({y} % {s})"
+    new_x = (f"(CASE WHEN {ry} = 1 THEN {xm} "
+             f"WHEN {rx} = 1 THEN {s - 1} - {ym} ELSE {ym} END)")
+    new_y = (f"(CASE WHEN {ry} = 1 THEN {ym} "
+             f"WHEN {rx} = 1 THEN {s - 1} - {xm} ELSE {xm} END)")
+    new_d = f"({d} + {s * s} * {quad})"
+    return new_x, new_y, new_d
+
+
+def hilbert_stage(df: DataFrame, x_col: str, y_col: str,
+                  d_col: str = "__hd") -> DataFrame:
+    """Fold all HILBERT_BITS rounds over ``df`` as chained projections:
+    after the call, ``d_col`` holds the 2·HILBERT_BITS-bit Hilbert
+    index of (x_col, y_col) (both must already be in the 16-bit
+    domain, e.g. via norm16_sql) and the two coordinate columns are
+    consumed. Linear plan: one Project per round, all codegen integer
+    math — no UDF, no shuffle."""
+    out = df.withColumn(d_col, F.lit(0).cast("bigint"))
+    for r in range(HILBERT_BITS):
+        nx, ny, nd = hilbert_round_sql(r, x_col, y_col, d_col)
+        out = (out.withColumn("__nx", F.expr(nx))
+                  .withColumn("__ny", F.expr(ny))
+                  .withColumn(d_col, F.expr(nd))
+                  .drop(x_col, y_col)
+                  .withColumnRenamed("__nx", x_col)
+                  .withColumnRenamed("__ny", y_col))
+    return out.drop(x_col, y_col)
+
+
+def hilbert_bucket_stats(df: DataFrame, col_a: str, col_b: str,
+                         n_buckets: int = 64) -> DataFrame:
+    """The zorder_bucket_stats census on the HILBERT curve: same
+    observed-bounds normalization, same top-bits range buckets, but
+    the space-filling curve is Hilbert's — unlike Morton, consecutive
+    codes are ALWAYS spatially adjacent (no diagonal jumps across the
+    domain at power-of-two seams), which tightens per-file min/max
+    spans and is why modern clustering layouts prefer it. Identical
+    output shape to the Morton census so the two layouts are
+    comparable bucket-for-bucket.
+
+    Scale shape: one mergeable bounds aggregate broadcast back, then a
+    scan → 16 codegen integer projections → n_buckets-group aggregate
+    with map-side partials. No window, no extra shuffle."""
+    shift = zbucket_shift(n_buckets)
+    bounds = df.agg(
+        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+    )
+    j = (df.crossJoin(F.broadcast(bounds))
+           .withColumn("__hx", F.expr(norm16_sql(col_a, "__amin", "__amax")))
+           .withColumn("__hy", F.expr(norm16_sql(col_b, "__bmin", "__bmax"))))
+    coded = hilbert_stage(j, "__hx", "__hy")
+    return (
+        coded.groupBy(
+            F.shiftright(F.col("__hd"), shift).alias("h_bucket")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.min(col_a).alias(f"min_{col_a}"),
+            F.max(col_a).alias(f"max_{col_a}"),
+            F.min(col_b).alias(f"min_{col_b}"),
+            F.max(col_b).alias(f"max_{col_b}"),
+        )
+    )

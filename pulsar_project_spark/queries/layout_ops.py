@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_project_spark.operators.layout import (
+    HILBERT_BITS,
+    hilbert_bucket_stats,
+    hilbert_round_sql,
     norm16_sql,
     zbucket_shift,
     zorder_bucket_stats,
@@ -200,3 +203,65 @@ def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").cast("int").alias("bucket"))
         .agg(F.min("v").alias("boundary_cents"))
     )
+
+
+def _hstats_sql(dims_sql: str, n_buckets: int = 64) -> str:
+    """Hilbert census oracle: the SAME norm16 bounds normalization, then
+    all HILBERT_BITS xy→d rounds as a chain of projection CTEs built
+    from hilbert_round_sql — the identical per-round template the Spark
+    plan executes, so one wrong reflection, swap, or quadrant digit in
+    either engine breaks the hash. Each CTE is referenced exactly once
+    (a linear FROM chain), so DuckDB's inlining keeps the replay
+    linear — no MATERIALIZED needed (contrast the k-core oracle, whose
+    rounds fan out 3x)."""
+    a = norm16_sql("ckey", "amin", "amax", intdiv="//")
+    b = norm16_sql("oday", "bmin", "bmax", intdiv="//")
+    rounds = []
+    for r in range(HILBERT_BITS):
+        nx, ny, nd = hilbert_round_sql(r, "hx", "hy", "hd", intdiv="//")
+        rounds.append(
+            f"h{r + 1} AS (\n  SELECT ckey, oday, {nx} AS hx, {ny} AS hy,"
+            f"\n         {nd} AS hd FROM h{r}\n)")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH dims AS ({dims_sql}),
+bounds AS (
+  SELECT min(ckey) AS amin, max(ckey) AS amax,
+         min(oday) AS bmin, max(oday) AS bmax
+  FROM dims
+),
+h0 AS (
+  SELECT ckey, oday, {a} AS hx, {b} AS hy, CAST(0 AS BIGINT) AS hd
+  FROM dims, bounds
+),
+{chain}
+SELECT hd >> {zbucket_shift(n_buckets)} AS h_bucket,
+       count(*) AS n_rows,
+       min(ckey) AS min_ckey, max(ckey) AS max_ckey,
+       min(oday) AS min_oday, max(oday) AS max_oday
+FROM h{HILBERT_BITS} GROUP BY h_bucket
+"""
+
+
+@declare("hilbert_bucket_stats", oracle=_hstats_sql(_DIMS_SQL))
+def q_hilbert_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout census on the HILBERT curve over the same
+    (customer key, order day) dims as the Morton census — directly
+    comparable bucket-for-bucket. Hilbert ordering never jumps across
+    the domain between consecutive codes (unit-step adjacency,
+    property-pinned in tests/test_layout.py), so its range buckets
+    avoid Morton's diagonal-seam span blow-ups — the reason modern
+    clustering layouts (Delta liquid clustering et al.) moved from
+    Z-order to Hilbert. Same operator economics: one mergeable bounds
+    broadcast, 16 codegen integer projections, one 64-group
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    dims = orders.select(
+        F.col("o_custkey").alias("ckey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("oday"),
+    )
+    return hilbert_bucket_stats(dims, "ckey", "oday", n_buckets=64)

@@ -700,3 +700,84 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("cents"), F.lit(0.75)).alias("p75_cents"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --- Dyadic-weighted trailing average (integer EWMA) ------------------------
+
+# Window length of the dyadic trailing average: the newest sample gets
+# weight 2^(W-1), each older one half that — a truncated exponential
+# moving average whose weights are powers of two, so the whole smoother
+# is exact BIGINT arithmetic (a float-alpha EWMA is reduction-order-
+# dependent and its infinite tail is not window-expressible).
+EWMA_WINDOW = 8
+
+
+@declare(
+    "user_value_ewma_dyadic",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), lagged AS (
+  SELECT user_id, ts_us, event_id,
+         {" + ".join(
+             f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (EWMA_WINDOW - 1 - i)}"
+             for i in range(EWMA_WINDOW))} AS ewma_scaled,
+         {" + ".join(
+             "(CASE WHEN lag(cents, %d) OVER w IS NOT NULL THEN 1 ELSE 0 END)" % i
+             for i in range(EWMA_WINDOW))} AS n_terms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, CAST(ewma_scaled AS BIGINT) AS ewma_scaled,
+       CAST(n_terms AS BIGINT) AS n_terms
+FROM lagged WHERE rn = 1
+""",
+)
+def q_user_value_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's CURRENT exponentially-smoothed spend: a dyadic
+    trailing average over their last 8 event values — newest weighted
+    2^7, halving with age — evaluated at the latest event. Weights
+    that are powers of two make the smoother exact integer math (the
+    integer-PageRank discipline applied to time-series smoothing);
+    n_terms exposes how much history backs each estimate so consumers
+    can discount cold users.
+
+    Scale shape: ONE window sort per user partition computes all eight
+    lags and the recency rank together (Spark collapses same-window
+    functions into a single sort), then the rn = 1 filter keeps one
+    row per user — no self-joins, no global sort, shuffle keyed on
+    user_id only."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+                & F.col("value").isNotNull())
+        .select("user_id", "ts_us", "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id"))
+    ewma = sum(
+        F.coalesce(F.lag("cents", i).over(w), F.lit(0))
+        * F.lit(1 << (EWMA_WINDOW - 1 - i))
+        for i in range(EWMA_WINDOW)
+    )
+    n_terms = sum(
+        F.when(F.lag("cents", i).over(w).isNotNull(), 1).otherwise(0)
+        for i in range(EWMA_WINDOW)
+    )
+    return (
+        ev.select(
+            "user_id",
+            ewma.cast("bigint").alias("ewma_scaled"),
+            n_terms.cast("bigint").alias("n_terms"),
+            F.row_number().over(w_desc).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -69,6 +69,8 @@ NEW_R7: tuple[str, ...] = (
     "dormant_rich_customers",          # Q22 shape: exact mean + anti join
     "pareto_frontier_parts",           # banded distributed skyline
     "coorder_part_kcore",              # bounded 3-core peel, unrolled oracle
+    "user_value_ewma_dyadic",          # integer EWMA, powers-of-two weights
+    "hilbert_bucket_stats",            # Hilbert-curve layout census
 )
 
 RECERTS_R7: tuple[str, ...] = (

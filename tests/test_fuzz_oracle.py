@@ -210,6 +210,9 @@ _events_strategy = st.lists(
 )
 
 _EVENTS_FUZZED = (
+    # round-7: fuzz hits the short-history branches (n_terms < 8) and
+    # NULL value/ts/user rows the real corpus is too clean to produce
+    "user_value_ewma_dyadic",
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",
@@ -454,6 +457,10 @@ _STAR_FUZZED = (
     # dense fuzz baskets cascade hard under the peel (high-degree tiny
     # graphs lose whole components round by round)
     "coorder_part_kcore",
+    # tiny fuzz domains collapse the norm16 range to a handful of cells —
+    # the Hilbert rounds then exercise deep-masked corners (x = y = 0 for
+    # most rounds) the real corpus never reaches
+    "hilbert_bucket_stats",
 )
 
 

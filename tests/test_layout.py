@@ -127,3 +127,63 @@ def test_norm16_overflow_guard_raises_in_both_engines(spark, duck):
     assert got_spark == got_duck
     assert got_spark[0] == 0 and got_spark[-1] == 65535
     assert all(0 <= b <= 65535 for b in got_spark)
+
+
+def _hilbert_replica(bits: int, x: int, y: int) -> int:
+    """Pure-Python replica of the masked xy→d rounds (verified against
+    the classic Wikipedia algorithm during development)."""
+    d = 0
+    for r in range(bits):
+        s = 1 << (bits - 1 - r)
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        quad = ry if rx == 0 else (2 if ry == 1 else 3)
+        d += s * s * quad
+        xm, ym = x % s, y % s
+        if ry == 1:
+            x, y = xm, ym
+        elif rx == 1:
+            x, y = s - 1 - ym, s - 1 - xm
+        else:
+            x, y = ym, xm
+    return d
+
+
+def test_hilbert_curve_bijective_and_unit_step():
+    """At 6 bits/dim the full 4096-cell domain is exhaustively
+    checkable: the map must be a bijection and consecutive indices
+    must be Manhattan-adjacent — the defining Hilbert property (Morton
+    violates it at every power-of-two seam), and the reason its range
+    buckets give tighter file spans."""
+    bits = 6
+    inv = {}
+    for x in range(1 << bits):
+        for y in range(1 << bits):
+            inv[_hilbert_replica(bits, x, y)] = (x, y)
+    assert len(inv) == 1 << (2 * bits)
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(len(inv) - 1)
+    )
+
+
+def test_hilbert_stage_matches_replica(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.operators.layout import (
+        HILBERT_BITS,
+        hilbert_stage,
+    )
+
+    import random
+
+    rng = random.Random(17)
+    n = 1 << HILBERT_BITS
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(500)]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i: long, x: long, y: long"
+    )
+    got = {r["i"]: r["__hd"] for r in hilbert_stage(df, "x", "y").collect()}
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _hilbert_replica(HILBERT_BITS, x, y)

@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "tx_optimize_zorder_census", # 1-row min/max-bounds broadcast crossJoin (zorder rewrite)
     "coorder_part_triangles",    # three 1-row count aggregates crossJoined
     "dormant_rich_customers",    # 1-row (n, Σcents) scalar broadcast crossJoin
+    "hilbert_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
 }
 
 
