@@ -781,3 +781,84 @@ def q_user_value_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@declare(
+    "seasonal_revenue_anomaly_census",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS oday,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+wd AS (SELECT oday, oday % 7 AS weekday, day_cents FROM daily),
+med AS (SELECT weekday, median(day_cents) AS med FROM wd GROUP BY weekday),
+dev AS (
+  SELECT w.oday, w.weekday, w.day_cents,
+         abs(2 * w.day_cents - CAST(2 * m.med AS BIGINT)) AS dev2
+  FROM wd w JOIN med m ON w.weekday = m.weekday
+),
+mad AS (SELECT weekday, median(dev2) AS mad2 FROM dev GROUP BY weekday)
+SELECT d.oday, d.weekday, d.day_cents,
+       CAST(m.med AS DOUBLE) AS weekday_median_cents,
+       CAST(a.mad2 / 2 AS DOUBLE) AS weekday_mad_cents,
+       d.dev2 > 3 * a.mad2 AS is_anomaly
+FROM dev d JOIN mad a ON d.weekday = a.weekday
+JOIN med m ON d.weekday = m.weekday
+""",
+)
+def q_seasonal_revenue_anomaly_census(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection on the daily revenue
+    series: each day is judged against the robust baseline of ITS OWN
+    weekday (median + MAD per weekday slot), so a quiet Sunday isn't
+    flagged for being below the weekday mean and a spiked Sunday
+    can't hide behind it — the mad_outlier_census discipline lifted
+    from global to seasonal. The weekday slot is day-number mod 7
+    from the corpus epoch: a pure non-negative integer both engines
+    compute identically (dayofweek() conventions differ between
+    Spark (1=Sun) and DuckDB (0=Sun) — mod arithmetic sidesteps the
+    drift). Doubled deviations keep the half-cent median midpoint an
+    exact integer; the 3-MAD flag compares exactly representable
+    values — no float tolerance anywhere.
+
+    Scale shape: the fact reduces to one row per day FIRST (map-side-
+    combined groupBy), so the two median passes and the final census
+    run over a days-sized relation (365·years rows at any corpus
+    scale) with 7-row broadcast statistics."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull()
+                & F.col("o_totalprice").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date"))
+            .cast("bigint").alias("oday"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("day_cents"))
+    )
+    wd = daily.select("oday", (F.col("oday") % 7).alias("weekday"),
+                      "day_cents")
+    med = wd.groupBy("weekday").agg(
+        F.percentile(F.col("day_cents"), F.lit(0.5)).alias("med"))
+    dev = wd.join(F.broadcast(med), "weekday").select(
+        "oday", "weekday", "day_cents", "med",
+        F.abs(F.col("day_cents") * 2 - (F.col("med") * 2).cast("bigint"))
+        .alias("dev2"),
+    )
+    mad = dev.groupBy("weekday").agg(
+        F.percentile(F.col("dev2"), F.lit(0.5)).alias("mad2"))
+    return (
+        dev.join(F.broadcast(mad), "weekday")
+        .select(
+            "oday", "weekday", "day_cents",
+            F.col("med").cast("double").alias("weekday_median_cents"),
+            (F.col("mad2") / 2).cast("double").alias("weekday_mad_cents"),
+            (F.col("dev2") > 3 * F.col("mad2")).alias("is_anomaly"),
+        )
+    )

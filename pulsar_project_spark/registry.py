@@ -71,6 +71,7 @@ NEW_R7: tuple[str, ...] = (
     "coorder_part_kcore",              # bounded 3-core peel, unrolled oracle
     "user_value_ewma_dyadic",          # integer EWMA, powers-of-two weights
     "hilbert_bucket_stats",            # Hilbert-curve layout census
+    "seasonal_revenue_anomaly_census", # per-weekday median+MAD anomaly flags
 )
 
 RECERTS_R7: tuple[str, ...] = (

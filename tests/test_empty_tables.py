@@ -66,6 +66,7 @@ _REPRESENTATIVE = (
     "coorder_part_kcore",               # 6 peel rounds over 0 edges
     "user_value_ewma_dyadic",           # 8-lag window on 0 events
     "hilbert_bucket_stats",             # NULL bounds, 16 rounds on 0 rows
+    "seasonal_revenue_anomaly_census",  # medians over 0 days
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -461,6 +461,9 @@ _STAR_FUZZED = (
     # the Hilbert rounds then exercise deep-masked corners (x = y = 0 for
     # most rounds) the real corpus never reaches
     "hilbert_bucket_stats",
+    # 1-2-day fuzz corpora make every weekday slot a singleton (MAD = 0,
+    # every day its own median) — the degenerate-baseline branch
+    "seasonal_revenue_anomaly_census",
 )
 
 
