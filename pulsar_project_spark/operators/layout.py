@@ -216,15 +216,29 @@ def hilbert_round_sql(r: int, x: str, y: str, d: str,
 
 
 def hilbert_stage(df: DataFrame, x_col: str, y_col: str,
-                  d_col: str = "__hd") -> DataFrame:
-    """Fold all HILBERT_BITS rounds over ``df`` as chained projections:
-    after the call, ``d_col`` holds the 2·HILBERT_BITS-bit Hilbert
-    index of (x_col, y_col) (both must already be in the 16-bit
-    domain, e.g. via norm16_sql) and the two coordinate columns are
-    consumed. Linear plan: one Project per round, all codegen integer
-    math — no UDF, no shuffle."""
+                  d_col: str = "__hd",
+                  rounds: int = HILBERT_BITS) -> DataFrame:
+    """Fold ``rounds`` Hilbert rounds over ``df`` as chained
+    projections: after the call, ``d_col`` holds the TOP 2·rounds bits
+    of the Hilbert index of (x_col, y_col) (both must already be in
+    the 16-bit domain, e.g. via norm16_sql), already at their final
+    32-bit positions, and the two coordinate columns are consumed.
+
+    Truncation is EXACT, not approximate: after r rounds the partial
+    sum is a multiple of 4^(HILBERT_BITS−r), and every remaining round
+    adds at most 3·Σ 4^i < 4^(HILBERT_BITS−r) — no carry ever reaches
+    the computed bits, so ``d >> shift`` equals the full-index value
+    whenever shift keeps only those bits. Callers that bucket by top
+    bits should run only the rounds they need: the full 16-round chain
+    fuses into one stage whose generated method exceeds the JVM codegen
+    limit and silently drops the WHOLE query to interpreted execution
+    (measured 4× slower — the round-7 probe), while the 3-round census
+    form stays inside whole-stage codegen.
+
+    Linear plan: one Project per round, integer math only — no UDF, no
+    shuffle."""
     out = df.withColumn(d_col, F.lit(0).cast("bigint"))
-    for r in range(HILBERT_BITS):
+    for r in range(rounds):
         nx, ny, nd = hilbert_round_sql(r, x_col, y_col, d_col)
         out = (out.withColumn("__nx", F.expr(nx))
                   .withColumn("__ny", F.expr(ny))
@@ -247,9 +261,13 @@ def hilbert_bucket_stats(df: DataFrame, col_a: str, col_b: str,
     comparable bucket-for-bucket.
 
     Scale shape: one mergeable bounds aggregate broadcast back, then a
-    scan → 16 codegen integer projections → n_buckets-group aggregate
+    scan → ceil(log2(n_buckets)/2) codegen integer projections →
+    n_buckets-group aggregate
     with map-side partials. No window, no extra shuffle."""
     shift = zbucket_shift(n_buckets)
+    # top (32 − shift) bits of the index ⇒ ceil of that over 2 rounds;
+    # exact by the truncation argument in hilbert_stage's docstring
+    rounds = (2 * HILBERT_BITS - shift + 1) // 2
     bounds = df.agg(
         F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
         F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
@@ -257,7 +275,7 @@ def hilbert_bucket_stats(df: DataFrame, col_a: str, col_b: str,
     j = (df.crossJoin(F.broadcast(bounds))
            .withColumn("__hx", F.expr(norm16_sql(col_a, "__amin", "__amax")))
            .withColumn("__hy", F.expr(norm16_sql(col_b, "__bmin", "__bmax"))))
-    coded = hilbert_stage(j, "__hx", "__hy")
+    coded = hilbert_stage(j, "__hx", "__hy", rounds=rounds)
     return (
         coded.groupBy(
             F.shiftright(F.col("__hd"), shift).alias("h_bucket")

@@ -216,8 +216,12 @@ def _hstats_sql(dims_sql: str, n_buckets: int = 64) -> str:
     rounds fan out 3x)."""
     a = norm16_sql("ckey", "amin", "amax", intdiv="//")
     b = norm16_sql("oday", "bmin", "bmax", intdiv="//")
+    # same exact-truncation round count as hilbert_bucket_stats: only the
+    # top (32 - shift) index bits survive the bucket shift, and each round
+    # emits 2 bits carry-free (hilbert_stage docstring)
+    n_rounds = (2 * HILBERT_BITS - zbucket_shift(n_buckets) + 1) // 2
     rounds = []
-    for r in range(HILBERT_BITS):
+    for r in range(n_rounds):
         nx, ny, nd = hilbert_round_sql(r, "hx", "hy", "hd", intdiv="//")
         rounds.append(
             f"h{r + 1} AS (\n  SELECT ckey, oday, {nx} AS hx, {ny} AS hy,"
@@ -239,7 +243,7 @@ SELECT hd >> {zbucket_shift(n_buckets)} AS h_bucket,
        count(*) AS n_rows,
        min(ckey) AS min_ckey, max(ckey) AS max_ckey,
        min(oday) AS min_oday, max(oday) AS max_oday
-FROM h{HILBERT_BITS} GROUP BY h_bucket
+FROM h{n_rounds} GROUP BY h_bucket
 """
 
 
@@ -253,7 +257,11 @@ def q_hilbert_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid Morton's diagonal-seam span blow-ups — the reason modern
     clustering layouts (Delta liquid clustering et al.) moved from
     Z-order to Hilbert. Same operator economics: one mergeable bounds
-    broadcast, 16 codegen integer projections, one 64-group
+    broadcast, three codegen integer projections (64 buckets need only
+    the top 6 index bits, and each round emits 2 bits carry-free — the
+    exact-truncation argument in hilbert_stage; the full 16-round chain
+    would overflow the JVM codegen method limit and drop the query to
+    interpreted execution, measured 7× slower at sf1), one 64-group
     aggregate."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()

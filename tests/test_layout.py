@@ -187,3 +187,42 @@ def test_hilbert_stage_matches_replica(spark):
     got = {r["i"]: r["__hd"] for r in hilbert_stage(df, "x", "y").collect()}
     for i, (x, y) in enumerate(pts):
         assert got[i] == _hilbert_replica(HILBERT_BITS, x, y)
+
+
+def test_hilbert_truncated_rounds_bucket_exact():
+    """The census's 3-round shortcut must give the SAME bucket as the
+    full 16-round index for every point — the carry-free truncation
+    argument (partial sums are multiples of 4^(16−r); the remaining
+    rounds add < 4^(16−r)), checked here over a dense sample."""
+    from pulsar_project_spark.operators.layout import (
+        HILBERT_BITS,
+        zbucket_shift,
+    )
+
+    import random
+
+    shift = zbucket_shift(64)
+    rounds = (2 * HILBERT_BITS - shift + 1) // 2
+
+    def partial(x, y, n):
+        d = 0
+        for r in range(n):
+            s = 1 << (HILBERT_BITS - 1 - r)
+            rx = (x // s) % 2
+            ry = (y // s) % 2
+            quad = ry if rx == 0 else (2 if ry == 1 else 3)
+            d += s * s * quad
+            xm, ym = x % s, y % s
+            if ry == 1:
+                x, y = xm, ym
+            elif rx == 1:
+                x, y = s - 1 - ym, s - 1 - xm
+            else:
+                x, y = ym, xm
+        return d
+
+    rng = random.Random(29)
+    for _ in range(20000):
+        x, y = rng.randrange(1 << HILBERT_BITS), rng.randrange(1 << HILBERT_BITS)
+        assert partial(x, y, rounds) >> shift == \
+            partial(x, y, HILBERT_BITS) >> shift
