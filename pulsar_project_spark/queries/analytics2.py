@@ -331,3 +331,98 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "p_partkey", "p_name", "p_size", "price_cents")
     )
+
+
+# --- TPC-H Q10/Q15 shapes ---------------------------------------------------
+
+@declare(
+    "returned_item_top_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum({_PRICE} * {_DISC}) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_returned_item_top_customers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the customers who returned the most revenue in
+    a one-year window — the returns-desk triage list. Both defining
+    predicates push to their scans (returnflag to lineitem, the date
+    band to orders); the fact-fact join shuffles once on orderkey,
+    then the customer/nation dims broadcast onto the aggregated
+    per-customer rows. Decimal revenue arithmetic (the Q3 discipline)
+    keeps the sum reduction-order-independent; global top-20 with a
+    custkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@declare(
+    "top_supplier_by_quarter_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+""",
+)
+def q_top_supplier_by_quarter_revenue(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue
+    in a quarter — the view-plus-scalar-max pattern, WITH the tie
+    semantics the LIMIT 1 shortcut silently breaks (every supplier
+    matching the max must appear). Revenue is exact integer cents, so
+    the equality against the max is never a float comparison. The
+    Spark side materializes the per-supplier aggregate once, reduces
+    it to a 1-row max broadcast, and filters — no window, no second
+    fact scan; the date band pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+             .alias("revenue_cents"))
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue_cents") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )

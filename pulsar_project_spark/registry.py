@@ -72,6 +72,8 @@ NEW_R7: tuple[str, ...] = (
     "user_value_ewma_dyadic",          # integer EWMA, powers-of-two weights
     "hilbert_bucket_stats",            # Hilbert-curve layout census
     "seasonal_revenue_anomaly_census", # per-weekday median+MAD anomaly flags
+    "returned_item_top_customers",     # Q10 shape: returns-desk triage
+    "top_supplier_by_quarter_revenue", # Q15 shape: scalar max with ties
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -67,6 +67,8 @@ _REPRESENTATIVE = (
     "user_value_ewma_dyadic",           # 8-lag window on 0 events
     "hilbert_bucket_stats",             # NULL bounds, 16 rounds on 0 rows
     "seasonal_revenue_anomaly_census",  # medians over 0 days
+    "returned_item_top_customers",      # Q10 joins over 0 lineitems
+    "top_supplier_by_quarter_revenue",  # NULL scalar max, 0 suppliers
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

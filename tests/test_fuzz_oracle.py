@@ -464,6 +464,10 @@ _STAR_FUZZED = (
     # 1-2-day fuzz corpora make every weekday slot a singleton (MAD = 0,
     # every day its own median) — the degenerate-baseline branch
     "seasonal_revenue_anomaly_census",
+    # Q10/Q15: fuzz dates miss the 1996 windows (empty-side parity) and
+    # tiny supplier cardinalities force the all-tied max branch
+    "returned_item_top_customers",
+    "top_supplier_by_quarter_revenue",
 )
 
 

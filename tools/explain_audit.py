@@ -50,6 +50,7 @@ ALLOWED_NESTED_LOOP = {
     "coorder_part_triangles",    # three 1-row count aggregates crossJoined
     "dormant_rich_customers",    # 1-row (n, Σcents) scalar broadcast crossJoin
     "hilbert_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
+    "top_supplier_by_quarter_revenue",  # 1-row scalar-max broadcast crossJoin
 }
 
 
