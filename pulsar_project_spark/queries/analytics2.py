@@ -426,3 +426,70 @@ def q_top_supplier_by_quarter_revenue(spark: SparkSession,
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "revenue_cents")
     )
+
+
+# --- Benford first-digit census ---------------------------------------------
+
+# floor(10^6 · log10(1 + 1/d)) for d = 1..9 — the Benford expected
+# shares as frozen integer micros (computed once, a CONSTANT of the
+# law, so no transcendental is evaluated in either engine).
+BENFORD_MICROS = {1: 301029, 2: 176091, 3: 124938, 4: 96910,
+                  5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+_BENFORD_CASE = ("CASE leading_digit " + " ".join(
+    f"WHEN {d} THEN {m}" for d, m in BENFORD_MICROS.items()) + " END")
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS leading_digit
+  FROM orders WHERE o_totalprice > 0
+), tot AS (SELECT count(*) AS n FROM digits),
+obs AS (
+  SELECT leading_digit, count(*) AS n_values FROM digits GROUP BY 1
+)
+SELECT o.leading_digit,
+       CAST(o.n_values AS BIGINT) AS n_values,
+       CAST((1000000 * o.n_values) // t.n AS BIGINT) AS observed_micros,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_micros,
+       CAST(abs((1000000 * o.n_values) // t.n - {_BENFORD_CASE})
+            AS BIGINT) AS deviation_micros
+FROM obs o CROSS JOIN tot t
+"""
+
+
+@declare("benford_first_digit_census", oracle=_BENFORD_SQL)
+def q_benford_first_digit_census(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit census over order totals — the
+    forensic data-quality screen (fabricated or synthetically capped
+    monetary data deviates from the log distribution real multiplicative
+    processes follow; this corpus's uniform price generator shows
+    exactly that, loudly). Observed shares are integer micros
+    ((10^6·n) div total); the expected shares are the law's CONSTANTS
+    frozen as integers, so no log is evaluated anywhere — both engines
+    compare pure integer arithmetic.
+
+    Scale shape: one narrow projection (first digit of the cents
+    string) → 9-group aggregate with map-side partials; the total
+    rides a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .cast("string"), 1, 1).cast("bigint")
+        .alias("leading_digit"))
+    tot = digits.agg(F.count("*").alias("n"))
+    obs = digits.groupBy("leading_digit").agg(
+        F.count("*").alias("n_values"))
+    bexp = F.expr(_BENFORD_CASE)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "leading_digit", "n_values",
+            F.expr("(1000000 * n_values) div n").cast("bigint")
+            .alias("observed_micros"),
+            bexp.cast("bigint").alias("benford_micros"),
+            F.abs(F.expr("(1000000 * n_values) div n") - bexp)
+            .cast("bigint").alias("deviation_micros"),
+        )
+    )

@@ -298,3 +298,78 @@ def q_coorder_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(core.select(F.col("b").alias("part")))
         .groupBy("part").agg(F.count("*").alias("degree"))
     )
+
+
+# Minimum co-order support for a directed association rule (same
+# threshold as the triangle/k-core edge rule, certified in the oracle).
+RULE_MIN_SUPPORT = 2
+
+
+_ASSOC_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), pc AS (
+  SELECT p, count(*) AS n_p FROM op GROUP BY p
+), nt AS (
+  SELECT count(DISTINCT ok) AS n_orders FROM op
+), pair AS (
+  SELECT l1.p AS antecedent, l2.p AS consequent, count(*) AS n_ab
+  FROM op l1 JOIN op l2 ON l1.ok = l2.ok AND l1.p <> l2.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULE_MIN_SUPPORT}
+)
+SELECT pr.antecedent, pr.consequent,
+       CAST(pr.n_ab AS BIGINT) AS n_ab,
+       CAST(pa.n_p AS BIGINT) AS n_a,
+       CAST(pb.n_p AS BIGINT) AS n_b,
+       CAST(nt.n_orders AS BIGINT) AS n_orders,
+       CAST((1000000 * pr.n_ab) // pa.n_p AS BIGINT) AS confidence_micros
+FROM pair pr
+JOIN pc pa ON pa.p = pr.antecedent
+JOIN pc pb ON pb.p = pr.consequent
+CROSS JOIN nt
+"""
+
+
+@declare("association_rules_pairs", oracle=_ASSOC_SQL)
+def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-order graph — the
+    operator behind every 'customers who bought X also bought Y'
+    surface: each directed pair co-ordered in >= 2 distinct orders is
+    a rule A→B carrying exact support counts (n_ab, n_a, n_b,
+    n_orders: everything lift/leverage/conviction derive from, kept as
+    raw integers so no downstream metric is a lossy float) and an
+    integer-micros confidence ((10^6 · n_ab) div n_a — non-negative,
+    so Spark div and DuckDB // agree exactly).
+
+    Scale shape: one per-order self-equi-join bounded by basket size,
+    then equi-joins of the pair relation against the per-item count
+    relation on item keys; the global order count rides a 1-row
+    broadcast. Same sparsification economics as the triangle census —
+    the support threshold prunes before anything wide."""
+    op = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    pc = op.groupBy("p").agg(F.count("*").alias("n_p"))
+    nt = op.agg(F.countDistinct("ok").alias("n_orders"))
+    pair = (
+        op.alias("x").join(op.alias("y"), "ok")
+        .filter(F.col("x.p") != F.col("y.p"))
+        .groupBy(F.col("x.p").alias("antecedent"),
+                 F.col("y.p").alias("consequent"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    return (
+        pair
+        .join(pc.select(F.col("p").alias("antecedent"),
+                        F.col("n_p").alias("n_a")), "antecedent")
+        .join(pc.select(F.col("p").alias("consequent"),
+                        F.col("n_p").alias("n_b")), "consequent")
+        .crossJoin(F.broadcast(nt))
+        .select("antecedent", "consequent", "n_ab", "n_a", "n_b",
+                "n_orders",
+                F.expr("(1000000 * n_ab) div n_a").cast("bigint")
+                .alias("confidence_micros"))
+    )

@@ -74,6 +74,8 @@ NEW_R7: tuple[str, ...] = (
     "seasonal_revenue_anomaly_census", # per-weekday median+MAD anomaly flags
     "returned_item_top_customers",     # Q10 shape: returns-desk triage
     "top_supplier_by_quarter_revenue", # Q15 shape: scalar max with ties
+    "association_rules_pairs",         # market-basket confidence rules
+    "benford_first_digit_census",      # forensic first-digit screen
 )
 
 RECERTS_R7: tuple[str, ...] = (

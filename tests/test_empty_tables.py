@@ -69,6 +69,8 @@ _REPRESENTATIVE = (
     "seasonal_revenue_anomaly_census",  # medians over 0 days
     "returned_item_top_customers",      # Q10 joins over 0 lineitems
     "top_supplier_by_quarter_revenue",  # NULL scalar max, 0 suppliers
+    "association_rules_pairs",          # rules over 0 baskets
+    "benford_first_digit_census",       # digit census over 0 orders
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

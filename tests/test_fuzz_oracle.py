@@ -468,6 +468,10 @@ _STAR_FUZZED = (
     # tiny supplier cardinalities force the all-tied max branch
     "returned_item_top_customers",
     "top_supplier_by_quarter_revenue",
+    # dense fuzz baskets maximize rule fan-out; tiny corpora hit the
+    # 100%-confidence and all-digits-missing branches
+    "association_rules_pairs",
+    "benford_first_digit_census",
 )
 
 

@@ -51,6 +51,8 @@ ALLOWED_NESTED_LOOP = {
     "dormant_rich_customers",    # 1-row (n, Σcents) scalar broadcast crossJoin
     "hilbert_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
     "top_supplier_by_quarter_revenue",  # 1-row scalar-max broadcast crossJoin
+    "association_rules_pairs",   # 1-row order-count broadcast crossJoin
+    "benford_first_digit_census",  # 1-row total broadcast crossJoin
 }
 
 
