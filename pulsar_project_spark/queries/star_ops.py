@@ -250,3 +250,71 @@ def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(status.alias("status")).agg(
         F.count("*").alias("n_keys"))
+
+
+_IVM_JOIN_SQL = """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@declare("join_view_incremental_maintenance", oracle=_IVM_JOIN_SQL)
+def q_join_view_incremental_maintenance(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the
+    algebra `mergeable_state_rollup` proves for single-table
+    aggregates, extended to the join case: with orders split into a
+    base A and a delta ΔA, and customers into B and ΔB (md5-hash
+    splits standing in for "the materialized state" and "today's
+    ingest"), the refreshed view is
+
+        (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB)
+
+    — the three delta terms are what an IVM engine computes INSTEAD of
+    rescanning A⋈B. The oracle is the direct full recompute over the
+    unsplit tables, so hash equality proves the delta-propagation
+    identity exactly (a missed cross term, a double-counted pair, or a
+    delta joined against the wrong generation all break it). Sums are
+    exact integer cents, so the four partial aggregates merge
+    reduction-order-independently.
+
+    Scale shape: each of the four terms is an equi-join on custkey
+    sharing one partitioning; the per-term partial aggregates merge in
+    a final low-cardinality (25-nation) rollup — at 100 TB only the
+    delta terms are actually recomputed, and their cost scales with
+    ǀΔǀ, not ǀAǀ."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # md5-hex split (the repo-wide membership rule: never a seeded RNG)
+    o_delta = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)\
+        .isin(*"0123")
+    c_delta = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)\
+        .isin(*"01")
+    a, da = orders.filter(~o_delta), orders.filter(o_delta)
+    b, db = cust.filter(~c_delta), cust.filter(c_delta)
+
+    def term(o_side, c_side):
+        return (
+            o_side.join(c_side, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("revenue_cents"))
+        )
+
+    terms = (term(a, b).unionByName(term(da, b))
+             .unionByName(term(a, db)).unionByName(term(da, db)))
+    return (
+        terms.groupBy("n_name")
+        .agg(F.sum("n_orders").alias("n_orders"),
+             F.sum("revenue_cents").alias("revenue_cents"))
+    )

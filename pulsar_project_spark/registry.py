@@ -76,6 +76,7 @@ NEW_R7: tuple[str, ...] = (
     "top_supplier_by_quarter_revenue", # Q15 shape: scalar max with ties
     "association_rules_pairs",         # market-basket confidence rules
     "benford_first_digit_census",      # forensic first-digit screen
+    "join_view_incremental_maintenance", # IVM delta identity for joins
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -71,6 +71,7 @@ _REPRESENTATIVE = (
     "top_supplier_by_quarter_revenue",  # NULL scalar max, 0 suppliers
     "association_rules_pairs",          # rules over 0 baskets
     "benford_first_digit_census",       # digit census over 0 orders
+    "join_view_incremental_maintenance", # four delta terms over 0 rows
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -472,6 +472,9 @@ _STAR_FUZZED = (
     # 100%-confidence and all-digits-missing branches
     "association_rules_pairs",
     "benford_first_digit_census",
+    # tiny corpora put whole generations (A or ΔA, B or ΔB) at zero rows
+    # — the degenerate-split branches of the IVM identity
+    "join_view_incremental_maintenance",
 )
 
 
