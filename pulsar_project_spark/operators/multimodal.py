@@ -830,3 +830,44 @@ def decode_png_features_permissive(pngs: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "status", "n_px", "sum_px"])
 
     return pngs.mapInPandas(batches, PNG_PERMISSIVE_SCHEMA)
+
+
+WAV_TILT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("total_abs", LongType()),
+    StructField("diff_abs", LongType()),
+    StructField("tilt_micros", LongType()),
+])
+
+
+def decode_wav_tilt_features(wavs: DataFrame) -> DataFrame:
+    """Integer spectral-tilt features from REAL WAV decode: Σ|s_t|
+    (signal mass) and Σ|s_t − s_{t−1}| (first-difference mass — the
+    high-frequency proxy: white noise maximizes it, DC minimizes it),
+    plus their ratio in integer micros. The classic zero-DSP audio
+    screen (speech/music vs hiss/clipping) with every number exact
+    int64 — no FFT, no float, so the oracle replays it from the
+    closed-form generation rule alone."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with _wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                total = int(np.abs(s).sum())
+                diff = int(np.abs(np.diff(s)).sum()) if n > 1 else 0
+                tilt = (1_000_000 * diff) // total if total else 0
+                rows.append((int(doc_id), n, total, diff, tilt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "total_abs",
+                               "diff_abs", "tilt_micros"])
+
+    return wavs.mapInPandas(batches, WAV_TILT_SCHEMA)

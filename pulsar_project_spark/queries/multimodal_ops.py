@@ -881,3 +881,56 @@ def q_jpeg_color_permissive_decode_census(spark: SparkSession, sf_dir: str) -> D
         F.sum("sum_g").alias("total_sum_g"),
         F.sum("sum_b").alias("total_sum_b"),
     )
+
+
+@declare(
+    "wav_spectral_tilt_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         100 + ((doc_id % 40 + 40) % 40) AS f,
+         1000 + ((doc_id % 20 + 20) % 20) * 100 AS a,
+         800 + ((doc_id % 8 + 8) % 8) * 100 AS n
+  FROM documents WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT d.doc_id, t.t,
+         ((t.t * d.f) % 8000) * 2 * d.a // 8000 - d.a AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS t) t
+), lagged AS (
+  SELECT doc_id, t, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+  FROM s
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       CAST(sum(abs(v)) AS BIGINT) AS total_abs,
+       CAST(coalesce(sum(abs(v - pv)), 0) AS BIGINT) AS diff_abs,
+       CAST(CASE WHEN sum(abs(v)) = 0 THEN 0
+            ELSE (1000000 * coalesce(sum(abs(v - pv)), 0)) // sum(abs(v))
+            END AS BIGINT) AS tilt_micros
+FROM lagged GROUP BY doc_id
+""",
+)
+def q_wav_spectral_tilt_features(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Audio feature extraction beyond the roundtrip check: integer
+    spectral tilt (first-difference mass over signal mass, micros) on
+    REAL decoded WAV samples — the zero-DSP screen that separates
+    tonal content from hiss and flags clipped or silent assets, with
+    no FFT and no float anywhere. The oracle regenerates every sample
+    from the sawtooth closed form and replays both masses, so a
+    decode, packing, or byte-order bug shifts a sample and breaks the
+    hash.
+
+    Scale shape: same Arrow `mapInPandas` economics as the roundtrip
+    decode — payloads never leave the executor, features are 5 ints
+    per asset."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_wav_tilt_features,
+        synthesize_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return decode_wav_tilt_features(synthesize_wav(docs))

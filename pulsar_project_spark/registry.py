@@ -77,6 +77,7 @@ NEW_R7: tuple[str, ...] = (
     "association_rules_pairs",         # market-basket confidence rules
     "benford_first_digit_census",      # forensic first-digit screen
     "join_view_incremental_maintenance", # IVM delta identity for joins
+    "wav_spectral_tilt_features",      # integer audio tilt on real decode
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -150,6 +150,8 @@ _PIPELINE_FUZZED = (
     "jpeg_color_pixel_decode_features",
     "jpeg_color_permissive_decode_census",
     "wav_codec_roundtrip_features",
+    # round-7: first-difference spectral tilt on the same decode path
+    "wav_spectral_tilt_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",
     # round-7: permissive corrupt-census twins for PGM/RAWV
