@@ -622,3 +622,114 @@ def q_binary_quantize_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_sql(k: int = 10) -> str:
+    """IVF-PQ composed end-to-end in SQL: the deterministic coarse
+    cells (the ivf_cell_assignment CTE), the fixed query's nprobe
+    nearest cells, the PQ code relation, and the ADC scan restricted
+    to the probed cells — one oracle certifying the full two-stage ANN
+    pipeline at hash level."""
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_query_lut,
+    )
+
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    lut_rows = ", ".join(
+        f"({m}, {c}, {d})" for m, c, d in pq_query_lut(query_q))
+    # the same underlying query vector in the coarse 1e6 domain
+    qq = ", ".join(str((((i * 5) % 7) - 3) * 1_000_000)
+                   for i in range(PQ_DIM))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label, qv AS qc
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)
+),
+cells AS (
+  SELECT vec_id, label FROM (
+    SELECT q.vec_id, cent.label,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, {PQ_DIM}),
+               i -> (q.qv[i] - cent.qc[i]) * (q.qv[i] - cent.qc[i])),
+               (x, y) -> x + y) ASC, cent.label ASC) AS rn
+    FROM q, cent
+  ) WHERE rn = 1
+),
+qq(i, v) AS (SELECT unnest(generate_series(1, {PQ_DIM})),
+                    unnest([{qq}])),
+probes AS (
+  SELECT label FROM (
+    SELECT cent.label,
+           sum((cent.qc[qq.i] - qq.v) * (cent.qc[qq.i] - qq.v)) AS d
+    FROM cent, qq GROUP BY cent.label
+  ) ORDER BY d ASC, label ASC LIMIT {_IVFPQ_NPROBE}
+),
+codes AS ({_pq_assign_sql()}),
+lut(subspace, code, sq_dist) AS (VALUES {lut_rows}),
+scored AS (
+  SELECT c.vec_id, CAST(sum(l.sq_dist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+  WHERE c.vec_id IN (SELECT ce.vec_id FROM cells ce
+                     WHERE ce.label IN (SELECT label FROM probes))
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist FROM scored
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
+@declare("ivfpq_adc_topk", oracle=_ivfpq_sql())
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (coarse inverted file
+    to prune the corpus, product-quantized codes to scan what's left)
+    COMPOSED from the family's two certified halves and oracle-checked
+    end to end at hash level: deterministic coarse cells (the
+    ivf_cell_assignment quantizer), the fixed query's nprobe=3 nearest
+    cells by exact integer distance in the same 1e6 domain, then the
+    asymmetric-distance top-10 over the code relation restricted to
+    probed cells via LEFT SEMI join. One query vector, two
+    quantizations — coarse (×10^6) for routing, PQ (×64) for the LUT —
+    exactly the two-stage economics that searches 100 TB by touching
+    nprobe/k of the cells and 8 bytes per surviving vector.
+
+    Scale shape: cells and codes are both precomputed relations at
+    scale; the query-time work is an 8-row probe sort, one semi join
+    on the cell label (the partition-pruning axis), and a 32-row LUT
+    broadcast onto the surviving codes."""
+    from pulsar_project_spark.operators.kmeans import kmeans_fit, _sq_dist
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    cells, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
+    qq = F.array(*[
+        F.lit((((i * 5) % 7) - 3) * 1_000_000).cast("bigint")
+        for i in range(PQ_DIM)
+    ])
+    probes = (
+        cent.select("label", _sq_dist(qq, F.col("qc")).alias("d"))
+        .orderBy(F.asc("d"), F.asc("label"))
+        .limit(_IVFPQ_NPROBE)
+        .select("label")
+    )
+    cand = cells.join(F.broadcast(probes), "label").select("vec_id")
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    codes = pq_encode(emb).join(cand, "vec_id", "left_semi")
+    return pq_adc_topk(codes, query_q, k=10)

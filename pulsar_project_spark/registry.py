@@ -78,6 +78,7 @@ NEW_R7: tuple[str, ...] = (
     "benford_first_digit_census",      # forensic first-digit screen
     "join_view_incremental_maintenance", # IVM delta identity for joins
     "wav_spectral_tilt_features",      # integer audio tilt on real decode
+    "ivfpq_adc_topk",                  # IVF-PQ composed, hash-certified
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -73,6 +73,7 @@ _REPRESENTATIVE = (
     "benford_first_digit_census",       # digit census over 0 orders
     "join_view_incremental_maintenance", # four delta terms over 0 rows
     "wav_spectral_tilt_features",       # codec tilt on 0 assets
+    "ivfpq_adc_topk",                   # probe/encode over 0 vectors
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -618,6 +618,9 @@ _EMBEDDING_FUZZED = (
     # min(k, n) centroid degradation and the k=min(5, n) MMR tail)
     "ivf_cell_assignment",
     "mmr_rerank_exact",
+    # round-7: the composed IVF-PQ pipeline — min_size=2 corpora force
+    # nprobe > n_cells and single-cell routing
+    "ivfpq_adc_topk",
 )
 
 

@@ -53,6 +53,7 @@ ALLOWED_NESTED_LOOP = {
     "top_supplier_by_quarter_revenue",  # 1-row scalar-max broadcast crossJoin
     "association_rules_pairs",   # 1-row order-count broadcast crossJoin
     "benford_first_digit_census",  # 1-row total broadcast crossJoin
+    "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
 }
 
 
