@@ -771,3 +771,81 @@ def q_tx_merge_upsert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint")
         .alias("total_cents"),
     )
+
+
+_TX_CLONE_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us
+  FROM events WHERE event_id IS NOT NULL
+), census AS (
+  SELECT 'source' AS branch, event_type, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(max(ts_us) AS BIGINT) AS last_us
+  FROM ev WHERE ((event_id % 3) + 3) % 3 IN (0, 1) GROUP BY event_type
+  UNION ALL
+  SELECT 'clone', event_type, count(*),
+         CAST(sum(cents) AS BIGINT), CAST(max(ts_us) AS BIGINT)
+  FROM ev WHERE ((event_id % 3) + 3) % 3 IN (0, 2) GROUP BY event_type
+  UNION ALL
+  SELECT 'base', event_type, count(*),
+         CAST(sum(cents) AS BIGINT), CAST(max(ts_us) AS BIGINT)
+  FROM ev WHERE ((event_id % 3) + 3) % 3 = 0 GROUP BY event_type
+)
+SELECT branch, event_type, n_events, total_cents, last_us FROM census
+"""
+
+
+@declare("tx_clone_divergence_census", oracle=_TX_CLONE_SQL)
+def q_tx_clone_divergence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE with divergence — the zero-copy branch primitive
+    (Delta/Iceberg CLONE): the base table (residue-0 events) is cloned
+    by hard-linking its live files (no bytes copied — both tables
+    share inodes, each owns its directory entries), then the two
+    branches DIVERGE: residue-1 lands on the source, residue-2 on the
+    clone. The census reads all three lineages — source tip, clone
+    tip, and the pinned pre-divergence version via time travel on the
+    source — and hashes against the closed-form residue splits. A
+    clone that copied stale files, a commit that leaked across
+    branches, or a time-travel read disturbed by either tip breaks
+    the hash; vacuum-independence (either side vacuums, the other
+    still reads — the hard links keep shared inodes alive) is pinned
+    in tests/test_txlog.py.
+
+    Scale shape: CLONE is pure metadata + one directory entry per
+    live file — no data I/O at any corpus size; the divergent appends
+    and censuses are the standard tx append/read paths."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_clone,
+        tx_init,
+        tx_latest_version,
+    )
+
+    src = _rt_path("txlog_clone_src")
+    dst = _rt_path("txlog_clone_dst")
+    for p in (src, dst):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    ev = _events_int_projection(spark, sf_dir).filter(
+        F.col("event_id").isNotNull())
+    res = F.pmod(F.col("event_id"), F.lit(3))
+    tx_init(src)
+    tx_append(ev.filter(res == 0), src, n_files=4)
+    base_version = tx_latest_version(src)
+    tx_clone(src, dst)
+    tx_append(ev.filter(res == 1), src, n_files=2)   # source diverges
+    tx_append(ev.filter(res == 2), dst, n_files=2)   # clone diverges
+
+    def census(path, version, branch):
+        return _tx_census(spark, path, version).select(
+            F.lit(branch).alias("branch"), "event_type", "n_events",
+            "total_cents", "last_us")
+
+    return (
+        census(src, None, "source")
+        .unionByName(census(dst, None, "clone"))
+        .unionByName(census(src, base_version, "base"))
+    )

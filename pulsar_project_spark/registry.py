@@ -79,6 +79,7 @@ NEW_R7: tuple[str, ...] = (
     "join_view_incremental_maintenance", # IVM delta identity for joins
     "wav_spectral_tilt_features",      # integer audio tilt on real decode
     "ivfpq_adc_topk",                  # IVF-PQ composed, hash-certified
+    "tx_clone_divergence_census",      # zero-copy shallow clone + branches
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -511,3 +511,27 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         except TxConflict:
             continue
     raise TxConflict(f"merge lost {max_retries} CAS races in {table}")
+
+
+def tx_clone(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (the Delta/Iceberg zero-copy branch primitive):
+    create ``dst`` as a new table whose version 1 references the data
+    of ``src``'s pinned snapshot WITHOUT copying a byte — every live
+    file is ``os.link``-ed into the clone directory, so both tables
+    share inodes but own independent directory entries. Independence
+    is total from that point: commits/DML on either side touch only
+    its own manifests, and ``tx_vacuum`` on the source unlinks only
+    the source's names — the clone's hard links keep the shared
+    inodes alive (and vice versa). Crash-safe for the same reason
+    appends are: links land before the manifest, and an unreferenced
+    link is just vacuum-able scratch."""
+    snap = tx_snapshot(src, version)
+    tx_init(dst)
+    for name in snap["files"]:
+        target = os.path.join(dst, name)
+        if not os.path.exists(target):
+            os.link(os.path.join(src, name), target)
+    stats = snap.get("stats")
+    base = tx_snapshot(dst)
+    return _commit(dst, base["version"], list(snap["files"]),
+                   op=f"clone:{src}@v{snap['version']}", stats=stats)

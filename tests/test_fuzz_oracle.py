@@ -276,6 +276,8 @@ _EVENTS_FUZZED = (
     "tx_pruned_read_census",
     "tx_delete_range_census",
     "tx_merge_upsert_census",
+    # round-7: shallow clone + branch divergence on fuzz corpora
+    "tx_clone_divergence_census",
     "sql_recursive_reachability",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",

@@ -320,3 +320,50 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, table):
     dup = spark.createDataFrame([(1, 5), (1, 6)], "k: bigint, v: bigint")
     with _pytest.raises(ValueError, match="unique"):
         tx_merge_upsert(spark, table, dup, "k")
+
+
+def test_clone_is_zero_copy_and_divergence_independent(spark, table):
+    """SHALLOW CLONE: (1) no data copied — every cloned file shares its
+    inode with the source (hard link); (2) divergent appends stay on
+    their own branch; (3) vacuum on EITHER side never breaks the other
+    — each table's links keep shared inodes alive."""
+    import tempfile
+
+    from pulsar_project_spark.sources.txlog import tx_clone
+
+    tx_append(_mk(spark, 0, 100), table, n_files=4)
+    clone = tempfile.mkdtemp(prefix="txlog_clone_")
+    tx_clone(table, clone)
+
+    src_files = tx_snapshot(table)["files"]
+    assert tx_snapshot(clone)["files"] == src_files
+    for name in src_files:
+        a = os.stat(os.path.join(table, name))
+        b = os.stat(os.path.join(clone, name))
+        assert (a.st_dev, a.st_ino) == (b.st_dev, b.st_ino)  # zero-copy
+
+    tx_append(_mk(spark, 100, 130), table, n_files=1)
+    tx_append(_mk(spark, 200, 210), clone, n_files=1)
+    assert _census(spark, table) == (130, sum(3 * i for i in range(130)))
+    assert _census(spark, clone) == (
+        110, sum(3 * i for i in range(100)) + sum(3 * i for i in range(200, 210)))
+
+    # source compacts + vacuums away the ORIGINAL shared files; the
+    # clone must still read them through its own links
+    tx_compact(spark, table, target_bytes=1 << 30)
+    assert tx_vacuum(table) > 0
+    assert _census(spark, clone) == (
+        110, sum(3 * i for i in range(100)) + sum(3 * i for i in range(200, 210)))
+
+
+def test_clone_pins_requested_version(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_clone
+
+    tx_append(_mk(spark, 0, 40), table, n_files=1)
+    v1 = tx_latest_version(table)
+    tx_append(_mk(spark, 40, 90), table, n_files=1)
+    import tempfile
+
+    clone = tempfile.mkdtemp(prefix="txlog_clonev_")
+    tx_clone(table, clone, version=v1)
+    assert _census(spark, clone) == (40, sum(3 * i for i in range(40)))
