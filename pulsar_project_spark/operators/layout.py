@@ -287,3 +287,84 @@ def hilbert_bucket_stats(df: DataFrame, col_a: str, col_b: str,
             F.max(col_b).alias(f"max_{col_b}"),
         )
     )
+
+
+# --- 3-dimensional Morton (multi-column clustering) -------------------------
+
+# The public 3D bit-spread ladder (every input bit lands at bit 3i);
+# magic masks are the standard 21-bit-capable constants — our inputs
+# are 16-bit, a subset. 3×16 = 48-bit codes, still BIGINT-safe.
+_SPREAD3 = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def _spread_bits3(col: Column) -> Column:
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD3:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue3(a: Column, b: Column, c: Column) -> Column:
+    """48-bit Morton code interleaving the low 16 bits of THREE
+    non-negative integer columns — the multi-column clustering key
+    (two columns bound two predicate dims; real tables filter on
+    three: key, time, measure). Pure shift/mask/or codegen."""
+    return (_spread_bits3(a)
+            .bitwiseOR(F.shiftleft(_spread_bits3(b), 1))
+            .bitwiseOR(F.shiftleft(_spread_bits3(c), 2)))
+
+
+def spread3_sql(expr: str) -> str:
+    s = f"({expr} & 65535)"
+    for shift, mask in _SPREAD3:
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def zvalue3_sql(ea: str, eb: str, ec: str) -> str:
+    return (f"({spread3_sql(ea)} | ({spread3_sql(eb)} << 1)"
+            f" | ({spread3_sql(ec)} << 2))")
+
+
+def zbucket3_shift(n_buckets: int) -> int:
+    """Top-bits shift for the 48-bit 3D code (zbucket_shift analog)."""
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two > 1: {n_buckets}")
+    return 3 * Z_BITS - (n_buckets - 1).bit_length()
+
+
+def zorder3_bucket_stats(df: DataFrame, col_a: str, col_b: str,
+                         col_c: str, n_buckets: int = 64) -> DataFrame:
+    """The Morton bucket census in THREE dimensions: same observed-
+    bounds norm16 normalization per dim, 48-bit interleave, top-bits
+    range buckets, and per-bucket min/max of ALL THREE source columns
+    — the evidence that every output file bounds three predicate
+    dimensions at once (a 2-col curve leaves the third unconstrained;
+    a 1-col sort leaves two). Same economics: one mergeable bounds
+    broadcast, codegen bit math, one n_buckets-group aggregate."""
+    shift = zbucket3_shift(n_buckets)
+    bounds = df.agg(
+        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+        F.min(col_c).alias("__cmin"), F.max(col_c).alias("__cmax"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    a16 = F.expr(norm16_sql(col_a, "__amin", "__amax"))
+    b16 = F.expr(norm16_sql(col_b, "__bmin", "__bmax"))
+    c16 = F.expr(norm16_sql(col_c, "__cmin", "__cmax"))
+    bucket = F.shiftright(zvalue3(a16, b16, c16), shift)
+    return j.groupBy(bucket.alias("z_bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min(col_a).alias(f"min_{col_a}"),
+        F.max(col_a).alias(f"max_{col_a}"),
+        F.min(col_b).alias(f"min_{col_b}"),
+        F.max(col_b).alias(f"max_{col_b}"),
+        F.min(col_c).alias(f"min_{col_c}"),
+        F.max(col_c).alias(f"max_{col_c}"),
+    )

@@ -80,6 +80,7 @@ NEW_R7: tuple[str, ...] = (
     "wav_spectral_tilt_features",      # integer audio tilt on real decode
     "ivfpq_adc_topk",                  # IVF-PQ composed, hash-certified
     "tx_clone_divergence_census",      # zero-copy shallow clone + branches
+    "zorder3_bucket_stats",            # 3-dimensional Morton clustering
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -75,6 +75,7 @@ _REPRESENTATIVE = (
     "wav_spectral_tilt_features",       # codec tilt on 0 assets
     "ivfpq_adc_topk",                   # probe/encode over 0 vectors
     "tx_clone_divergence_census",       # clone of a file-less table
+    "zorder3_bucket_stats",             # NULL 3-dim bounds on 0 rows
     "interval_join_bucketed",           # keyless interval join, 0 anchors
     "incremental_dedup_counts",         # incoming vs empty store
     "levenshtein_confirm_pairs",        # blocking + bounded edit distance

@@ -422,6 +422,8 @@ _STAR_FUZZED = (
     "zorder_bucket_stats",
     # round-6: snowflake-magnitude keys exercise divide-first normalization
     "zorder_wide_range_stats",
+    # round-7: the 3-dim interleave on collapsed fuzz ranges
+    "zorder3_bucket_stats",
     "nation_trade_volume",
     "market_share_by_year",
     # round-6: Q9/Q19 shapes

@@ -54,6 +54,7 @@ ALLOWED_NESTED_LOOP = {
     "association_rules_pairs",   # 1-row order-count broadcast crossJoin
     "benford_first_digit_census",  # 1-row total broadcast crossJoin
     "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
+    "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
 }
 
 
