@@ -48,3 +48,4 @@ from pulsar_project_spark.queries import lenient_ops  # noqa: F401
 from pulsar_project_spark.queries import layout_ops  # noqa: F401
 from pulsar_project_spark.queries import cdc_ops  # noqa: F401
 from pulsar_project_spark.queries import graph_ops  # noqa: F401
+from pulsar_project_spark.queries import tpch_shapes  # noqa: F401

@@ -81,6 +81,15 @@ NEW_R7: tuple[str, ...] = (
     "ivfpq_adc_topk",                  # IVF-PQ composed, hash-certified
     "tx_clone_divergence_census",      # zero-copy shallow clone + branches
     "zorder3_bucket_stats",            # 3-dimensional Morton clustering
+    # the seven shapes completing the classic TPC-H set (Q1/Q3-Q5/Q7-Q10/
+    # Q13/Q15/Q16/Q18/Q19/Q21/Q22 analogs were already declared)
+    "forecast_revenue_change",         # Q6: pure scan-predicate aggregate
+    "min_cost_supplier_per_part",      # Q2: decorrelated MIN + rejoin
+    "important_part_stock_value",      # Q11: HAVING vs global scalar
+    "ship_delay_priority_matrix",      # Q12: conditional count matrix
+    "promo_revenue_share",             # Q14: conditional-agg ratio
+    "small_qty_part_revenue",          # Q17: per-part avg cross-multiplied
+    "excess_supply_suppliers",         # Q20: nested IN over correlated agg
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -60,6 +60,14 @@ _REPRESENTATIVE = (
     # engines correctly return 1 row on empty events — like the global
     # aggregates noted below, it doesn't belong in a zero-rows-out
     # gate; its empty-input parity is covered by the oracle gate)
+    "min_cost_supplier_per_part",       # Q2 decorrelated min on 0 supply
+    "important_part_stock_value",       # Q11 NULL global scalar, 0 parts
+    "ship_delay_priority_matrix",       # Q12 bands over 0 joined lines
+    "small_qty_part_revenue",           # Q17 per-part stats on 0 lines
+    "excess_supply_suppliers",          # Q20 semi join vs empty movers
+    # (forecast_revenue_change and promo_revenue_share are GLOBAL
+    # aggregates — one row on empty input in both engines, covered by
+    # the oracle gate like the others noted above)
     "sole_late_supplier_waits",         # Q21 decorrelation on 0 lineitems
     "dormant_rich_customers",           # Q22 anti-join, NULL scalar mean
     "pareto_frontier_parts",            # banded skyline on 0 parts

@@ -481,6 +481,21 @@ _STAR_FUZZED = (
     # tiny corpora put whole generations (A or ΔA, B or ΔB) at zero rows
     # — the degenerate-split branches of the IVM identity
     "join_view_incremental_maintenance",
+    # round-7 TPC-H completion: the fuzz warehouse's single supplier 0
+    # is in AFRICA, so the region-filtered Q2/Q11/Q20 shapes run their
+    # REAL paths here (ties in the fuzzed unit costs hit Q2's
+    # multi-best-supplier equality join; 'green …' fuzz part names hit
+    # Q20's prefix branch); fuzz sizes 1-2 keep Q2/Q17's size filters
+    # live; Q6/Q14's 1996 windows miss the 2024 fuzz dates (empty-side
+    # parity, like Q10/Q15 above); Q12's delay bands band every fuzzed
+    # (orderdate, shipdate) pair
+    "forecast_revenue_change",
+    "min_cost_supplier_per_part",
+    "important_part_stock_value",
+    "ship_delay_priority_matrix",
+    "promo_revenue_share",
+    "small_qty_part_revenue",
+    "excess_supply_suppliers",
 )
 
 

@@ -53,6 +53,7 @@ ALLOWED_NESTED_LOOP = {
     "top_supplier_by_quarter_revenue",  # 1-row scalar-max broadcast crossJoin
     "association_rules_pairs",   # 1-row order-count broadcast crossJoin
     "benford_first_digit_census",  # 1-row total broadcast crossJoin
+    "important_part_stock_value",  # 1-row (Σcents, n) scalar broadcast crossJoin (Q11)
     "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
     "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
 }
