@@ -176,3 +176,59 @@ def q_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_common_keys"),
         F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_rows"),
     )
+
+
+_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@declare("bucketed_cojoin_rollup", oracle=_BUCKETED_SQL)
+def q_bucketed_cojoin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time pre-shuffle, executed end to end as a declared query:
+    both join sides land as BUCKETED tables on the join key
+    (``operators/skew.py write_bucketed`` — bucketBy(8, orderkey) +
+    sortBy), then the fact-fact join runs on the bucketed storage with
+    a merge hint and NO Exchange on either side (the property
+    `tests/test_skew_and_bucketing.py` pins on the plan; this query
+    makes the full write → catalog read → co-located join → rollup
+    path driver-hash-verified against the plain-join oracle). The
+    merge hint — not a session-conf flip — keeps the tiny test corpus
+    from taking the broadcast path that would bypass the bucketed
+    join entirely; the driver's session is never mutated.
+
+    Scale shape: THE pattern for a fact-fact join both of whose sides
+    are too big to broadcast and which runs repeatedly (daily rollups
+    over the same keys): pay the shuffle ONCE at write time, then every
+    subsequent join/agg on orderkey is exchange-free — at 100 TB the
+    recurring saving is the entire fact-fact shuffle, per run."""
+    import os
+    import tempfile
+
+    from pulsar_project_spark.operators.skew import write_bucketed
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_bucketed_{os.getpid()}")
+    li_tbl, od_tbl = f"bjoin_li_{os.getpid()}", f"bjoin_od_{os.getpid()}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    write_bucketed(li, li_tbl, "l_orderkey", 8, sort_col="l_orderkey",
+                   path=os.path.join(base, "li"))
+    write_bucketed(od, od_tbl, "l_orderkey", 8, sort_col="l_orderkey",
+                   path=os.path.join(base, "od"))
+    return (
+        spark.table(li_tbl)
+        .join(spark.table(od_tbl).hint("merge"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum("cents").alias("revenue_cents"))
+    )

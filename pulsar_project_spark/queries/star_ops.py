@@ -318,3 +318,57 @@ def q_join_view_incremental_maintenance(spark: SparkSession,
         .agg(F.sum("n_orders").alias("n_orders"),
              F.sum("revenue_cents").alias("revenue_cents"))
     )
+
+
+_RETRACT_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+            AS BIGINT) AS sum_cents
+FROM events
+WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+      NOT IN ('0', '1', '2', '3')
+GROUP BY user_id
+"""
+
+
+@declare("retractable_agg_view_census", oracle=_RETRACT_SQL)
+def q_retractable_agg_view_census(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Retraction-capable aggregate view — the DBSP / Z-set weighted
+    changelog, the piece `mergeable_state_rollup` (insert-only merges)
+    and `join_view_incremental_maintenance` (insert-only deltas) leave
+    open: DELETES. Every event enters the changelog with weight +1;
+    the md5-designated quarter is later retracted with weight −1 (each
+    input row EXPLODES to its weighted entries — one scan, no separate
+    delete-stream rescan). The view is Σw and Σ(w·cents) per user, and
+    a group whose net weight reaches 0 VANISHES (the `HAVING Σw > 0`
+    that linear-aggregate IVM engines apply). The oracle recomputes
+    directly over the surviving rows, so hash equality proves the
+    retraction algebra: a missed cancellation, a NULL-asymmetric
+    measure, or a lingering all-retracted group all break it. The
+    measure is coalesce(cents, 0) on BOTH sides — a NULL measure would
+    cancel asymmetrically (sum ignores the NULL insert but the paired
+    retraction would still subtract 0 ≠ NULL semantics across engines).
+
+    Scale shape: one narrow scan, a ≤2-element array explode (never a
+    blow-up), one groupBy shuffle with map-side partials — retraction
+    costs exactly one extra weighted row per delete, |Δ| not |base|."""
+    ev = load_table(spark, sf_dir, "events")
+    retracted = F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 1).isin(*"0123")
+    cents = F.coalesce(
+        F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+    log = ev.select(
+        "user_id", cents.alias("c"),
+        F.explode(
+            F.when(retracted, F.array(F.lit(1), F.lit(-1)))
+            .otherwise(F.array(F.lit(1)))
+        ).alias("w"),
+    )
+    return (
+        log.groupBy("user_id")
+        .agg(F.sum("w").alias("n_events"),
+             F.sum(F.col("w") * F.col("c")).alias("sum_cents"))
+        .filter(F.col("n_events") > 0)
+    )

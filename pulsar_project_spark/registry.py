@@ -90,6 +90,8 @@ NEW_R7: tuple[str, ...] = (
     "promo_revenue_share",             # Q14: conditional-agg ratio
     "small_qty_part_revenue",          # Q17: per-part avg cross-multiplied
     "excess_supply_suppliers",         # Q20: nested IN over correlated agg
+    "retractable_agg_view_census",     # DBSP weighted changelog w/ deletes
+    "bucketed_cojoin_rollup",          # write-time pre-shuffle, 0-exchange join
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -60,6 +60,8 @@ _REPRESENTATIVE = (
     # engines correctly return 1 row on empty events — like the global
     # aggregates noted below, it doesn't belong in a zero-rows-out
     # gate; its empty-input parity is covered by the oracle gate)
+    "retractable_agg_view_census",      # weighted changelog over 0 events
+    "bucketed_cojoin_rollup",           # bucketed write+join of 0-row tables
     "min_cost_supplier_per_part",       # Q2 decorrelated min on 0 supply
     "important_part_stock_value",       # Q11 NULL global scalar, 0 parts
     "ship_delay_priority_matrix",       # Q12 bands over 0 joined lines

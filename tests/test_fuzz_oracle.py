@@ -215,6 +215,9 @@ _EVENTS_FUZZED = (
     # round-7: fuzz hits the short-history branches (n_terms < 8) and
     # NULL value/ts/user rows the real corpus is too clean to produce
     "user_value_ewma_dyadic",
+    # round-7: retraction algebra under NULL values/users and corpora
+    # where md5 retracts EVERY row of a user (the vanishing-group case)
+    "retractable_agg_view_census",
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",
@@ -496,6 +499,9 @@ _STAR_FUZZED = (
     "promo_revenue_share",
     "small_qty_part_revenue",
     "excess_supply_suppliers",
+    # round-7: the bucketed write→co-located-join path under fuzz
+    # cardinalities (1-row buckets, single-order corpora)
+    "bucketed_cojoin_rollup",
 )
 
 
