@@ -849,3 +849,97 @@ def q_tx_clone_divergence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(dst, None, "clone"))
         .unionByName(census(src, base_version, "base"))
     )
+
+
+# epoch-µs cut instants for the two-step tiering transaction below:
+# 2024-01-15 (archive) and 2024-01-08 (recall) — constants of the
+# census, written identically into the Spark predicates and the
+# oracle's CASE (the MAX_BUCKET declared-in-both-engines pattern).
+_TIER_CUT_US = 1_705_276_800_000_000
+_RECALL_CUT_US = 1_704_672_000_000_000
+
+_TX_CATALOG_MOVE_SQL = f"""
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM (
+  SELECT CASE WHEN epoch_us(ts) < {_RECALL_CUT_US} THEN 'hot'
+              WHEN epoch_us(ts) < {_TIER_CUT_US} THEN 'cold'
+              ELSE 'hot' END AS tier,
+         value
+  FROM events
+)
+GROUP BY tier
+"""
+
+
+@declare("tx_catalog_atomic_move_census", oracle=_TX_CATALOG_MOVE_SQL)
+def q_tx_catalog_atomic_move_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CROSS-TABLE atomic commit, executed end to end: a hot/cold
+    tiering pair under one catalog (``sources/txcatalog.py``). Step 1
+    archives everything before Jan 15 hot→cold; step 2 recalls the
+    sub-Jan-8 tail cold→hot — two catalog transactions, each moving
+    rows between two per-table logs behind ONE catalog CAS, so no
+    catalog reader ever sees a row doubled or lost mid-move (the
+    single-table log cannot give this: committing the two manifests in
+    sequence exposes exactly that window). The census reads BOTH
+    tables through the final catalog snapshot; the oracle recomputes
+    the tier assignment directly from raw events (NULL timestamps
+    never match a `<` predicate, so they stay hot on both sides) —
+    a doubled, dropped, or mis-tiered row breaks the hash, and row
+    conservation across the two transactions is implied by the
+    per-tier counts. Atomicity/torn-commit/concurrency semantics are
+    pinned in tests/test_txcatalog.py.
+
+    Scale shape: the data plane is one read + two writes per move (the
+    movers and the survivors); cross-table atomicity itself costs two
+    staged table manifests and one hard-link catalog CAS — metadata,
+    not data."""
+    import shutil
+
+    from pulsar_project_spark.sources.txcatalog import (
+        catalog_init,
+        catalog_move,
+        catalog_read,
+    )
+    from pulsar_project_spark.sources.txlog import tx_append, tx_init
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("tier", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    base = _rt_path("txcatalog_tiering")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    hot, cold = os.path.join(base, "hot"), os.path.join(base, "cold")
+    cat = os.path.join(base, "_catalog")
+    tx_init(hot)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append(ev, hot, n_files=4)
+    tx_init(cold)
+    catalog_init(cat, {"hot": hot, "cold": cold})
+    catalog_move(spark, cat, "hot", "cold",
+                 F.col("ts_us") < F.lit(_TIER_CUT_US))
+    catalog_move(spark, cat, "cold", "hot",
+                 F.col("ts_us") < F.lit(_RECALL_CUT_US))
+    parts = []
+    for tier in ("hot", "cold"):
+        df, _n = catalog_read(spark, cat, tier)
+        if df is not None:
+            parts.append(df.withColumn("tier", F.lit(tier)))
+    if not parts:
+        return spark.createDataFrame([], empty_schema)
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )

@@ -92,6 +92,7 @@ NEW_R7: tuple[str, ...] = (
     "excess_supply_suppliers",         # Q20: nested IN over correlated agg
     "retractable_agg_view_census",     # DBSP weighted changelog w/ deletes
     "bucketed_cojoin_rollup",          # write-time pre-shuffle, 0-exchange join
+    "tx_catalog_atomic_move_census",   # cross-table atomic commit (catalog CAS)
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -1,0 +1,199 @@
+"""Cross-table ATOMIC commits — a catalog pointer over the per-table logs.
+
+``txlog.py`` gives each table snapshot isolation and optimistic
+concurrency, but its unit of atomicity is ONE table: an "archive rows
+from hot to cold" operation that commits two per-table manifests in
+sequence exposes a window where a reader sees the rows in both tables
+(double count) or neither (lost rows). At 100 TB with pipelines that
+continuously re-tier data between tables, that window is hit daily.
+
+This module closes it with the Iceberg-REST-catalog idea reduced to
+its correctness core: a CATALOG whose manifest maps table name →
+(table dir, pinned table version), committed with the same
+hard-link-CAS as the table logs:
+
+  catalog_dir/
+    _manifests/v00000003.json   {"tables": {"hot": [dir, 7], "cold": [dir, 2]}}
+
+Protocol (writer):
+  1. read catalog snapshot C — the ONLY source of table versions;
+  2. derive + stage + commit new PER-TABLE versions from the versions
+     C pins (table-level version numbers are just allocation — lineage
+     is the manifest's recorded parent; a concurrent writer taking
+     version n+1 first only moves our allocation to n+2, never our
+     content, see ``_commit_branch``);
+  3. CAS the catalog C → C+1 with the new version map. THIS is the
+     serialization point: a reader resolving versions only through the
+     catalog sees all of the transaction or none of it. A loser
+     abandons its table versions (unreferenced, vacuum-able — exactly
+     like staged files) and redoes from the new catalog state.
+
+Crash anywhere before step 3 leaves the catalog — and therefore every
+reader — on the old consistent snapshot. There is no step 4.
+
+Reference scope: the reference persists multiple whole-state files per
+task with no cross-file atomicity (memory.py:63-90, task.py:406-470);
+this is the beyond-reference scale path for the same surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pulsar_project_spark.sources.txlog import (
+    TxConflict,
+    _stage_dataframe,
+    tx_init,
+    tx_latest_version,
+    tx_snapshot,
+)
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _catalog_manifest_path(catalog: str, version: int) -> str:
+    return os.path.join(catalog, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def catalog_latest_version(catalog: str) -> int | None:
+    mdir = os.path.join(catalog, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:9]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def catalog_snapshot(catalog: str, version: int | None = None) -> dict:
+    """The catalog manifest of ``version`` (default: latest). Readers
+    MUST resolve table versions through this map — going straight to a
+    table's own latest manifest forfeits cross-table atomicity."""
+    if version is None:
+        version = catalog_latest_version(catalog)
+        if version is None:
+            raise ValueError(f"not a tx catalog: {catalog}")
+    with open(_catalog_manifest_path(catalog, version)) as fh:
+        return json.load(fh)
+
+
+def _catalog_commit(catalog: str, expected_parent: int | None,
+                    tables: dict[str, list], op: str) -> int:
+    """Hard-link CAS, same shape as ``txlog._commit``: fsync a dot-tmp,
+    link to the version name, EEXIST = lost the race."""
+    version = 0 if expected_parent is None else expected_parent + 1
+    manifest = {"version": version, "parent": expected_parent,
+                "op": op, "tables": tables}
+    mdir = os.path.join(catalog, _MANIFEST_DIR)
+    tmp = os.path.join(mdir, f".v{version:08d}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _catalog_manifest_path(catalog, version))
+    except FileExistsError:
+        raise TxConflict(
+            f"catalog version {version} already committed in {catalog}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def catalog_init(catalog: str, tables: dict[str, str]) -> None:
+    """Register ``{name: table_dir}`` at each table's current latest
+    version (the tables are tx-inited if they aren't yet). Idempotent."""
+    os.makedirs(os.path.join(catalog, _MANIFEST_DIR), exist_ok=True)
+    if catalog_latest_version(catalog) is not None:
+        return
+    pinned = {}
+    for name, tdir in tables.items():
+        tx_init(tdir)
+        pinned[name] = [tdir, tx_latest_version(tdir)]
+    _catalog_commit(catalog, None, pinned, op="init")
+
+
+def _commit_branch(table: str, parent: int, files: list[str],
+                   op: str, max_retries: int = 16) -> int:
+    """Commit ``files`` as a new version whose recorded LINEAGE is
+    ``parent`` but whose version NUMBER is the next free one — the
+    allocator a catalog-managed table needs: a concurrent writer that
+    takes latest+1 first must not force us to re-derive content (our
+    content depends only on the catalog-pinned ``parent``; the catalog
+    CAS, not the table version number, decides who wins)."""
+    from pulsar_project_spark.sources.txlog import _commit
+
+    base = tx_latest_version(table)
+    if base is None:
+        raise ValueError(f"not a tx table: {table}")
+    for attempt in range(max_retries):
+        try:
+            # the manifest's recorded parent is the ALLOCATION slot;
+            # the true lineage rides in the txn field for audit —
+            # lineage consumers read the catalog, and the manifest's
+            # file list is complete in itself
+            v = _commit(table, base + attempt, files, op=op,
+                        txn={"lineage": parent})
+        except TxConflict:
+            continue
+        return v
+    raise TxConflict(f"branch commit lost {max_retries} races in {table}")
+
+
+def catalog_move(spark: SparkSession, catalog: str, src: str, dst: str,
+                 predicate, max_retries: int = 5) -> int:
+    """Atomically MOVE the rows matching ``predicate`` (a Column) from
+    table ``src`` to table ``dst``: one cross-table transaction — no
+    catalog reader ever sees the moved rows in both tables or in
+    neither. Returns the committed catalog version.
+
+    Scale shape: the data plane is one read of src + two writes (the
+    survivors, the movers); the atomicity costs only metadata — two
+    staged table manifests and one catalog CAS."""
+    for _ in range(max_retries):
+        csnap = catalog_snapshot(catalog)
+        (src_dir, src_v) = csnap["tables"][src]
+        (dst_dir, dst_v) = csnap["tables"][dst]
+        ssnap = tx_snapshot(src_dir, src_v)
+        dsnap = tx_snapshot(dst_dir, dst_v)
+        if ssnap["files"]:
+            df = spark.read.parquet(
+                *(os.path.join(src_dir, f) for f in ssnap["files"]))
+            movers = df.filter(predicate)
+            survivors = df.filter(~predicate | predicate.isNull())
+            new_src = _stage_dataframe(survivors, src_dir, n_files=2)
+            moved = _stage_dataframe(movers, dst_dir, n_files=2)
+        else:
+            new_src, moved = [], []
+        src_v2 = _commit_branch(src_dir, src_v, new_src, op="move-out")
+        dst_v2 = _commit_branch(dst_dir, dst_v,
+                                dsnap["files"] + moved, op="move-in")
+        tables = dict(csnap["tables"])
+        tables[src] = [src_dir, src_v2]
+        tables[dst] = [dst_dir, dst_v2]
+        try:
+            return _catalog_commit(catalog, csnap["version"], tables,
+                                   op="move")
+        except TxConflict:
+            continue  # somebody moved first: redo from THEIR snapshot
+    raise TxConflict(f"move lost {max_retries} catalog races in {catalog}")
+
+
+def catalog_read(spark: SparkSession, catalog: str, name: str,
+                 version: int | None = None):
+    """Read table ``name`` exactly as the catalog snapshot pins it.
+    Returns (DataFrame | None, n_files) — None for a 0-file table (the
+    caller supplies the schema-correct empty frame if needed)."""
+    csnap = catalog_snapshot(catalog, version)
+    tdir, tv = csnap["tables"][name]
+    files = tx_snapshot(tdir, tv)["files"]
+    if not files:
+        return None, 0
+    df = spark.read.parquet(*(os.path.join(tdir, f) for f in files))
+    return df, len(files)

@@ -61,6 +61,7 @@ _REPRESENTATIVE = (
     # aggregates noted below, it doesn't belong in a zero-rows-out
     # gate; its empty-input parity is covered by the oracle gate)
     "retractable_agg_view_census",      # weighted changelog over 0 events
+    "tx_catalog_atomic_move_census",    # two catalog moves over 0 rows
     "bucketed_cojoin_rollup",           # bucketed write+join of 0-row tables
     "min_cost_supplier_per_part",       # Q2 decorrelated min on 0 supply
     "important_part_stock_value",       # Q11 NULL global scalar, 0 parts

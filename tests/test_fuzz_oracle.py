@@ -218,6 +218,10 @@ _EVENTS_FUZZED = (
     # round-7: retraction algebra under NULL values/users and corpora
     # where md5 retracts EVERY row of a user (the vanishing-group case)
     "retractable_agg_view_census",
+    # round-7: both catalog transactions under fuzz timestamps (18-day
+    # span crosses both cut instants; single-sided corpora leave one
+    # tier empty — the 0-file catalog_read branch)
+    "tx_catalog_atomic_move_census",
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",
