@@ -943,3 +943,29 @@ def q_tx_catalog_atomic_move_census(spark: SparkSession,
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+@declare("tx_vacuum_reclaim_census", oracle=_ROUNDTRIP_SQL)
+def q_tx_vacuum_reclaim_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM executed behind the census — the maintenance trio's last
+    member at the declared level (compact and OPTIMIZE ZORDER already
+    are): 12 small files land as committed appends, compaction rewrites
+    the buckets, then ``tx_vacuum`` PHYSICALLY DELETES every file no
+    longer referenced by the latest manifest (the compaction inputs —
+    which forfeits time travel to the pre-compaction versions, stated
+    exactly like Delta's VACUUM). The census over the post-vacuum
+    snapshot must still hash-match the oracle over the original
+    parquet: a vacuum that deletes one live file, or a manifest that
+    still references a deleted one, breaks the read. The reclaim
+    count and the dies-after-vacuum time-travel contract are pinned in
+    tests/test_txlog.py (layout-dependent, so they belong to a test).
+
+    Scale shape: vacuum is a set difference over manifest file lists —
+    metadata — plus unlinks; at 100 TB it is the storage-cost control
+    loop that makes copy-on-write affordable."""
+    from pulsar_project_spark.sources.txlog import tx_compact, tx_vacuum
+
+    path = _build_tx_events_table(spark, sf_dir)
+    tx_compact(spark, path, target_bytes=1 << 22)
+    tx_vacuum(path)
+    return _tx_census(spark, path, version=None)

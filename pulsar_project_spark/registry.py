@@ -93,6 +93,7 @@ NEW_R7: tuple[str, ...] = (
     "retractable_agg_view_census",     # DBSP weighted changelog w/ deletes
     "bucketed_cojoin_rollup",          # write-time pre-shuffle, 0-exchange join
     "tx_catalog_atomic_move_census",   # cross-table atomic commit (catalog CAS)
+    "tx_vacuum_reclaim_census",        # vacuum completes the maintenance trio
 )
 
 RECERTS_R7: tuple[str, ...] = (

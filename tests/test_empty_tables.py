@@ -62,6 +62,7 @@ _REPRESENTATIVE = (
     # gate; its empty-input parity is covered by the oracle gate)
     "retractable_agg_view_census",      # weighted changelog over 0 events
     "tx_catalog_atomic_move_census",    # two catalog moves over 0 rows
+    "tx_vacuum_reclaim_census",         # compact+vacuum a 0-row table
     "bucketed_cojoin_rollup",           # bucketed write+join of 0-row tables
     "min_cost_supplier_per_part",       # Q2 decorrelated min on 0 supply
     "important_part_stock_value",       # Q11 NULL global scalar, 0 parts

@@ -222,6 +222,9 @@ _EVENTS_FUZZED = (
     # span crosses both cut instants; single-sided corpora leave one
     # tier empty — the 0-file catalog_read branch)
     "tx_catalog_atomic_move_census",
+    # round-7: vacuum after compaction under fuzz corpora (single-file
+    # buckets -> nothing reclaimed; the degenerate-reclaim branch)
+    "tx_vacuum_reclaim_census",
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",
