@@ -493,3 +493,114 @@ def q_benford_first_digit_census(spark: SparkSession,
             .cast("bigint").alias("deviation_micros"),
         )
     )
+
+
+# Binned exact Kolmogorov-Smirnov distance between two order-value
+# distributions. 4096 equi-width bins over the GLOBAL observed bounds
+# make the ECDF relation metadata-sized regardless of corpus scale (an
+# unbinned exact KS needs a cumulative walk over every distinct value —
+# a single-partition global sort at 100 TB); the statistic is the exact
+# KS of the binned distributions, bin count declared in BOTH engines.
+_KS_BINS = 4096
+
+_KS_SQL = f"""
+WITH c AS (
+  SELECT o_orderstatus AS s,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+binned AS (
+  SELECT least({_KS_BINS - 1},
+               ((cents - lo) * {_KS_BINS}) // (hi - lo + 1)) AS bin,
+         CAST(sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS db
+  FROM c, bounds GROUP BY bin
+),
+cum AS (
+  SELECT sum(da) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(db) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cb
+  FROM binned
+),
+tot AS (
+  SELECT CAST(sum(da) AS BIGINT) AS n1, CAST(sum(db) AS BIGINT) AS n2
+  FROM binned
+)
+SELECT CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_scaled,
+       n1, n2,
+       CASE WHEN n1 * n2 = 0 THEN NULL
+            ELSE CAST(max(abs(ca * n2 - cb * n1)) AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE) END AS ks_stat
+FROM cum, tot
+GROUP BY n1, n2
+"""
+
+
+@declare("ks_distance_order_values", oracle=_KS_SQL)
+def q_ks_distance_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    order-value distributions of open ('O') vs fulfilled ('F') orders —
+    the distribution-drift test a training pipeline runs between data
+    generations. The float CDF never materializes: with cumulative bin
+    counts ca, cb and population sizes n1, n2, the supremum
+    |ca/n1 − cb/n2| cross-multiplies to max|ca·n2 − cb·n1| in exact
+    BIGINTs (the orders_above_priority_mean discipline applied to
+    ECDFs); the reported ks_stat is ONE double division of two exact
+    integers. Binning at 4096 equi-width cells over broadcast global
+    bounds keeps the cumulative window metadata-sized — an unbinned
+    exact KS is a single-partition sort over every distinct value,
+    which dies at 100 TB; the binned statistic is exact for the binned
+    distributions and its resolution (1/4096 of the value range) is a
+    declared constant of BOTH engines.
+
+    Scale shape: one scan with pushed status filter, one min/max
+    scalar broadcast, one ≤4096-group aggregate; the cumulative window
+    and the max run over the tiny binned relation."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    ).select(
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(_KS_BINS - 1),
+                F.expr(f"((cents - lo) * {_KS_BINS}) div (hi - lo + 1)"),
+            ).alias("bin"),
+            F.when(F.col("s") == "O", 1).otherwise(0).alias("ia"),
+            F.when(F.col("s") == "F", 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = binned.select(F.sum("da").over(w).alias("ca"),
+                        F.sum("db").over(w).alias("cb"))
+    tot = binned.agg(F.sum("da").cast("bigint").alias("n1"),
+                     F.sum("db").cast("bigint").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("ca") * F.col("n2")
+                         - F.col("cb") * F.col("n1")))
+             .cast("bigint").alias("d_scaled"))
+        .select(
+            "d_scaled", "n1", "n2",
+            # a one-sided corpus (n1*n2 = 0) has no defined KS — NULL,
+            # not a divide-by-zero (Spark 4 ANSI raises; caught by the
+            # one-sided fuzz corpora)
+            F.when(
+                F.col("n1") * F.col("n2") != 0,
+                F.col("d_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+            ).alias("ks_stat"),
+        )
+    )

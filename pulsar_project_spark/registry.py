@@ -94,6 +94,7 @@ NEW_R7: tuple[str, ...] = (
     "bucketed_cojoin_rollup",          # write-time pre-shuffle, 0-exchange join
     "tx_catalog_atomic_move_census",   # cross-table atomic commit (catalog CAS)
     "tx_vacuum_reclaim_census",        # vacuum completes the maintenance trio
+    "ks_distance_order_values",        # exact binned two-sample KS distance
 )
 
 RECERTS_R7: tuple[str, ...] = (

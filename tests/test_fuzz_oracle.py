@@ -509,6 +509,9 @@ _STAR_FUZZED = (
     # round-7: the bucketed write→co-located-join path under fuzz
     # cardinalities (1-row buckets, single-order corpora)
     "bucketed_cojoin_rollup",
+    # round-7: KS under degenerate fuzz distributions (one-sided
+    # corpora -> NULL-total branch; all-equal values -> single bin)
+    "ks_distance_order_values",
 )
 
 

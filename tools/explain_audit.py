@@ -54,6 +54,7 @@ ALLOWED_NESTED_LOOP = {
     "association_rules_pairs",   # 1-row order-count broadcast crossJoin
     "benford_first_digit_census",  # 1-row total broadcast crossJoin
     "important_part_stock_value",  # 1-row (Σcents, n) scalar broadcast crossJoin (Q11)
+    "ks_distance_order_values",    # 1-row bounds + totals broadcast crossJoins
     "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
     "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
 }
