@@ -969,3 +969,77 @@ def q_tx_vacuum_reclaim_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_compact(spark, path, target_bytes=1 << 22)
     tx_vacuum(path)
     return _tx_census(spark, path, version=None)
+
+
+# the pruned week for the partition-evolution census: epoch days of
+# 2024-01-08 .. 2024-01-14 (declared in both engines)
+_EVOLVE_DAY_LO = 19730
+_EVOLVE_DAY_HI = 19736
+
+_TX_EVOLUTION_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE epoch_us(ts) // 86400000000
+      BETWEEN {_EVOLVE_DAY_LO} AND {_EVOLVE_DAY_HI}
+GROUP BY event_type
+"""
+
+
+@declare("tx_partition_evolution_census", oracle=_TX_EVOLUTION_SQL)
+def q_tx_partition_evolution_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on the transactional log: generation 1
+    lands range-clustered by day (the old spec), generation 2 by
+    (event_type, day) (the evolved spec) — two layouts in ONE table,
+    which a Hive-style directory layout cannot express without
+    rewriting the old data. ``tx_read_pruned`` then plans a one-week
+    day slice: pruning tests the recorded per-file day bounds, so BOTH
+    generations prune under the spec they were written with, and the
+    census over the pruned read must hash-match the oracle's direct
+    day-band census (the residual filter re-applies the predicate
+    exactly, so correctness never depends on the bounds). The
+    files-actually-skipped property is layout-dependent and pinned in
+    tests/test_txlog.py.
+
+    Scale shape: re-speccing a 100 TB table costs zero data movement —
+    old files stay readable and prunable; only new files get the new
+    clustering. The read plans from manifest metadata (no file opens)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_init,
+        tx_read_pruned,
+        tx_snapshot,
+    )
+
+    path = _rt_path("txlog_evolution")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = _events_int_projection(spark, sf_dir).withColumn(
+        "day", F.expr("ts_us div 86400000000"))
+    gen1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    gen2 = ev.filter(
+        (F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        | F.col("event_id").isNull())
+    tx_append_clustered(gen1, path, ["day"], n_files=4)
+    tx_append_clustered(gen2, path, ["event_type", "day"], n_files=4)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], _TX_EMPTY_SCHEMA).select(
+            "event_type", "n_events", "total_cents")
+    try:
+        pruned, _n_read, _n_total = tx_read_pruned(
+            spark, path, "day", _EVOLVE_DAY_LO, _EVOLVE_DAY_HI)
+    except ValueError:
+        # bounds PROVED no file intersects the week — a valid outcome
+        # for a corpus living entirely outside it
+        return spark.createDataFrame([], _TX_EMPTY_SCHEMA).select(
+            "event_type", "n_events", "total_cents")
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )

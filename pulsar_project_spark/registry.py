@@ -95,6 +95,7 @@ NEW_R7: tuple[str, ...] = (
     "tx_catalog_atomic_move_census",   # cross-table atomic commit (catalog CAS)
     "tx_vacuum_reclaim_census",        # vacuum completes the maintenance trio
     "ks_distance_order_values",        # exact binned two-sample KS distance
+    "tx_partition_evolution_census",   # two specs, one table, both prune
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -535,3 +535,32 @@ def tx_clone(src: str, dst: str, version: int | None = None) -> int:
     base = tx_snapshot(dst)
     return _commit(dst, base["version"], list(snap["files"]),
                    op=f"clone:{src}@v{snap['version']}", stats=stats)
+
+
+def tx_append_clustered(df: DataFrame, table: str,
+                        cluster_cols: list[str], n_files: int = 4,
+                        max_retries: int = 8) -> int:
+    """Append ``df`` range-clustered on ``cluster_cols`` with per-file
+    manifest bounds — PARTITION-SPEC EVOLUTION, the Iceberg property
+    that a bare Hive layout cannot give: each GENERATION of files may
+    be clustered by a different spec (yesterday by day, today by
+    (type, day)), because the pruned read (``tx_read_pruned``) tests
+    recorded bounds PER FILE rather than parsing one directory layout.
+    Re-speccing a 100 TB table therefore costs nothing for existing
+    data — old generations stay readable and prunable under the bounds
+    they were written with; only new files get the new clustering."""
+    out = (df.repartitionByRange(n_files, *cluster_cols)
+           .sortWithinPartitions(*cluster_cols))
+    new_files = _stage_dataframe(out, table, n_files=None)
+    fresh = _collect_file_stats(table, new_files, list(cluster_cols))
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        try:
+            return _commit(
+                table, snap["version"], snap["files"] + new_files,
+                op="append-clustered",
+                stats=_merged_stats(snap, snap["files"], fresh))
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"clustered append lost {max_retries} CAS races in {table}")

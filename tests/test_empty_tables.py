@@ -64,6 +64,7 @@ _REPRESENTATIVE = (
     "tx_catalog_atomic_move_census",    # two catalog moves over 0 rows
     "tx_vacuum_reclaim_census",         # compact+vacuum a 0-row table
     "ks_distance_order_values",         # ECDF walk over 0 orders
+    "tx_partition_evolution_census",    # two clustered appends of 0 rows
     "bucketed_cojoin_rollup",           # bucketed write+join of 0-row tables
     "min_cost_supplier_per_part",       # Q2 decorrelated min on 0 supply
     "important_part_stock_value",       # Q11 NULL global scalar, 0 parts

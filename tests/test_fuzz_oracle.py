@@ -225,6 +225,9 @@ _EVENTS_FUZZED = (
     # round-7: vacuum after compaction under fuzz corpora (single-file
     # buckets -> nothing reclaimed; the degenerate-reclaim branch)
     "tx_vacuum_reclaim_census",
+    # round-7: mixed-spec generations under fuzz (18-day span straddles
+    # the pruned week; all-outside corpora hit the proved-empty branch)
+    "tx_partition_evolution_census",
     "keep_last_n_per_user",
     "latest_event_per_user",
     "latest_event_argmax",

@@ -367,3 +367,28 @@ def test_clone_pins_requested_version(spark, table):
     clone = tempfile.mkdtemp(prefix="txlog_clonev_")
     tx_clone(table, clone, version=v1)
     assert _census(spark, clone) == (40, sum(3 * i for i in range(40)))
+
+
+def test_partition_evolution_prunes_both_generations(spark, table):
+    """Two generations under DIFFERENT clustering specs must both prune
+    on the recorded per-file bounds: gen 1 range-clustered on id, gen 2
+    on (v, id) — the pruned id-slice read must skip files in BOTH
+    generations and still return exactly the slice."""
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_read_pruned,
+    )
+
+    tx_append_clustered(_mk(spark, 0, 400), table, ["id"], n_files=4)
+    tx_append_clustered(_mk(spark, 400, 800), table, ["v", "id"],
+                        n_files=4)
+    df, n_read, n_total = tx_read_pruned(spark, table, "id", 100, 199)
+    assert n_total == 8
+    assert n_read < n_total          # pruning actually skipped files
+    rows = df.collect()
+    assert sorted(r.id for r in rows) == list(range(100, 200))
+    assert all(r.v == 3 * r.id for r in rows)
+    # the gen-2 slice prunes on ITS spec too (v = 3*id bounds)
+    df2, n_read2, _ = tx_read_pruned(spark, table, "v", 1500, 1799)
+    assert n_read2 < n_total
+    assert sorted(r.id for r in df2.collect()) == list(range(500, 600))
