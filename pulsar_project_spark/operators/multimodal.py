@@ -871,3 +871,49 @@ def decode_wav_tilt_features(wavs: DataFrame) -> DataFrame:
                                "diff_abs", "tilt_micros"])
 
     return wavs.mapInPandas(batches, WAV_TILT_SCHEMA)
+
+
+WAV_DECIMATE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_out", LongType()),
+    StructField("sum_abs_out", LongType()),
+    StructField("passband_micros", LongType()),
+])
+
+
+def decode_wav_decimate_features(wavs: DataFrame) -> DataFrame:
+    """Integer half-band FIR decimation ×2 on REAL WAV decode — the
+    first resampling stage of an audio ingest pipeline, all-integer so
+    the oracle replays it sample-exactly: y_i = s_{2i} + 2·s_{2i+1} +
+    s_{2i+2} (the [1,2,1] smoother, DC gain 4) taken at even phases
+    with the tail dropped where the kernel leaves the signal. Features:
+    output length, Σ|y| and the passband-mass ratio
+    (10⁶·Σ|y|) div (4·Σ|s|) in micros — a pure tone survives decimation
+    (ratio near 10⁶), near-Nyquist content cancels in the smoother and
+    the ratio collapses, so a resampler bug (phase slip, off-by-one
+    tail, wrong kernel) shifts the integers and breaks the hash."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with _wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                idx = np.arange(0, max(n - 2, 0), 2)
+                y = s[idx] + 2 * s[idx + 1] + s[idx + 2]
+                total_in = int(np.abs(s).sum())
+                sum_abs = int(np.abs(y).sum())
+                ratio = ((1_000_000 * sum_abs) // (4 * total_in)
+                         if total_in else 0)
+                rows.append((int(doc_id), int(len(y)), sum_abs, ratio))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_out", "sum_abs_out",
+                               "passband_micros"])
+
+    return wavs.mapInPandas(batches, WAV_DECIMATE_SCHEMA)

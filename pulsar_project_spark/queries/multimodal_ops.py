@@ -934,3 +934,58 @@ def q_wav_spectral_tilt_features(spark: SparkSession,
         F.col("doc_id").isNotNull()
     )
     return decode_wav_tilt_features(synthesize_wav(docs))
+
+
+@declare(
+    "wav_decimate2_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         100 + ((doc_id % 40 + 40) % 40) AS f,
+         1000 + ((doc_id % 20 + 20) % 20) * 100 AS a,
+         800 + ((doc_id % 8 + 8) % 8) * 100 AS n
+  FROM documents WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT d.doc_id, t.t, d.a,
+         ((t.t * d.f) % 8000) * 2 * d.a // 8000 - d.a AS v
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS t) t
+), conv AS (
+  SELECT doc_id, t, v,
+         v + 2 * lead(v, 1) OVER w + lead(v, 2) OVER w AS y,
+         sum(abs(v)) OVER (PARTITION BY doc_id) AS total_in
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY t)
+)
+SELECT doc_id,
+       count(*) AS n_out,
+       CAST(sum(abs(y)) AS BIGINT) AS sum_abs_out,
+       CAST(CASE WHEN max(total_in) = 0 THEN 0
+            ELSE (1000000 * sum(abs(y))) // (4 * max(total_in))
+            END AS BIGINT) AS passband_micros
+FROM conv
+WHERE t % 2 = 0 AND y IS NOT NULL
+GROUP BY doc_id
+""",
+)
+def q_wav_decimate2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-band ×2 decimation on the real WAV decode path — the
+    resample stage every audio ingest runs before feature extraction,
+    kept sample-exact in integers: the [1,2,1] smoother at even phases
+    with the kernel's tail dropped. The oracle regenerates every
+    sample from the sawtooth closed form, replays the convolution with
+    window leads, and recomputes the passband-mass ratio in integer
+    micros — a phase slip, an off-by-one tail, or a wrong kernel
+    weight shifts the integers and breaks the hash.
+
+    Scale shape: same Arrow `mapInPandas` economics as the other
+    codecs — payloads never leave the executor, numpy does the
+    convolution vectorized, features are 4 ints per asset."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_wav_decimate_features,
+        synthesize_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return decode_wav_decimate_features(synthesize_wav(docs))

@@ -96,6 +96,7 @@ NEW_R7: tuple[str, ...] = (
     "tx_vacuum_reclaim_census",        # vacuum completes the maintenance trio
     "ks_distance_order_values",        # exact binned two-sample KS distance
     "tx_partition_evolution_census",   # two specs, one table, both prune
+    "wav_decimate2_features",          # integer half-band FIR decimation
 )
 
 RECERTS_R7: tuple[str, ...] = (

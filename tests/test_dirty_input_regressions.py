@@ -118,6 +118,7 @@ def test_bpe_merge_order_survives_multipartition_shuffle(spark):
 _MM_NEGATIVE_ID_QUERIES = (
     "wav_codec_roundtrip_features",
     "wav_spectral_tilt_features",
+    "wav_decimate2_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",
     "png_decode_features",

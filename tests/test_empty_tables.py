@@ -87,6 +87,7 @@ _REPRESENTATIVE = (
     "benford_first_digit_census",       # digit census over 0 orders
     "join_view_incremental_maintenance", # four delta terms over 0 rows
     "wav_spectral_tilt_features",       # codec tilt on 0 assets
+    "wav_decimate2_features",           # FIR decimation on 0 assets
     "ivfpq_adc_topk",                   # probe/encode over 0 vectors
     "tx_clone_divergence_census",       # clone of a file-less table
     "zorder3_bucket_stats",             # NULL 3-dim bounds on 0 rows

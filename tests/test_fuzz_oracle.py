@@ -152,6 +152,8 @@ _PIPELINE_FUZZED = (
     "wav_codec_roundtrip_features",
     # round-7: first-difference spectral tilt on the same decode path
     "wav_spectral_tilt_features",
+    # round-7: half-band decimation on the same decode path
+    "wav_decimate2_features",
     "pgm_resize_features",
     "rawv_frame_sample_features",
     # round-7: permissive corrupt-census twins for PGM/RAWV
