@@ -125,3 +125,44 @@ def kcore_peel(edges: "DataFrame", k: int = KCORE_K,
             .localCheckpoint(eager=True)
         )
     return e
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(edges: "DataFrame", rounds: int = LPA_ROUNDS) -> "DataFrame":
+    """Synchronous label propagation over an undirected simple graph
+    given as canonical edges (a < b, deduplicated): every vertex starts
+    as its own label; each round it adopts the most frequent label
+    among its NEIGHBORS, ties broken by the smallest label — fully
+    deterministic (classic LPA's random tie-break cannot be replayed
+    by an oracle; (count DESC, label ASC) can). Returns (v, label)
+    after the declared fixed round count — bounded-round semantics,
+    the same contract as the integer PageRank and the k-core peel.
+
+    Scale shape per round: one |E|-sized equi-join of the neighbor
+    relation against the current labels, a (v, label) count aggregate,
+    and a per-v argmax window over that aggregate (partitioned by v —
+    never a global sort); localCheckpoint truncates the per-round
+    lineage."""
+    from pyspark.sql.window import Window
+
+    nbr = (edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+           .unionAll(edges.select(F.col("b").alias("v"),
+                                  F.col("a").alias("u")))
+           .localCheckpoint(eager=True))
+    labels = nbr.select("v").distinct().select(
+        "v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    w = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(rounds):
+        cand = (
+            nbr.join(labels.select(F.col("v").alias("u"), "label"), "u")
+            .groupBy("v", "label").agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

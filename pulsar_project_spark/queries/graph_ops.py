@@ -373,3 +373,75 @@ def q_association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(1000000 * n_ab) div n_a").cast("bigint")
                 .alias("confidence_micros"))
     )
+
+
+def _lpa_sql() -> str:
+    from pulsar_project_spark.operators.graph import LPA_ROUNDS
+
+    blocks = []
+    for r in range(1, LPA_ROUNDS + 1):
+        prev = f"l{r - 1}"
+        # AS MATERIALIZED for the same reason as the k-core chain:
+        # each round references the previous labels once per neighbor
+        # direction — inlining would re-expand the whole chain.
+        blocks.append(f"""l{r} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT n.v, p.label,
+           row_number() OVER (PARTITION BY n.v
+                              ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM nbr n JOIN {prev} p ON p.v = n.u
+    GROUP BY n.v, p.label
+  ) WHERE rn = 1
+)""")
+    body = ",\n".join(blocks)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT l1.p AS a, l2.p AS b
+  FROM op l1 JOIN op l2 ON l1.ok = l2.ok AND l1.p < l2.p
+  GROUP BY l1.p, l2.p
+  HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+), nbr AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT v, v AS label FROM nbr
+),
+{body}
+SELECT v AS part, label AS community FROM l{LPA_ROUNDS}
+"""
+
+
+@declare("coorder_part_communities", oracle=_lpa_sql())
+def q_coorder_part_communities(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Deterministic label propagation over the frequent co-purchase
+    graph — the community-detection member of the graph family
+    (PageRank → components → triangles → k-core → LPA): four
+    synchronous rounds, each vertex adopting its neighbors' most
+    frequent label with ties to the smallest (classic LPA randomizes
+    the tie — this variant is replayable: the oracle unrolls the SAME
+    four rounds as MATERIALIZED CTEs with the identical
+    (count DESC, label ASC) argmax, so a wrong neighbor count or a
+    flipped tie in ANY round breaks the per-vertex hash).
+
+    Scale shape: the certified support-≥2 sparsification bounds the
+    edge list; each round is one |E| equi-join + a (v, label) count +
+    a per-v argmax window (partitioned — never global); lineage
+    checkpoint-truncated per round. O(rounds·|E|)."""
+    from pulsar_project_spark.operators.graph import label_propagation
+
+    op = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    edges = (
+        op.alias("x").join(op.alias("y"), "ok")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    return label_propagation(edges).select(
+        F.col("v").alias("part"), F.col("label").alias("community"))

@@ -97,6 +97,7 @@ NEW_R7: tuple[str, ...] = (
     "ks_distance_order_values",        # exact binned two-sample KS distance
     "tx_partition_evolution_census",   # two specs, one table, both prune
     "wav_decimate2_features",          # integer half-band FIR decimation
+    "coorder_part_communities",        # deterministic LPA, 4 unrolled rounds
 )
 
 RECERTS_R7: tuple[str, ...] = (

@@ -78,6 +78,7 @@ _REPRESENTATIVE = (
     "dormant_rich_customers",           # Q22 anti-join, NULL scalar mean
     "pareto_frontier_parts",            # banded skyline on 0 parts
     "coorder_part_kcore",               # 6 peel rounds over 0 edges
+    "coorder_part_communities",         # 4 LPA rounds over 0 edges
     "user_value_ewma_dyadic",           # 8-lag window on 0 events
     "hilbert_bucket_stats",             # NULL bounds, 16 rounds on 0 rows
     "seasonal_revenue_anomaly_census",  # medians over 0 days

@@ -478,6 +478,9 @@ _STAR_FUZZED = (
     # dense fuzz baskets cascade hard under the peel (high-degree tiny
     # graphs lose whole components round by round)
     "coorder_part_kcore",
+    # near-complete tiny fuzz graphs force maximal label ties every
+    # round — the (count DESC, label ASC) argmax under maximum stress
+    "coorder_part_communities",
     # tiny fuzz domains collapse the norm16 range to a handful of cells —
     # the Hilbert rounds then exercise deep-masked corners (x = y = 0 for
     # most rounds) the real corpus never reaches
