@@ -535,3 +535,85 @@ def incremental_dedup_bloom_gated(incoming: DataFrame, historical: DataFrame,
         )
         .drop("__in_store", "rn")
     )
+
+
+# Exact set-similarity join threshold as a rational (Jaccard >= 1/2):
+# the verify condition cross-multiplies to (DEN+NUM)·inter >= NUM·(n_a+n_b),
+# the prefix length to n − ceil(NUM·n/DEN) + 1, and the length filter to
+# DEN·min(n_a,n_b) >= NUM·max(n_a,n_b) — all integers, oracle-replayable.
+PJ_T_NUM = 1
+PJ_T_DEN = 2
+
+
+def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXACT 5-gram-shingle similarity join (Jaccard >= 1/2) with
+    PPJoin-style prefix + length filtering — the COMPLETE counterpart
+    to ``ngram_jaccard_pairs``, whose MAX_BUCKET mega-bucket guard is a
+    declared incompleteness: here no bucket is dropped, yet the join
+    never goes all-pairs, because candidates come only from pairs
+    sharing a shingle in their frequency-ordered PREFIX (the rarest
+    n − ceil(n/2) + 1 shingles of each doc, under the global
+    (df ASC, shingle ASC) total order) and passing the length filter
+    (2·min(n_a,n_b) >= max — a Jaccard >= 1/2 pair cannot differ more
+    than 2x in size). Both filters are completeness THEOREMS, and the
+    declared query's oracle computes ground truth from pairs sharing
+    ANY shingle — so a single pruned qualifying pair breaks the hash.
+
+    Prefix filtering needs a sparse set domain to bite: 5-gram shingles
+    are combinatorially sparse even over a tiny vocabulary (this
+    corpus: 31 words — raw token sets are hopeless for ANY exact
+    all-pairs method there, while shingle prefixes stay rare).
+
+    Scale shape: a df-count aggregate, a PER-DOC rank window (the
+    global order is the (df, shingle) KEY — never a materialized
+    global rank), one equi-join on prefix shingles for candidates, one
+    exact-verify equi-join on (doc, shingle)."""
+    from pyspark.sql.window import Window
+
+    st = shingle_table(docs, id_col, text_col)  # (id, n_sh, shingle)
+    df_tab = st.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (st.join(df_tab, "shingle")
+              .withColumn("rk", F.row_number().over(wr)))
+    prefix = ranked.filter(
+        F.col("rk") <= F.expr(
+            f"n_sh - ((n_sh * {PJ_T_NUM} + {PJ_T_DEN} - 1)"
+            f" div {PJ_T_DEN}) + 1")
+    ).select(F.col(id_col).alias("d"), F.col("n_sh"), "shingle")
+    cand = (
+        prefix.select(F.col("d").alias("a"), F.col("n_sh").alias("n_a"),
+                      "shingle")
+        .join(prefix.select(F.col("d").alias("b"),
+                            F.col("n_sh").alias("n_b"), "shingle"),
+              "shingle")
+        .filter((F.col("a") < F.col("b"))
+                & (PJ_T_DEN * F.least("n_a", "n_b")
+                   >= PJ_T_NUM * F.greatest("n_a", "n_b")))
+        .select("a", "b")
+        .distinct()
+    )
+    sh_a = st.select(F.col(id_col).alias("a"), "shingle")
+    sh_b = st.select(F.col(id_col).alias("b2"),
+                     F.col("shingle").alias("sh2"))
+    inter = (
+        cand.join(sh_a, "a")
+        .join(sh_b, (F.col("b") == F.col("b2"))
+              & (F.col("shingle") == F.col("sh2")))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = st.select(id_col, "n_sh").distinct()
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"),
+                                F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"),
+                           F.col("n_sh").alias("n_b")), "b")
+        .filter((PJ_T_DEN + PJ_T_NUM) * F.col("inter")
+                >= PJ_T_NUM * (F.col("n_a") + F.col("n_b")))
+    )
+    jac = (F.col("inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
+    return out.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                      "inter", F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      jac.alias("jaccard"))

@@ -486,3 +486,49 @@ def q_bloom_gated_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ground truth for the prefix-filtered exact similarity join: pairs
+# sharing ANY shingle (complete for J > 0), verified with the identical
+# cross-multiplied threshold and NO bucket cap — if the Spark side's
+# prefix/length pruning dropped one qualifying pair, the hash breaks.
+_PREFIX_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS shl FROM toks)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter,
+       CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+       CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING 3 * count(*) >= a.n_sh + b.n_sh
+"""
+
+
+@declare("prefix_filtered_jaccard_pairs", oracle=_PREFIX_JACCARD_SQL)
+def q_prefix_filtered_jaccard_pairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EXACT shingle-set similarity join (5-gram Jaccard >= 1/2) with
+    PPJoin-style prefix + length filtering — the COMPLETE exact join
+    `ngram_jaccard_pairs` declines to be (its MAX_BUCKET guard drops
+    mega-buckets by declared policy): candidates come only from pairs
+    sharing a shingle in their frequency-ordered PREFIX (the rarest
+    n − ceil(n/2) + 1 shingles per doc) and within 2x of each other's
+    size; both prunings are completeness theorems, and the oracle
+    computes ground truth from pairs sharing ANY shingle with the
+    identical integer threshold (3·inter >= n_a + n_b) — a single
+    pruned qualifying pair is an instant hash mismatch, on the driver
+    corpus and on every fuzz corpus (whose 20-word vocabulary forces
+    maximal shingle collisions).
+
+    Scale shape: prefix buckets land on the RAREST shingles (df-ASC
+    order), every step an equi-shuffle, the per-doc rank window
+    partitioned — never global."""
+    from pulsar_project_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs)

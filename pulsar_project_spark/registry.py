@@ -98,6 +98,7 @@ NEW_R7: tuple[str, ...] = (
     "tx_partition_evolution_census",   # two specs, one table, both prune
     "wav_decimate2_features",          # integer half-band FIR decimation
     "coorder_part_communities",        # deterministic LPA, 4 unrolled rounds
+    "prefix_filtered_jaccard_pairs",   # COMPLETE exact similarity join
 )
 
 RECERTS_R7: tuple[str, ...] = (

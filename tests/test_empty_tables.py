@@ -32,6 +32,7 @@ _REPRESENTATIVE = (
     "knn_cosine_topk",                  # vector search
     "exact_dedup_fingerprint",          # dedup
     "minhash_candidate_pairs",          # LSH banding
+    "prefix_filtered_jaccard_pairs",    # prefix join over 0 docs
     "neardup_components",               # iterative fixpoint on 0 edges
     "neardup_cluster_size_histogram",   # dedup report on 0 docs
     "corpus_pipeline_e2e",              # composed pipeline

@@ -140,6 +140,10 @@ _PIPELINE_FUZZED = (
     "priority_source_dedup",
     "bloom_prefilter_census",
     "bloom_gated_incremental_dedup",
+    # round-7: the complete exact similarity join — 20-word fuzz vocab
+    # forces maximal shingle collisions, stressing both completeness
+    # theorems (prefix + length filter) against the any-shingle oracle
+    "prefix_filtered_jaccard_pairs",
     "bpe_fixed_merge_encode_census",
     "png_decode_features",
     "png_permissive_decode_census",
