@@ -203,3 +203,15 @@ def q_streaming_tx_exactly_once_census(spark: SparkSession, sf_dir: str) -> Data
     from pulsar_project_spark.streaming.pipeline import run_streaming_tx_sink
 
     return run_streaming_tx_sink(spark, sf_dir)
+
+
+@declare("streaming_retractable_agg")
+def q_streaming_retractable_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Rows-only by design (stateful streaming); twin-paired with the
+    oracle-backed `retractable_agg_view_census` — equality pinned in
+    tests/test_streaming.py."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_retractable_agg,
+    )
+    return run_streaming_retractable_agg(spark, sf_dir)

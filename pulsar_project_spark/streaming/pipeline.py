@@ -755,3 +755,85 @@ def run_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("total_cents"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+def run_streaming_retractable_agg(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming twin of ``retractable_agg_view_census`` — the DBSP
+    weighted changelog as a STREAM: every event contributes (+1, +c)
+    and the md5-designated quarter ALSO emits its retraction (−1, −c)
+    in-stream (the explode that the batch twin runs corpus-wide,
+    arriving micro-batch by micro-batch). foreachBatch folds each
+    batch's per-user (Σw, Σw·c) ADDITIVELY into the state table —
+    linear aggregates merge by plain addition, which is the whole
+    reason IVM engines carry (count, sum) instead of averages — and
+    the final read drops net-zero groups exactly like the batch twin's
+    HAVING Σw > 0. Batch parity is pinned in tests/test_streaming.py;
+    the batch twin carries the driver hash. For replay-safe sums under
+    failure retries, compose with the txn-id landing
+    (``run_streaming_tx_sink``) — additive merges alone are
+    deliberately NOT idempotent, and that contrast is the point of the
+    two queries being separate."""
+    import shutil
+
+    state_dir = tempfile.mkdtemp(prefix="retractstate_")
+    state_path = os.path.join(state_dir, "state")
+    ev = events_stream(spark, sf_dir)
+    retracted = F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 1).isin(*"0123")
+    cents = F.coalesce(
+        F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+    log = ev.select(
+        "user_id", cents.alias("c"),
+        F.explode(
+            F.when(retracted, F.array(F.lit(1), F.lit(-1)))
+            .otherwise(F.array(F.lit(1)))
+        ).alias("w"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.sum("w").alias("n_events"),
+            F.sum(F.col("w") * F.col("c")).alias("sum_cents"),
+        )
+        if os.path.isdir(state_path):
+            both = s.read.parquet(state_path).unionByName(delta)
+        else:
+            both = delta
+        merged = both.groupBy("user_id").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        staged = state_path + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(state_path):
+            old = state_path + ".old"
+            os.rename(state_path, old)
+            os.rename(staged, state_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, state_path)
+
+    with _state_partitions(spark):
+        q = (
+            log.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not os.path.isdir(state_path):
+        from pyspark.sql.types import (LongType, StructField, StructType)
+
+        return spark.createDataFrame([], StructType([
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]))
+    return (spark.read.parquet(state_path)
+            .filter(F.col("n_events") > 0)
+            .select("user_id", "n_events", "sum_cents"))

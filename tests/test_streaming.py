@@ -195,6 +195,7 @@ TWIN_OF = {
     "mq_pipeline_roundtrip": "group_count_by_type",
     "streaming_cdc_apply": "cdc_apply_net_state",
     "streaming_left_outer_attribution": "unattributed_clicks_census",
+    "streaming_retractable_agg": "retractable_agg_view_census",
 }
 
 
@@ -419,3 +420,15 @@ def test_twin_left_outer_attribution(spark):
     missing = (sum(nc for nc, _ in want.values())
                - sum(nc for nc, _ in got.values()))
     assert 0 <= missing <= tail, (missing, tail, wm)
+
+
+def test_twin_retractable_agg(spark):
+    # the streaming weighted changelog (per-batch additive fold) must
+    # land exactly the batch twin's net view, including the vanished
+    # net-zero groups
+    got = {tuple(r) for r in
+           _declared("streaming_retractable_agg")(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in
+            _declared(TWIN_OF["streaming_retractable_agg"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
