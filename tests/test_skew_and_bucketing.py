@@ -62,3 +62,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert n == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_declared_bucketed_cojoin_has_no_join_side_exchange(spark):
+    """The DECLARED query (not just the helper): its SortMergeJoin must
+    read the two bucketed catalog tables with zero Exchange upstream of
+    the join — the only shuffle in the plan is the final rollup."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["bucketed_cojoin_rollup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    tree = plan.split("\n\n")[0]
+    join_pos = tree.index("SortMergeJoin")
+    below = tree[join_pos:]
+    assert "Exchange" not in below, below
+    # exactly one exchange anywhere: the 5-group aggregate
+    assert len(re.findall(r"\+- Exchange", tree)) == 1, tree
