@@ -180,3 +180,36 @@ def test_catalog_cas_conflict_redoes_from_new_state(spark, tmp_path,
 def test_catalog_read_requires_catalog(spark, tmp_path):
     with pytest.raises(ValueError, match="not a tx catalog"):
         catalog_snapshot(str(tmp_path / "nope"))
+
+
+def test_concurrent_movers_serialize_via_catalog_cas(spark, tmp_path):
+    """Two real threads moving DISJOINT slices concurrently: the
+    catalog CAS forces one to redo from the other's snapshot; both
+    must land, rows conserved, no double-move, catalog version
+    strictly sequential (the tx_append rebase stress test, lifted to
+    cross-table transactions)."""
+    import threading
+
+    hot, cold, cat = _mk_pair(spark, tmp_path, n=200)
+    errs = []
+
+    def worker(lo, hi):
+        try:
+            catalog_move(spark, cat, "hot", "cold",
+                         (F.col("k") >= lo) & (F.col("k") < hi),
+                         max_retries=10)
+        except Exception as exc:  # pragma: no cover - failure evidence
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(0, 50)),
+               threading.Thread(target=worker, args=(100, 150))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert _counts(spark, cat) == {"hot": 100, "cold": 100}
+    cold_df, _ = catalog_read(spark, cat, "cold")
+    got = sorted(r.k for r in cold_df.collect())
+    assert got == list(range(0, 50)) + list(range(100, 150))
+    assert catalog_snapshot(cat)["version"] == 2
