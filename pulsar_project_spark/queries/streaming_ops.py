@@ -215,3 +215,14 @@ def q_streaming_retractable_agg(spark: SparkSession,
         run_streaming_retractable_agg,
     )
     return run_streaming_retractable_agg(spark, sf_dir)
+
+
+@declare("streaming_ks_drift")
+def q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (stateful streaming); twin-paired with the
+    oracle-backed `ks_distance_order_values` — equality pinned in
+    tests/test_streaming.py."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_ks_drift,
+    )
+    return run_streaming_ks_drift(spark, sf_dir)

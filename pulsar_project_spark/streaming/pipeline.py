@@ -837,3 +837,122 @@ def run_streaming_retractable_agg(spark: SparkSession,
     return (spark.read.parquet(state_path)
             .filter(F.col("n_events") > 0)
             .select("user_id", "n_events", "sum_cents"))
+
+
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over any corpus table (the events_stream
+    staging pattern, generalized): schema from a batch peek, single
+    file staged behind a deterministic symlink dir so checkpoints
+    survive re-runs."""
+    import hashlib
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"{table}_src_{digest}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def run_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring as a STREAM — the two-sample KS
+    distance (`ks_distance_order_values` is the oracle-backed batch
+    twin) maintained incrementally: each micro-batch folds its per-value
+    (cents, da, db) counts ADDITIVELY into the state histogram (exact —
+    counts are linear), and the final read replays the batch tail over
+    the accumulated histogram: global bounds, 4096 equi-width bins, the
+    cumulative integer ECDF walk, the cross-multiplied supremum. Binning
+    aggregated counts from the SAME global bounds commutes with binning
+    raw rows, so stream == batch exactly (pinned in
+    tests/test_streaming.py). The state is the exact value histogram —
+    the honest cost of EXACT drift monitoring; a production monitor at
+    100 TB bins the state adaptively and accepts resolution loss."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    state_dir = tempfile.mkdtemp(prefix="ksstate_")
+    state_path = os.path.join(state_dir, "state")
+    orders = table_stream(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F"))
+    log = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("ia"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ib"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("cents").agg(
+            F.sum("ia").alias("da"), F.sum("ib").alias("db"))
+        if os.path.isdir(state_path):
+            both = s.read.parquet(state_path).unionByName(delta)
+        else:
+            both = delta
+        merged = both.groupBy("cents").agg(
+            F.sum("da").alias("da"), F.sum("db").alias("db"))
+        staged = state_path + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(state_path):
+            old = state_path + ".old"
+            os.rename(state_path, old)
+            os.rename(staged, state_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, state_path)
+
+    with _state_partitions(spark):
+        q = (
+            log.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    empty = StructType([
+        StructField("d_scaled", LongType()), StructField("n1", LongType()),
+        StructField("n2", LongType()),
+        StructField("ks_stat", DoubleType()),
+    ])
+    if not os.path.isdir(state_path):
+        return spark.createDataFrame([], empty)
+    hist = spark.read.parquet(state_path)
+    bounds = hist.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = (
+        hist.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(F.lit(4095),
+                    F.expr("((cents - lo) * 4096) div (hi - lo + 1)"))
+            .alias("bin"), "da", "db",
+        )
+        .groupBy("bin")
+        .agg(F.sum("da").alias("da"), F.sum("db").alias("db"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = binned.select(F.sum("da").over(w).alias("ca"),
+                        F.sum("db").over(w).alias("cb"))
+    tot = binned.agg(F.sum("da").cast("bigint").alias("n1"),
+                     F.sum("db").cast("bigint").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("ca") * F.col("n2")
+                         - F.col("cb") * F.col("n1")))
+             .cast("bigint").alias("d_scaled"))
+        .select(
+            "d_scaled", "n1", "n2",
+            F.when(F.col("n1") * F.col("n2") != 0,
+                   F.col("d_scaled").cast("double")
+                   / (F.col("n1") * F.col("n2")).cast("double"))
+            .alias("ks_stat"),
+        )
+    )

@@ -196,6 +196,7 @@ TWIN_OF = {
     "streaming_cdc_apply": "cdc_apply_net_state",
     "streaming_left_outer_attribution": "unattributed_clicks_census",
     "streaming_retractable_agg": "retractable_agg_view_census",
+    "streaming_ks_drift": "ks_distance_order_values",
 }
 
 
@@ -430,5 +431,17 @@ def test_twin_retractable_agg(spark):
            _declared("streaming_retractable_agg")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
             _declared(TWIN_OF["streaming_retractable_agg"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_twin_ks_drift(spark):
+    # the incrementally-maintained value histogram must reproduce the
+    # batch KS EXACTLY (binning aggregated counts from the same global
+    # bounds commutes with binning raw rows)
+    got = {tuple(r) for r in
+           _declared("streaming_ks_drift")(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in
+            _declared(TWIN_OF["streaming_ks_drift"])(
                 spark, SF_SMOKE).collect()}
     assert got == want
