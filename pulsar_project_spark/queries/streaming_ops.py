@@ -226,3 +226,15 @@ def q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_ks_drift,
     )
     return run_streaming_ks_drift(spark, sf_dir)
+
+
+@declare("streaming_cms_heavy_hitters")
+def q_streaming_cms_heavy_hitters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rows-only by design (stateful streaming); twin-paired with the
+    oracle-backed `cms_heavy_hitters` — equality pinned in
+    tests/test_streaming.py."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_cms_heavy_hitters,
+    )
+    return run_streaming_cms_heavy_hitters(spark, sf_dir)

@@ -956,3 +956,80 @@ def run_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_stat"),
         )
     )
+
+
+def run_streaming_cms_heavy_hitters(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Heavy-hitter monitoring as a STREAM — the count-min counter
+    table is a LINEAR sketch (counters add), so each micro-batch's
+    cells fold into the state by pointwise addition, exactly the
+    merge-across-shards property the batch operator documents; the
+    per-user exact counts (the probe side) fold the same way. The
+    final probe replays the batch query over the accumulated state, so
+    stream == batch EXACTLY (twin: `cms_heavy_hitters`, equality
+    pinned in tests/test_streaming.py). At 100 TB the streaming state
+    is ~100 KB of counters plus the per-key counts — the sketch is the
+    part that stays small when the key space explodes."""
+    import shutil
+
+    from pulsar_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="cmsstate_")
+    cms_path = os.path.join(state_dir, "cms")
+    exact_path = os.path.join(state_dir, "exact")
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()).select("user_id")
+
+    def _fold(s, path, delta, keys, cnt_col):
+        if os.path.isdir(path):
+            both = s.read.parquet(path).unionByName(delta)
+        else:
+            both = delta
+        merged = both.groupBy(*keys).agg(F.sum(cnt_col).alias(cnt_col))
+        staged = path + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(path):
+            old = path + ".old"
+            os.rename(path, old)
+            os.rename(staged, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        _fold(s, cms_path, cms_build(batch_df, "user_id"),
+              ["depth", "pos"], "cnt")
+        _fold(s, exact_path,
+              batch_df.groupBy("user_id").agg(F.count("*").alias("exact_n")),
+              ["user_id"], "exact_n")
+
+    with _state_partitions(spark):
+        q = (
+            ev.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not os.path.isdir(exact_path):
+        return spark.createDataFrame([], StructType([
+            StructField("user_id", LongType()),
+            StructField("exact_n", LongType()),
+            StructField("cms_estimate", LongType()),
+            StructField("overestimate", LongType()),
+        ]))
+    exact = spark.read.parquet(exact_path)
+    cms = spark.read.parquet(cms_path)
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()).limit(20)
+    return cms_estimate(probes, cms, "user_id").withColumn(
+        "overestimate", F.col("cms_estimate") - F.col("exact_n"))

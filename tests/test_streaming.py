@@ -197,6 +197,7 @@ TWIN_OF = {
     "streaming_left_outer_attribution": "unattributed_clicks_census",
     "streaming_retractable_agg": "retractable_agg_view_census",
     "streaming_ks_drift": "ks_distance_order_values",
+    "streaming_cms_heavy_hitters": "cms_heavy_hitters",
 }
 
 
@@ -443,5 +444,16 @@ def test_twin_ks_drift(spark):
            _declared("streaming_ks_drift")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
             _declared(TWIN_OF["streaming_ks_drift"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_twin_cms_heavy_hitters(spark):
+    # counters are a LINEAR sketch: per-batch pointwise addition must
+    # land the identical counter table, hence identical estimates
+    got = {tuple(r) for r in
+           _declared("streaming_cms_heavy_hitters")(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in
+            _declared(TWIN_OF["streaming_cms_heavy_hitters"])(
                 spark, SF_SMOKE).collect()}
     assert got == want
