@@ -238,3 +238,15 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession,
         run_streaming_cms_heavy_hitters,
     )
     return run_streaming_cms_heavy_hitters(spark, sf_dir)
+
+
+@declare("streaming_lc_distinct")
+def q_streaming_lc_distinct(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Rows-only by design (stateful streaming); twin-paired with the
+    oracle-backed `lc_distinct_bitmap_census` — equality pinned in
+    tests/test_streaming.py."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_lc_distinct,
+    )
+    return run_streaming_lc_distinct(spark, sf_dir)

@@ -1033,3 +1033,80 @@ def run_streaming_cms_heavy_hitters(spark: SparkSession,
         F.col("exact_n").desc(), F.col("user_id").asc()).limit(20)
     return cms_estimate(probes, cms, "user_id").withColumn(
         "overestimate", F.col("cms_estimate") - F.col("exact_n"))
+
+
+def run_streaming_lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count monitoring as a STREAM — the linear-counting
+    bitmap folds across micro-batches by ``bit_or`` (idempotent AND
+    commutative, so unlike the additive folds a replayed batch cannot
+    even skew it), landing the bit-identical bitmap the batch build
+    produces; the exact comparison side folds as a distinct (type,
+    user) presence state. Final census == the oracle-backed batch twin
+    `lc_distinct_bitmap_census` exactly (pinned in
+    tests/test_streaming.py). The bitmap is the piece that stays
+    ~1 KB/group at 100 TB; the exact side exists only because the twin
+    reports exact-vs-sketch side by side."""
+    import shutil
+
+    from pulsar_project_spark.operators.sketches import lc_build, lc_set_bits
+
+    state_dir = tempfile.mkdtemp(prefix="lcstate_")
+    bm_path = os.path.join(state_dir, "bitmap")
+    seen_path = os.path.join(state_dir, "seen")
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select("event_type", "user_id")
+
+    def _swap(df: DataFrame, path: str) -> None:
+        staged = path + ".staged"
+        df.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(path):
+            old = path + ".old"
+            os.rename(path, old)
+            os.rename(staged, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        delta_bm = lc_build(batch_df, "event_type", "user_id")
+        if os.path.isdir(bm_path):
+            both = s.read.parquet(bm_path).unionByName(delta_bm)
+        else:
+            both = delta_bm
+        merged = both.groupBy("event_type", "word_idx").agg(
+            F.expr("bit_or(bits)").alias("bits"))
+        _swap(merged, bm_path)
+        delta_seen = batch_df.distinct()
+        if os.path.isdir(seen_path):
+            seen = s.read.parquet(seen_path).unionByName(delta_seen).distinct()
+        else:
+            seen = delta_seen
+        _swap(seen, seen_path)
+
+    with _state_partitions(spark):
+        q = (
+            ev.writeStream.outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if not os.path.isdir(bm_path):
+        return spark.createDataFrame([], StructType([
+            StructField("event_type", StringType()),
+            StructField("n_exact_distinct", LongType()),
+            StructField("n_set_bits", LongType()),
+            StructField("m_bits", LongType()),
+        ]))
+    setb = lc_set_bits(spark.read.parquet(bm_path), "event_type")
+    exact = spark.read.parquet(seen_path).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact_distinct"))
+    return exact.join(setb, "event_type").select(
+        "event_type", "n_exact_distinct", "n_set_bits", "m_bits")

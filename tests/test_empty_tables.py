@@ -53,6 +53,7 @@ _REPRESENTATIVE = (
     "streaming_retractable_agg",        # weighted stream fold of 0 rows
     "streaming_ks_drift",               # ECDF histogram fold of 0 rows
     "streaming_cms_heavy_hitters",      # counter fold of 0 rows
+    "streaming_lc_distinct",            # bitmap fold of 0 rows
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers
     "tx_delete_range_census",           # delete over a 0-row table

@@ -198,6 +198,7 @@ TWIN_OF = {
     "streaming_retractable_agg": "retractable_agg_view_census",
     "streaming_ks_drift": "ks_distance_order_values",
     "streaming_cms_heavy_hitters": "cms_heavy_hitters",
+    "streaming_lc_distinct": "lc_distinct_bitmap_census",
 }
 
 
@@ -455,5 +456,16 @@ def test_twin_cms_heavy_hitters(spark):
            _declared("streaming_cms_heavy_hitters")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
             _declared(TWIN_OF["streaming_cms_heavy_hitters"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_twin_lc_distinct(spark):
+    # bit_or folds are idempotent AND commutative: the streamed bitmap
+    # must be bit-identical to the batch build, popcounts equal
+    got = {tuple(r) for r in
+           _declared("streaming_lc_distinct")(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in
+            _declared(TWIN_OF["streaming_lc_distinct"])(
                 spark, SF_SMOKE).collect()}
     assert got == want
