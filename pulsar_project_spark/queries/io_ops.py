@@ -967,7 +967,9 @@ def q_tx_vacuum_reclaim_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _build_tx_events_table(spark, sf_dir)
     tx_compact(spark, path, target_bytes=1 << 22)
-    tx_vacuum(path)
+    # retention 0 = the RETAIN 0 HOURS analog: this single-writer build
+    # job IS quiescent; production keeps the 24 h default (ADVICE r7)
+    tx_vacuum(path, retention_seconds=0.0)
     return _tx_census(spark, path, version=None)
 
 

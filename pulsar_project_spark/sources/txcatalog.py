@@ -197,3 +197,92 @@ def catalog_read(spark: SparkSession, catalog: str, name: str,
         return None, 0
     df = spark.read.parquet(*(os.path.join(tdir, f) for f in files))
     return df, len(files)
+
+
+def catalog_vacuum(catalog: str, retention_seconds: float = 86400.0) -> int:
+    """Catalog-aware VACUUM (ADVICE r7): for a catalog-managed table,
+    liveness is what the CATALOG pins, not the table's own latest
+    manifest — a losing ``catalog_move`` leaves its abandoned branch AS
+    the table's latest, and ``tx_vacuum``'s latest-manifest rule would
+    keep the abandoned branch while deleting the catalog-pinned
+    version's files (silent data loss for catalog readers). Here the
+    live set of each table is the union of its files (and DV files)
+    over EVERY version any surviving catalog snapshot pins; abandoned
+    branch versions' manifests and unreferenced data files older than
+    ``retention_seconds`` are reclaimed. Writer-transaction ids of
+    dropped manifests fold into each table's sidecar exactly as in
+    ``tx_vacuum``. Single-maintenance-process discipline applies.
+    Returns the number of data files removed across all tables."""
+    import time as _time
+
+    from pulsar_project_spark.sources.txlog import (
+        _known_txns,
+        _txn_key,
+        _TXN_SIDECAR,
+    )
+
+    start = _time.time()
+    latest_cat = catalog_latest_version(catalog)
+    if latest_cat is None:
+        raise ValueError(f"not a tx catalog: {catalog}")
+    cmdir = os.path.join(catalog, _MANIFEST_DIR)
+    surviving_cats = [
+        int(f[1:9]) for f in os.listdir(cmdir)
+        if f.startswith("v") and f.endswith(".json")
+        and int(f[1:9]) >= latest_cat
+    ]
+    # pinned versions per table dir, unioned over surviving catalog
+    # snapshots (>= the one pinned at vacuum start — snapshots landing
+    # mid-vacuum stay safe exactly as in tx_vacuum)
+    pinned: dict[str, set[int]] = {}
+    for cv in surviving_cats:
+        for tdir, tv in catalog_snapshot(catalog, cv)["tables"].values():
+            pinned.setdefault(tdir, set()).add(tv)
+    removed = 0
+    horizon = start - retention_seconds
+    for tdir, versions in pinned.items():
+        live: set[str] = set()
+        for tv in versions:
+            snap = tx_snapshot(tdir, tv)
+            live.update(snap["files"])
+            live.update(snap.get("dvs", {}).values())
+        mdir = os.path.join(tdir, _MANIFEST_DIR)
+        dropped_txns = {}
+        drop_manifests = []
+        for f in os.listdir(mdir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            v = int(f[1:9])
+            if v in versions:
+                continue
+            path = os.path.join(mdir, f)
+            if os.path.getmtime(path) > horizon:
+                continue  # maybe a move staging its branch right now
+            with open(path) as fh:
+                m = json.load(fh)
+            txn = m.get("txn")
+            if txn and "app" in txn and "batch" in txn:
+                dropped_txns[_txn_key(txn["app"], txn["batch"])] = m["version"]
+            drop_manifests.append(path)
+        if dropped_txns:
+            known = _known_txns(tdir)
+            known.update(dropped_txns)
+            tmp = os.path.join(mdir, f".{_TXN_SIDECAR}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(known, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(mdir, _TXN_SIDECAR))
+        for path in drop_manifests:
+            os.unlink(path)
+        for f in list(os.listdir(tdir)):
+            if f.endswith(".parquet") and f not in live:
+                path = os.path.join(tdir, f)
+                try:
+                    if os.path.getmtime(path) > horizon:
+                        continue
+                    os.unlink(path)
+                except FileNotFoundError:
+                    continue
+                removed += 1
+    return removed

@@ -213,3 +213,48 @@ def test_concurrent_movers_serialize_via_catalog_cas(spark, tmp_path):
     got = sorted(r.k for r in cold_df.collect())
     assert got == list(range(0, 50)) + list(range(100, 150))
     assert catalog_snapshot(cat)["version"] == 2
+
+
+def test_catalog_vacuum_respects_pins_and_reclaims_abandoned(spark, tmp_path):
+    """ADVICE r7: an abandoned catalog_move branch may sit as a table's
+    own LATEST manifest — tx_vacuum would keep the abandoned branch and
+    delete the catalog-pinned version's files. catalog_vacuum computes
+    liveness from the catalog pins instead: the pinned snapshots stay
+    byte-for-byte readable, the abandoned branch's manifest and its
+    unreferenced files are reclaimed."""
+    from pulsar_project_spark.sources.txcatalog import catalog_vacuum
+    from pulsar_project_spark.sources.txlog import _stage_dataframe, _commit
+
+    hot, cold, cat = _mk_pair(spark, tmp_path)
+    catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
+    pinned_counts = _counts(spark, cat)
+
+    # simulate a LOSING mover: stage new hot files and commit them as
+    # the table's latest version, but never CAS the catalog
+    orphan = _stage_dataframe(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v")),
+        hot, n_files=1)
+    ver = tx_latest_version(hot)
+    _commit(hot, ver, orphan, op="move-out")
+    assert tx_latest_version(hot) == ver + 1  # abandoned branch IS latest
+
+    removed = catalog_vacuum(cat, retention_seconds=0.0)
+    assert removed >= 1  # the orphan file reclaimed
+    # catalog readers see exactly the pinned placement, fully readable
+    assert _counts(spark, cat) == pinned_counts
+    for t in ("hot", "cold"):
+        df, _ = catalog_read(spark, cat, t)
+        if df is not None:
+            df.count()  # no dangling file reference
+    # the abandoned branch's manifest is gone
+    assert tx_latest_version(hot) == ver
+
+
+def test_catalog_vacuum_default_retention_keeps_everything(spark, tmp_path):
+    from pulsar_project_spark.sources.txcatalog import catalog_vacuum
+
+    hot, cold, cat = _mk_pair(spark, tmp_path)
+    catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
+    assert catalog_vacuum(cat) == 0  # everything too young at 24 h
+    assert _counts(spark, cat) == {"hot": 60, "cold": 40}

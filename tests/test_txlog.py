@@ -117,7 +117,11 @@ def test_vacuum_reclaims_only_dead_files(spark, table):
     _stage_dataframe(_mk(spark, 0, 5), table, n_files=1)  # crashed orphan
     tx_compact(spark, table, target_bytes=1 << 30)
     census = _census(spark, table)
-    removed = tx_vacuum(table)
+    # default retention keeps everything this young: writer-safety
+    # guard (ADVICE r7) — nothing reclaimed, table intact
+    assert tx_vacuum(table) == 0
+    assert _census(spark, table) == census
+    removed = tx_vacuum(table, retention_seconds=0.0)
     assert removed == 9  # 8 replaced inputs + 1 orphan
     assert _census(spark, table) == census
     # time travel to pre-compaction versions is now (documented) gone
@@ -351,7 +355,7 @@ def test_clone_is_zero_copy_and_divergence_independent(spark, table):
     # source compacts + vacuums away the ORIGINAL shared files; the
     # clone must still read them through its own links
     tx_compact(spark, table, target_bytes=1 << 30)
-    assert tx_vacuum(table) > 0
+    assert tx_vacuum(table, retention_seconds=0.0) > 0
     assert _census(spark, clone) == (
         110, sum(3 * i for i in range(100)) + sum(3 * i for i in range(200, 210)))
 
@@ -392,3 +396,186 @@ def test_partition_evolution_prunes_both_generations(spark, table):
     df2, n_read2, _ = tx_read_pruned(spark, table, "v", 1500, 1799)
     assert n_read2 < n_total
     assert sorted(r.id for r in df2.collect()) == list(range(500, 600))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: vacuum writer-safety, txn-id survival, AS OF TIMESTAMP,
+# deletion vectors, change data feed.
+# ---------------------------------------------------------------------------
+
+
+def test_txn_idempotency_survives_compaction_and_vacuum(spark, table):
+    """ADVICE r7: a streaming batch replay after compaction+vacuum must
+    still be detected — the (app, batch) ids of dropped manifests fold
+    into the sidecar, so tx_append_txn stays a no-op forever."""
+    from pulsar_project_spark.sources.txlog import tx_append_txn, tx_txn_version
+
+    tx_append_txn(_mk(spark, 0, 60), table, app="st", batch=0, n_files=4)
+    tx_append_txn(_mk(spark, 60, 100), table, app="st", batch=1, n_files=4)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_vacuum(table, retention_seconds=0.0)
+    # both txn manifests are gone; the sidecar still answers
+    assert tx_txn_version(table, "st", 0) is not None
+    assert tx_txn_version(table, "st", 1) is not None
+    before = tx_snapshot(table)["version"]
+    census = _census(spark, table)
+    tx_append_txn(_mk(spark, 0, 60), table, app="st", batch=0, n_files=1)
+    assert tx_snapshot(table)["version"] == before  # replay = no-op
+    assert _census(spark, table) == census
+
+
+def test_vacuum_keeps_files_of_newer_manifests(spark, table):
+    """A commit landing 'mid-vacuum' (here: before, with version above
+    the pinned latest) keeps its files even at retention 0 — liveness
+    is the union over all surviving manifests, not just the pinned one."""
+    tx_append(_mk(spark, 0, 50), table, n_files=2)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_append(_mk(spark, 50, 80), table, n_files=1)  # newer than compaction
+    tx_vacuum(table, retention_seconds=0.0)
+    assert _census(spark, table) == (80, sum(3 * i for i in range(80)))
+
+
+def test_as_of_timestamp_resolution_and_edges(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_read_as_of_timestamp,
+        tx_version_as_of_timestamp,
+    )
+
+    tx_append(_mk(spark, 0, 40), table, n_files=1)     # v1
+    tx_append(_mk(spark, 40, 90), table, n_files=1)    # v2
+    ts0 = tx_snapshot(table, 0)["ts_us"]
+    ts1 = tx_snapshot(table, 1)["ts_us"]
+    ts2 = tx_snapshot(table, 2)["ts_us"]
+    assert ts0 < ts1 < ts2  # monotonic commit labels
+    # before the first commit: no snapshot existed
+    with pytest.raises(ValueError):
+        tx_version_as_of_timestamp(table, ts0 - 1)
+    # exact boundary is inclusive; between commits floors down
+    assert tx_version_as_of_timestamp(table, ts1) == 1
+    between = ts1 + (ts2 - ts1) // 2  # ts1 <= between < ts2
+    assert tx_version_as_of_timestamp(table, between) == 1
+    # far future resolves to latest
+    assert tx_version_as_of_timestamp(table, ts2 + 10**12) == 2
+    df = tx_read_as_of_timestamp(spark, table, ts1)
+    assert df.count() == 40
+
+
+def test_dv_delete_masks_without_rewriting_data(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_delete_range_dv
+
+    tx_append(_mk(spark, 0, 100), table, n_files=4)
+    files_before = tx_snapshot(table)["files"]
+    tx_delete_range_dv(spark, table, "id", 20, 39)
+    snap = tx_snapshot(table)
+    assert snap["op"] == "delete-dv"
+    assert snap["files"] == files_before  # zero data files rewritten
+    assert snap.get("dvs")               # masks recorded
+    survivors = set(range(100)) - set(range(20, 40))
+    assert _census(spark, table) == (len(survivors),
+                                     sum(3 * i for i in survivors))
+    # time travel to the pre-delete version still sees every row
+    assert _census(spark, table, version=1) == (
+        100, sum(3 * i for i in range(100)))
+
+
+def test_dv_second_delete_merges_masks(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_delete_range_dv
+
+    tx_append(_mk(spark, 0, 100), table, n_files=2)
+    tx_delete_range_dv(spark, table, "id", 10, 19)
+    tx_delete_range_dv(spark, table, "id", 15, 24)  # overlaps the first
+    survivors = set(range(100)) - set(range(10, 25))
+    assert _census(spark, table) == (len(survivors),
+                                     sum(3 * i for i in survivors))
+    # each data file maps to exactly one dv file (merged, not chained)
+    dvs = tx_snapshot(table).get("dvs", {})
+    assert len(set(dvs.values())) == 1
+
+
+def test_dv_compaction_applies_masks_and_vacuum_reclaims(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_delete_range_dv
+
+    tx_append(_mk(spark, 0, 100), table, n_files=4)
+    tx_delete_range_dv(spark, table, "id", 0, 49)
+    census = _census(spark, table)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    snap = tx_snapshot(table)
+    assert not snap.get("dvs")  # DV compaction dropped the masks
+    assert _census(spark, table) == census
+    # vacuum reclaims the pre-compaction data files AND the dv sidecar
+    removed = tx_vacuum(table, retention_seconds=0.0)
+    assert removed >= 5  # 4 data inputs + 1 dv file
+    assert _census(spark, table) == census
+
+
+def test_dv_respected_by_cow_delete_and_merge(spark, table):
+    """A COW delete/merge over a DV'd snapshot must apply the masks
+    when rewriting — a masked row can never resurrect."""
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_delete_range_dv,
+    )
+
+    tx_append(_mk(spark, 0, 100), table, n_files=2)
+    tx_delete_range_dv(spark, table, "id", 0, 9)
+    tx_delete_range(spark, table, "id", 90, 99)  # COW rewrite, masks on
+    survivors = set(range(10, 90))
+    assert _census(spark, table) == (len(survivors),
+                                     sum(3 * i for i in survivors))
+
+
+def test_table_changes_weighted_feed(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_table_changes,
+    )
+
+    tx_append(_mk(spark, 0, 100), table, n_files=4)     # v1: +100
+    tx_append(_mk(spark, 100, 150), table, n_files=2)   # v2: +50
+    tx_compact(spark, table, target_bytes=1 << 30)      # v3: layout only
+    tx_delete_range(spark, table, "id", 20, 29)         # v4: -10 (COW)
+    feed = tx_table_changes(spark, table, 0).collect()
+    by = {}
+    for r in feed:
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    assert sum(r["_n"] for r in by[(1, "insert")]) == 100
+    assert sum(r["_n"] for r in by[(2, "insert")]) == 50
+    assert (3, "insert") not in by and (3, "delete") not in by
+    assert sorted(r["id"] for r in by[(4, "delete")]) == list(range(20, 30))
+    assert (4, "insert") not in by  # carried rows cancel to weight 0
+    # range semantics: (v_from, v_to] — changes since v2 only
+    tail = tx_table_changes(spark, table, 2).collect()
+    assert {r["_change_type"] for r in tail} == {"delete"}
+
+
+def test_table_changes_sees_dv_deletes(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv,
+        tx_table_changes,
+    )
+
+    tx_append(_mk(spark, 0, 50), table, n_files=2)      # v1
+    tx_delete_range_dv(spark, table, "id", 5, 9)        # v2: DV delete
+    feed = tx_table_changes(spark, table, 1).collect()
+    assert sorted(r["id"] for r in feed) == [5, 6, 7, 8, 9]
+    assert all(r["_change_type"] == "delete" and r["_n"] == 1 for r in feed)
+
+
+def test_table_changes_fold_reconstructs_table(spark, table):
+    """The IVM identity: folding the full feed (+_n for inserts, -_n
+    for deletes) reproduces the live table's aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv,
+        tx_table_changes,
+    )
+
+    tx_append(_mk(spark, 0, 200), table, n_files=4)
+    tx_delete_range_dv(spark, table, "id", 100, 149)
+    tx_append(_mk(spark, 200, 220), table, n_files=1)
+    w = F.when(F.col("_change_type") == "insert", F.col("_n")) \
+         .otherwise(-F.col("_n"))
+    folded = tx_table_changes(spark, table, 0).agg(
+        F.sum(w).alias("n"), F.sum(w * F.col("v")).alias("sv")).first()
+    assert (folded["n"], folded["sv"]) == _census(spark, table)
