@@ -132,6 +132,42 @@ def q_event_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_MIN_SUPPORT = 2
 TRIANGLE_DEGREE_CAP = 64
 
+# Round 8 (VERDICT r7 #5): triangles, k-core, and LPA communities all
+# derive the IDENTICAL support-thresholded edge list from lineitem —
+# within one session (the driver window, a bench run) that subplan was
+# computed three times. A SINGLE-SLOT cache keyed by (applicationId,
+# sf_dir) shares one eager localCheckpoint across them: the checkpoint
+# truncates lineage (the iterative consumers need that anyway) and the
+# slot is overwritten on the next distinct corpus, so fuzz runs (fresh
+# mkdtemp per example) never grow it and never alias stale data.
+_EDGE_CACHE: dict = {}
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The certified sparsified co-purchase edge relation (a < b,
+    co-ordered in >= TRIANGLE_MIN_SUPPORT distinct orders), shared by
+    the triangle/k-core/LPA queries and checkpointed once per
+    (session, corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _EDGE_CACHE.get("key") == key:
+        return _EDGE_CACHE["df"]
+    op = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    edges0 = (
+        op.alias("x").join(op.alias("y"), "ok")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    _EDGE_CACHE["key"] = key
+    _EDGE_CACHE["df"] = edges0
+    return edges0
+
 
 def _triangle_sql() -> str:
     return f"""
@@ -182,18 +218,7 @@ def q_coorder_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped support count, two tiny degree aggregates, one wedge
     equi-join per apex, one edge semi-join — every shuffle an
     equi-shuffle on part keys."""
-    op = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    edges0 = (
-        op.alias("x").join(op.alias("y"), "ok")
-        .filter(F.col("x.p") < F.col("y.p"))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("a", "b")
-    )
+    edges0 = _support_edges(spark, sf_dir)
     deg = (
         edges0.select(F.col("a").alias("p"))
         .unionAll(edges0.select(F.col("b").alias("p")))
@@ -280,19 +305,7 @@ def q_coorder_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rounds · |E|) total, no quadratic step anywhere."""
     from pulsar_project_spark.operators.graph import kcore_peel
 
-    op = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    edges0 = (
-        op.alias("x").join(op.alias("y"), "ok")
-        .filter(F.col("x.p") < F.col("y.p"))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("a", "b")
-    )
-    core = kcore_peel(edges0)
+    core = kcore_peel(_support_edges(spark, sf_dir))
     return (
         core.select(F.col("a").alias("part"))
         .unionAll(core.select(F.col("b").alias("part")))
@@ -431,17 +444,5 @@ def q_coorder_part_communities(spark: SparkSession,
     checkpoint-truncated per round. O(rounds·|E|)."""
     from pulsar_project_spark.operators.graph import label_propagation
 
-    op = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    edges = (
-        op.alias("x").join(op.alias("y"), "ok")
-        .filter(F.col("x.p") < F.col("y.p"))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("a", "b")
-    )
-    return label_propagation(edges).select(
+    return label_propagation(_support_edges(spark, sf_dir)).select(
         F.col("v").alias("part"), F.col("label").alias("community"))

@@ -1045,3 +1045,241 @@ def q_tx_partition_evolution_census(spark: SparkSession,
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+# --- Round 8: timestamp time travel, deletion vectors, change data feed ------
+
+
+@declare("tx_time_travel_timestamp_census", oracle=_TX_TIME_TRAVEL_SQL)
+def q_tx_time_travel_timestamp_census(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel — the form users actually type
+    (VERDICT r7 #2): every commit carries a monotonic ``ts_us`` label
+    (max of wall clock and parent+1, so labels order even under clock
+    steps), and an instant BETWEEN two commits floors to the earlier
+    one — here an instant halfway between v1's and v2's labels must
+    resolve to v1, whose census is exactly the first append's residue
+    class (the same closed form the version-based twin
+    ``tx_snapshot_time_travel_census`` certifies, so the two forms are
+    mutually cross-checked at hash level). Between-commits and
+    before-first-commit edges are pinned in tests/test_txlog.py.
+
+    Scale shape: resolution scans manifest METADATA only (one small
+    JSON per commit) — no data I/O until the pinned snapshot is read."""
+    from pulsar_project_spark.sources.txlog import (
+        tx_compact,
+        tx_snapshot,
+        tx_version_as_of_timestamp,
+    )
+
+    path = _build_tx_events_table(spark, sf_dir)
+    tx_compact(spark, path, target_bytes=1 << 22)
+    ts1 = tx_snapshot(path, 1)["ts_us"]
+    ts2 = tx_snapshot(path, 2)["ts_us"]
+    asof = ts1 + (ts2 - ts1) // 2  # in [ts1, ts2): floors to v1
+    return _tx_census(spark, path,
+                      version=tx_version_as_of_timestamp(path, asof))
+
+
+@declare("tx_delete_dv_census", oracle=_TX_DELETE_SQL)
+def q_tx_delete_dv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors (VERDICT r7 #3): the
+    same predicate as the copy-on-write ``tx_delete_range_census`` —
+    and the same oracle, so the two delete strategies are certified
+    read-equivalent — but executed as a DV sidecar commit: matching
+    rows' (file, row-position) pairs land in one small parquet, the
+    manifest maps affected files to it, and ZERO data bytes rewrite.
+    Readers anti-join the mask at scan time; NULL user_ids never match
+    a range predicate and survive. The no-rewrite property, mask
+    merging across successive deletes, DV compaction, and
+    vacuum-after-compaction reclaim are pinned in tests/test_txlog.py.
+
+    Scale shape: at 100 TB a row-level correction costs O(matched
+    rows) metadata instead of rewriting every file whose bounds
+    overlap — the manifest bounds still pick which files even need
+    scanning for matches (clustered append records them here)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_delete_range_dv,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_delete_dv")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append_clustered(ev, path, ["user_id"], n_files=4)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_delete_range_dv(spark, path, "user_id", 100, 300)
+    return tx_read(spark, path).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+_TX_CDF_SQL = """
+WITH base AS (
+  SELECT event_type, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 'insert' AS change_type, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'delete', event_type,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM base
+WHERE user_id BETWEEN 100 AND 300 OR user_id BETWEEN 400 AND 500
+GROUP BY event_type
+"""
+
+
+def _build_cdf_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Fresh tx table exercising every change-feed commit class: two
+    appends, a layout-only compaction (must contribute NOTHING to the
+    feed), a deletion-vector delete, and a copy-on-write delete."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_compact,
+        tx_delete_range,
+        tx_delete_range_dv,
+        tx_init,
+    )
+
+    path = _rt_path(name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = _events_int_projection(spark, sf_dir)
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    tx_append(ev.filter(res == 0), path, n_files=4)                 # v1
+    tx_append(ev.filter((res == 1) | F.col("event_id").isNull()),
+              path, n_files=4)                                      # v2
+    tx_compact(spark, path, target_bytes=1 << 22)                   # v3
+    tx_delete_range_dv(spark, path, "user_id", 100, 300)            # v4 (maybe)
+    tx_delete_range(spark, path, "user_id", 400, 500)               # v5 (maybe)
+    return path
+
+
+_TX_CDF_EMPTY = [
+    ("change_type", "string"), ("event_type", "string"),
+    ("n_rows", "long"), ("total_cents", "long"),
+]
+
+
+@declare("tx_change_feed_census", oracle=_TX_CDF_SQL)
+def q_tx_change_feed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transactional log (VERDICT r7 #1 —
+    the top-ranked order): ``tx_table_changes`` derives row-level
+    changes from pure manifest diffs — added files weigh +1, removed
+    files −1, DV-mask growth −1 on exactly the newly-masked rows, and
+    one weighted aggregate nets them (the DBSP changelog convention
+    the retractable-agg family already speaks). The table exercises
+    every commit class: two appends (inserts), a compaction (layout-
+    only — must contribute NOTHING), a deletion-vector delete and a
+    copy-on-write delete (both must feed ONLY the rows actually
+    deleted — every row the COW rewrite merely carried must cancel to
+    weight 0). The census folds the feed per (change side, type) and
+    hashes against the oracle's closed-form replay from raw events, so
+    a phantom change, a lost delete, or a carried row leaking through
+    breaks the gate.
+
+    Scale shape: each commit's feed reads only the files that commit
+    touched (not the table), and the weight resolution is one hash
+    aggregate — incremental consumers page through (v_from, v_to]
+    windows, which is exactly what the streaming source twin does."""
+    from pulsar_project_spark.sources.txlog import tx_table_changes
+
+    path = _build_cdf_table(spark, sf_dir, "txlog_cdf")
+    try:
+        feed = tx_table_changes(spark, path, 0)
+    except ValueError:
+        # a degenerate corpus may commit no data-changing files at all
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in _TX_CDF_EMPTY))
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), "event_type")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.sum(F.col("_n") * F.col("value_cents")).cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+_TX_CDF_FOLD_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id IS NULL OR (user_id NOT BETWEEN 100 AND 300
+                          AND user_id NOT BETWEEN 400 AND 500)
+GROUP BY event_type
+"""
+
+
+@declare("tx_cdf_incremental_agg_census", oracle=_TX_CDF_FOLD_SQL)
+def q_tx_cdf_incremental_agg_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE OFF STORAGE — the composition the
+    round-7 verdict named as the change feed's payoff: a per-type
+    aggregate view is maintained purely by FOLDING the change feed
+    (insert rows add their weight, delete rows subtract — no read of
+    the table itself), and the folded view must hash-match the
+    oracle's direct census of the LIVE rows. This is the DBSP identity
+    ``view(table) == fold(changes(table))`` certified end to end on
+    real storage commits (appends, a compaction to skip, a DV delete,
+    a COW delete). Types whose rows net to zero drop out of the view
+    exactly as a GROUP BY over the live table would drop them.
+
+    Scale shape: the view maintenance cost is the feed cost (touched
+    files only) plus one mergeable aggregate — at 100 TB this replaces
+    a full-table rescan per refresh with work proportional to the
+    delta, which is the entire point of a change data feed."""
+    from pulsar_project_spark.sources.txlog import tx_table_changes
+
+    path = _build_cdf_table(spark, sf_dir, "txlog_cdf_fold")
+    try:
+        feed = tx_table_changes(spark, path, 0)
+    except ValueError:
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        return spark.createDataFrame([], StructType([
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]))
+    w = F.when(F.col("_change_type") == "insert", F.col("_n")) \
+         .otherwise(-F.col("_n"))
+    return (
+        feed.groupBy("event_type")
+        .agg(
+            F.sum(w).cast("bigint").alias("n_events"),
+            F.sum(w * F.col("value_cents")).cast("bigint")
+            .alias("total_cents"),
+        )
+        .filter(F.col("n_events") != 0)
+    )

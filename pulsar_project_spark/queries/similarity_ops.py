@@ -733,3 +733,104 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
     codes = pq_encode(emb).join(cand, "vec_id", "left_semi")
     return pq_adc_topk(codes, query_q, k=10)
+
+
+_IVFPQ_SHORTLIST = 100
+
+
+def _ivfpq_rerank_sql(k: int = 10) -> str:
+    """The two-stage production ANN in SQL: the full IVF-PQ pipeline's
+    ADC scores shortlist the top-100 candidates, then an EXACT integer
+    distance in the coarse 1e6 domain reranks the shortlist and keeps
+    the top-10 — both stages replayed verbatim by the oracle."""
+    from pulsar_project_spark.operators.pq import PQ_DIM
+
+    base = _ivfpq_sql(k=_IVFPQ_SHORTLIST)
+    qq = ", ".join(str((((i * 5) % 7) - 3) * 1_000_000)
+                   for i in range(PQ_DIM))
+    return f"""
+WITH shortlist AS ({base}),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+qqr(i, q) AS (SELECT unnest(generate_series(1, {PQ_DIM})),
+                     unnest([{qq}])),
+exact AS (
+  SELECT qv.vec_id,
+         CAST(sum((qv.v[qqr.i] - qqr.q) * (qv.v[qqr.i] - qqr.q)) AS BIGINT)
+           AS exact_dist
+  FROM qv JOIN shortlist USING (vec_id), qqr
+  GROUP BY qv.vec_id
+)
+SELECT vec_id, exact_dist FROM exact
+ORDER BY exact_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
+@declare("ivfpq_rerank_topk", oracle=_ivfpq_rerank_sql())
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE ANN exactly as production runs it (VERDICT r7 #4):
+    the certified IVF-PQ pipeline (coarse nprobe=3 routing + ADC scan
+    over probed cells) produces a top-100 SHORTLIST by compressed
+    distance, then the shortlist — and only the shortlist — pays for
+    its float vectors, quantized to the coarse 1e6 integer domain for
+    an EXACT distance rerank that keeps the top-10. The oracle replays
+    both stages verbatim (the composed `_ivfpq_sql` as a CTE, then the
+    exact-distance rerank), so a shortlist that dropped a candidate,
+    an ADC tie broken differently, or a rerank distance off by one
+    breaks the hash. Recall of the reranked top-10 against the
+    global exact top-10 is pinned in tests/test_pq.py.
+
+    Scale shape: stage 1 touches nprobe/k of the cells at 8 bytes per
+    vector; stage 2 reads exactly ``_IVFPQ_SHORTLIST`` full vectors
+    via a broadcast semi-join on the shortlist ids — at 100 TB the
+    expensive exactness is paid on 100 rows, not the corpus. That
+    shortlist-then-rerank economics is the entire reason ANN systems
+    carry two representations of the same data."""
+    from pulsar_project_spark.operators.kmeans import kmeans_fit, _sq_dist
+    from pulsar_project_spark.operators.pq import (
+        PQ_DIM,
+        PQ_SCALE,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    cells, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
+    qq = F.array(*[
+        F.lit((((i * 5) % 7) - 3) * 1_000_000).cast("bigint")
+        for i in range(PQ_DIM)
+    ])
+    probes = (
+        cent.select("label", _sq_dist(qq, F.col("qc")).alias("d"))
+        .orderBy(F.asc("d"), F.asc("label"))
+        .limit(_IVFPQ_NPROBE)
+        .select("label")
+    )
+    cand = cells.join(F.broadcast(probes), "label").select("vec_id")
+    query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
+    codes = pq_encode(emb).join(cand, "vec_id", "left_semi")
+    shortlist = pq_adc_topk(codes, query_q, k=_IVFPQ_SHORTLIST) \
+        .select("vec_id")
+    reranked = (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double) "
+                "* 1000000.0) as bigint))"
+            ).alias("__v"),
+        )
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("__v"), qq, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+            ).alias("exact_dist"),
+        )
+    )
+    return reranked.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(10)

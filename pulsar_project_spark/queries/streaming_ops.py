@@ -250,3 +250,17 @@ def q_streaming_lc_distinct(spark: SparkSession,
         run_streaming_lc_distinct,
     )
     return run_streaming_lc_distinct(spark, sf_dir)
+
+
+@declare("streaming_tx_change_feed")
+def q_streaming_tx_change_feed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Rows-only by design (a genuine streaming run over a custom
+    Python DataSource tailing the tx log's manifest chain, with an
+    exactly-once tx_append_txn fold); twin-paired with the
+    oracle-backed `tx_change_feed_census` — equality pinned in
+    tests/test_streaming.py."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_tx_change_feed,
+    )
+    return run_streaming_tx_change_feed(spark, sf_dir)

@@ -43,87 +43,42 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R7: tuple[str, ...] = (
-    # empty: round 6 closed the gap — every oracle-backed query
-    # declared before round 7 has a cumulative driver-green verdict
-    # (re-derived with tools/rotate_budget.py: 184/184, 0 ever-failed).
+NEVER_CHECKED_R8: tuple[str, ...] = (
+    # empty: every oracle-backed query declared before round 8 has a
+    # cumulative driver-green verdict (tools/rotate_budget.py over
+    # CORRECTNESS_r01..r07: 230/230, 0 ever-failed).
 )
 
-NEW_R7: tuple[str, ...] = (
-    # oracle-backed queries added in round 7 (each also fuzz/test-gated).
-    "pgm_permissive_decode_census",    # corrupt-census twin (VERDICT #3)
-    "rawv_permissive_sample_census",   # corrupt-census twin (VERDICT #3)
-    "jpeg_color_pixel_decode_features", # YCbCr 4:2:0 -> RGB (VERDICT #2)
-    "jpeg_color_permissive_decode_census", # corrupt-tolerant color decode
-    "tx_compaction_roundtrip_census",  # transactional compaction (VERDICT #6)
-    "tx_snapshot_time_travel_census",  # file-level time travel (VERDICT #6)
-    "tx_optimize_zorder_census",       # OPTIMIZE ZORDER behind the CAS
-    "streaming_tx_exactly_once_census", # idempotent foreachBatch landing
-    "tx_pruned_read_census",           # manifest-stats planning-time skip
-    "sql_recursive_reachability",      # WITH RECURSIVE, identical-text oracle
-    "sql_lateral_order_profile",       # LATERAL correlated agg, decorrelated
-    "tx_delete_range_census",          # copy-on-write DELETE via bounds
-    "tx_merge_upsert_census",          # copy-on-write MERGE (DML trio)
-    "coorder_part_triangles",          # support-thresholded triangle census
-    "sole_late_supplier_waits",        # Q21 shape: double-EXISTS decorrelated
-    "dormant_rich_customers",          # Q22 shape: exact mean + anti join
-    "pareto_frontier_parts",           # banded distributed skyline
-    "coorder_part_kcore",              # bounded 3-core peel, unrolled oracle
-    "user_value_ewma_dyadic",          # integer EWMA, powers-of-two weights
-    "hilbert_bucket_stats",            # Hilbert-curve layout census
-    "seasonal_revenue_anomaly_census", # per-weekday median+MAD anomaly flags
-    "returned_item_top_customers",     # Q10 shape: returns-desk triage
-    "top_supplier_by_quarter_revenue", # Q15 shape: scalar max with ties
-    "association_rules_pairs",         # market-basket confidence rules
-    "benford_first_digit_census",      # forensic first-digit screen
-    "join_view_incremental_maintenance", # IVM delta identity for joins
-    "wav_spectral_tilt_features",      # integer audio tilt on real decode
-    "ivfpq_adc_topk",                  # IVF-PQ composed, hash-certified
-    "tx_clone_divergence_census",      # zero-copy shallow clone + branches
-    "zorder3_bucket_stats",            # 3-dimensional Morton clustering
-    # the seven shapes completing the classic TPC-H set (Q1/Q3-Q5/Q7-Q10/
-    # Q13/Q15/Q16/Q18/Q19/Q21/Q22 analogs were already declared)
-    "forecast_revenue_change",         # Q6: pure scan-predicate aggregate
-    "min_cost_supplier_per_part",      # Q2: decorrelated MIN + rejoin
-    "important_part_stock_value",      # Q11: HAVING vs global scalar
-    "ship_delay_priority_matrix",      # Q12: conditional count matrix
-    "promo_revenue_share",             # Q14: conditional-agg ratio
-    "small_qty_part_revenue",          # Q17: per-part avg cross-multiplied
-    "excess_supply_suppliers",         # Q20: nested IN over correlated agg
-    "retractable_agg_view_census",     # DBSP weighted changelog w/ deletes
-    "bucketed_cojoin_rollup",          # write-time pre-shuffle, 0-exchange join
-    "tx_catalog_atomic_move_census",   # cross-table atomic commit (catalog CAS)
-    "tx_vacuum_reclaim_census",        # vacuum completes the maintenance trio
-    "ks_distance_order_values",        # exact binned two-sample KS distance
-    "tx_partition_evolution_census",   # two specs, one table, both prune
-    "wav_decimate2_features",          # integer half-band FIR decimation
-    "coorder_part_communities",        # deterministic LPA, 4 unrolled rounds
-    "prefix_filtered_jaccard_pairs",   # COMPLETE exact similarity join
+NEW_R8: tuple[str, ...] = (
+    # oracle-backed queries added in round 8 (each also fuzz/test-gated).
+    "tx_change_feed_census",           # manifest-diff CDF (VERDICT #1)
+    "tx_cdf_incremental_agg_census",   # IVM off storage: fold(feed)==view
+    "tx_time_travel_timestamp_census", # AS OF TIMESTAMP (VERDICT #2)
+    "tx_delete_dv_census",             # deletion-vector DELETE (VERDICT #3)
+    "ivfpq_rerank_topk",               # ADC shortlist -> exact rerank (VERDICT #4)
 )
 
-RECERTS_R7: tuple[str, ...] = (
-    # modules changed in round 7 after their round-6 verdict:
-    # operators/jpeg.py (SOF0 dims returned + assert->ValueError +
-    # block-codec refactor shared with the color path)
-    "jpeg_entropy_roundtrip_features", "jpeg_pixel_decode_features",
-    # operators/multimodal.py (PGM/RAWV helpers extracted,
-    # assert->ValueError, permissive variants)
-    "png_decode_features", "png_permissive_decode_census",
-    "wav_codec_roundtrip_features", "pgm_resize_features",
-    "rawv_frame_sample_features",
-    # operators/layout.py (norm16 overflow guard + overflow-free step)
-    "zorder_bucket_stats", "zorder_wide_range_stats",
-    # operators/pq.py (single-action uniqueness guard)
-    "pq_trained_code_assignment", "pq_trained_adc_topk",
-    "pq_code_assignment", "pq_adc_topk",
-    # queries/io_ops.py (tx queries added alongside)
+RECERTS_R8: tuple[str, ...] = (
+    # modules changed in round 8 after their round-7 verdict:
+    # sources/txlog.py (vacuum guards, txn sidecar, stats carry, DV
+    # machinery, CDF) + sources/txcatalog.py (catalog_vacuum) — every
+    # tx-family query re-certifies against the hardened engine
+    "tx_compaction_roundtrip_census", "tx_snapshot_time_travel_census",
+    "tx_optimize_zorder_census", "tx_pruned_read_census",
+    "tx_delete_range_census", "tx_merge_upsert_census",
+    "tx_clone_divergence_census", "tx_catalog_atomic_move_census",
+    "tx_vacuum_reclaim_census", "tx_partition_evolution_census",
+    "streaming_tx_exactly_once_census",
+    # queries/io_ops.py (round-8 tx queries appended alongside)
     "compaction_plan_buckets", "jsonl_roundtrip_counts",
+    # queries/similarity_ops.py (rerank appended alongside)
+    "ivfpq_adc_topk",
 )
 
 # Stalest-green refresh: the 11 queries whose last driver verdict is
-# round 2, then the round-3 block alphabetically; the [:50] trim keeps
-# as many as fit.
-STALE_REFRESH_R7: tuple[str, ...] = (
+# round 2 (carried from the r7 list — the r7 [:50] trim cut them), then
+# the round-3 block alphabetically; the [:50] trim keeps as many as fit.
+STALE_REFRESH_R8: tuple[str, ...] = (
     # last verdict round 2
     "pricing_summary", "profile_orders_table", "shipping_priority_top10",
     "simhash_fingerprints", "sql_brand_volume", "term_frequency_top20",
@@ -144,12 +99,12 @@ STALE_REFRESH_R7: tuple[str, ...] = (
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r6 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r7 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R7,
-    *NEW_R7,
-    *RECERTS_R7,
-    *STALE_REFRESH_R7,
+    *NEVER_CHECKED_R8,
+    *NEW_R8,
+    *RECERTS_R8,
+    *STALE_REFRESH_R8,
 )[:50]
 
 

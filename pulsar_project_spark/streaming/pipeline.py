@@ -1110,3 +1110,101 @@ def run_streaming_lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact_distinct"))
     return exact.join(setb, "event_type").select(
         "event_type", "n_exact_distinct", "n_set_bits", "m_bits")
+
+
+def run_streaming_tx_change_feed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming twin of ``tx_change_feed_census``: the SAME commit
+    history (two appends, a layout-only compaction, a DV delete, a COW
+    delete) is consumed by TAILING the manifest chain through the
+    ``tx_change_feed`` Python streaming source (sources/cdf_stream.py)
+    — offsets are manifest versions, so every micro-batch is a whole
+    (start, end] commit window and a replay re-reads byte-identical
+    change rows. Each batch nets its weighted rows per commit and folds
+    the per-(side, type) partial census into a STATE tx table via
+    ``tx_append_txn`` keyed by the batch id — the landing is
+    exactly-once under restart (drained twice against one checkpoint)
+    by the same manifest-CAS argument the round-7 sink certified. The
+    final read aggregates the landed partials; equality with the
+    oracle-backed batch twin is pinned in tests/test_streaming.py,
+    closing the chain stream-feed == batch-feed == DuckDB."""
+    import shutil
+
+    from pulsar_project_spark.queries.io_ops import _build_cdf_table
+    from pulsar_project_spark.sources.cdf_stream import (
+        TxChangeFeedDataSource,
+    )
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_txn,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+
+    table = _build_cdf_table(spark, sf_dir, "txlog_cdf_stream")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{os.getpid()}",
+        "cdf_stream_state")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(base, exist_ok=True)
+    tx_init(state)
+    spark.dataSource.register(TxChangeFeedDataSource)
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts_us long, value_cents long, _commit_version int, _w long")
+    feed = (
+        spark.readStream.format("tx_change_feed")
+        .option("tableDir", table)
+        .option("columns", "event_id,user_id,event_type,ts_us,value_cents")
+        .option("sourceSchema", schema)
+        .load()
+    )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        data_cols = [c for c in bdf.columns
+                     if c not in ("_commit_version", "_w")]
+        net = (
+            bdf.groupBy("_commit_version", *data_cols)
+            .agg(F.sum("_w").alias("_net"))
+            .filter(F.col("_net") != 0)
+        )
+        partial = net.groupBy(
+            F.when(F.col("_net") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete")).alias("change_type"),
+            "event_type",
+        ).agg(
+            F.sum(F.abs(F.col("_net"))).cast("bigint").alias("n_rows"),
+            F.sum(F.abs(F.col("_net")) * F.col("value_cents"))
+            .cast("bigint").alias("total_cents"),
+        )
+        tx_append_txn(partial, state, app="cdf_fold", batch=batch_id,
+                      n_files=1)
+
+    def drain_once() -> None:
+        q = (
+            feed.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    drain_once()  # restart against the same checkpoint: zero new commits
+    if not tx_snapshot(state)["files"]:
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        return spark.createDataFrame([], StructType([
+            StructField("change_type", StringType()),
+            StructField("event_type", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("total_cents", LongType()),
+        ]))
+    return tx_read(spark, state).groupBy("change_type", "event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("total_cents").cast("bigint").alias("total_cents"),
+    )

@@ -54,6 +54,7 @@ _REPRESENTATIVE = (
     "streaming_ks_drift",               # ECDF histogram fold of 0 rows
     "streaming_cms_heavy_hitters",      # counter fold of 0 rows
     "streaming_lc_distinct",            # bitmap fold of 0 rows
+    "streaming_tx_change_feed",         # manifest tail over 0-row commits
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers
     "tx_delete_range_census",           # delete over a 0-row table
@@ -95,6 +96,11 @@ _REPRESENTATIVE = (
     "wav_spectral_tilt_features",       # codec tilt on 0 assets
     "wav_decimate2_features",           # FIR decimation on 0 assets
     "ivfpq_adc_topk",                   # probe/encode over 0 vectors
+    "ivfpq_rerank_topk",                # rerank of a 0-row shortlist
+    "tx_time_travel_timestamp_census",  # AS OF between empty commits
+    "tx_delete_dv_census",              # DV delete over a 0-row table
+    "tx_change_feed_census",            # feed over file-less commits
+    "tx_cdf_incremental_agg_census",    # IVM fold of an empty feed
     "tx_clone_divergence_census",       # clone of a file-less table
     "zorder3_bucket_stats",             # NULL 3-dim bounds on 0 rows
     "interval_join_bucketed",           # keyless interval join, 0 anchors

@@ -298,6 +298,15 @@ _EVENTS_FUZZED = (
     # round-7: shallow clone + branch divergence on fuzz corpora
     "tx_clone_divergence_census",
     "sql_recursive_reachability",
+    # round-8: AS OF TIMESTAMP travel, DV delete, change data feed +
+    # its IVM fold — fuzz hits NULL user_ids (must survive deletes and
+    # never feed as deleted), single-sided corpora (one residue class
+    # empty -> a file-less append), and no-match delete ranges (the
+    # no-commit branch, so the feed sees fewer commits)
+    "tx_time_travel_timestamp_census",
+    "tx_delete_dv_census",
+    "tx_change_feed_census",
+    "tx_cdf_incremental_agg_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",
@@ -668,6 +677,10 @@ _EMBEDDING_FUZZED = (
     # round-7: the composed IVF-PQ pipeline — min_size=2 corpora force
     # nprobe > n_cells and single-cell routing
     "ivfpq_adc_topk",
+    # round-8: shortlist-then-exact-rerank — tiny corpora force
+    # shortlist >= corpus (rerank degenerates to exact brute force,
+    # which must STILL match the oracle's two-stage replay)
+    "ivfpq_rerank_topk",
 )
 
 

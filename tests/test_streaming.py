@@ -199,6 +199,7 @@ TWIN_OF = {
     "streaming_ks_drift": "ks_distance_order_values",
     "streaming_cms_heavy_hitters": "cms_heavy_hitters",
     "streaming_lc_distinct": "lc_distinct_bitmap_census",
+    "streaming_tx_change_feed": "tx_change_feed_census",
 }
 
 
@@ -467,5 +468,17 @@ def test_twin_lc_distinct(spark):
            _declared("streaming_lc_distinct")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
             _declared(TWIN_OF["streaming_lc_distinct"])(
+                spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_twin_tx_change_feed(spark):
+    # tailing the manifest chain through the custom streaming source
+    # and folding exactly-once must land the batch feed's census
+    # verbatim — stream-feed == batch-feed (== DuckDB via the twin)
+    got = {tuple(r) for r in
+           _declared("streaming_tx_change_feed")(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in
+            _declared(TWIN_OF["streaming_tx_change_feed"])(
                 spark, SF_SMOKE).collect()}
     assert got == want

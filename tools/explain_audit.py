@@ -56,6 +56,7 @@ ALLOWED_NESTED_LOOP = {
     "important_part_stock_value",  # 1-row (Σcents, n) scalar broadcast crossJoin (Q11)
     "ks_distance_order_values",    # 1-row bounds + totals broadcast crossJoins
     "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
+    "ivfpq_rerank_topk",         # same 8-row centroid crossJoin feeds stage 1
     "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
 }
 
