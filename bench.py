@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -142,10 +143,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
+    # parse the leading numeric after "sf" so derived-corpus names
+    # ("sf1_derived") still stamp their scale factor (VERDICT r7 #2)
+    m = re.match(r"sf(\d+(?:\.\d+)?)",
+                 os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else None
 
     # Full per-query map goes to a file; the stdout line stays compact
     # (driver round 1 recorded "parsed": null — the 86-entry map

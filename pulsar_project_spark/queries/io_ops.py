@@ -1283,3 +1283,39 @@ def q_tx_cdf_incremental_agg_census(spark: SparkSession,
         )
         .filter(F.col("n_events") != 0)
     )
+
+
+_TX_RESTORE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+WHERE ((event_id % 3) + 3) % 3 IN (0, 1)
+GROUP BY event_type
+"""
+
+
+@declare("tx_restore_census", oracle=_TX_RESTORE_SQL)
+def q_tx_restore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF, executed as a FORWARD commit
+    (never a history rewrite): after the full commit history lands —
+    three residue appends, the NULL-id append, a compaction — the
+    table restores to version 2, and the census of the new LATEST must
+    equal the oracle's residue-(0, 1) replay from the original parquet
+    (NULL event_ids belong to no residue and are correctly restored
+    away). The bad versions stay readable for forensics, the change
+    feed shows the restore as exactly the row-level undo, and vacuum
+    reclaims the undone files afterwards — all pinned in
+    tests/test_txlog.py.
+
+    Scale shape: restore is pure metadata (one manifest referencing
+    the old file list — bounds and deletion vectors carried), zero
+    data movement at any table size; this is the operational 'put the
+    table back NOW' lever a 100 TB pipeline incident needs."""
+    from pulsar_project_spark.sources.txlog import tx_compact, tx_restore
+
+    path = _build_tx_events_table(spark, sf_dir)
+    tx_compact(spark, path, target_bytes=1 << 22)
+    tx_restore(path, 2)
+    return _tx_census(spark, path, version=None)

@@ -56,6 +56,7 @@ NEW_R8: tuple[str, ...] = (
     "tx_time_travel_timestamp_census", # AS OF TIMESTAMP (VERDICT #2)
     "tx_delete_dv_census",             # deletion-vector DELETE (VERDICT #3)
     "ivfpq_rerank_topk",               # ADC shortlist -> exact rerank (VERDICT #4)
+    "tx_restore_census",               # RESTORE as a forward commit
 )
 
 RECERTS_R8: tuple[str, ...] = (

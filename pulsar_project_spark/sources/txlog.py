@@ -979,3 +979,29 @@ def tx_table_changes(spark: SparkSession, table: str,
             F.abs(F.col("_net")).cast("long").alias("_n"),
         )
     )
+
+
+def tx_restore(table: str, version: int, max_retries: int = 8) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — commit a NEW version whose
+    content (files, bounds, deletion vectors) is the old snapshot's.
+    Restore is a FORWARD commit, never a history rewrite: the bad
+    versions stay readable for forensics until vacuum, the restore
+    itself appears in the change feed as exactly the row-level undo
+    (deletes of everything the bad commits added, re-inserts of what
+    they removed), and a concurrent writer CAS-races it like any other
+    commit. This is the operational answer to "a pipeline wrote
+    garbage at v7, put the table back to v5 NOW" — pure metadata, zero
+    data movement, at any table size."""
+    snap_old = tx_snapshot(table, version)
+    for _ in range(max_retries):
+        cur = tx_snapshot(table)
+        if cur["version"] == version:
+            return version
+        try:
+            return _commit(table, cur["version"], list(snap_old["files"]),
+                           op=f"restore:v{version}",
+                           stats=snap_old.get("stats"),
+                           dvs=snap_old.get("dvs"))
+        except TxConflict:
+            continue
+    raise TxConflict(f"restore lost {max_retries} CAS races in {table}")

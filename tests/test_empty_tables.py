@@ -100,6 +100,7 @@ _REPRESENTATIVE = (
     "tx_time_travel_timestamp_census",  # AS OF between empty commits
     "tx_delete_dv_census",              # DV delete over a 0-row table
     "tx_change_feed_census",            # feed over file-less commits
+    "tx_restore_census",                # restore to a file-less version
     "tx_cdf_incremental_agg_census",    # IVM fold of an empty feed
     "tx_clone_divergence_census",       # clone of a file-less table
     "zorder3_bucket_stats",             # NULL 3-dim bounds on 0 rows

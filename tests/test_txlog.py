@@ -579,3 +579,41 @@ def test_table_changes_fold_reconstructs_table(spark, table):
     folded = tx_table_changes(spark, table, 0).agg(
         F.sum(w).alias("n"), F.sum(w * F.col("v")).alias("sv")).first()
     assert (folded["n"], folded["sv"]) == _census(spark, table)
+
+
+def test_restore_is_forward_commit_with_feed_undo(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_restore,
+        tx_table_changes,
+    )
+
+    tx_append(_mk(spark, 0, 60), table, n_files=2)      # v1
+    tx_append(_mk(spark, 60, 100), table, n_files=2)    # v2 (the bad one)
+    v3 = tx_restore(table, 1)
+    assert v3 == 3  # forward commit, history intact
+    assert _census(spark, table) == (60, sum(3 * i for i in range(60)))
+    # the bad version is still readable for forensics
+    assert _census(spark, table, version=2) == (
+        100, sum(3 * i for i in range(100)))
+    # the feed shows the restore as exactly the row-level undo
+    feed = tx_table_changes(spark, table, 2).collect()
+    assert sorted(r["id"] for r in feed) == list(range(60, 100))
+    assert all(r["_change_type"] == "delete" for r in feed)
+    # vacuum now reclaims the bad commit's files, restored state reads on
+    tx_vacuum(table, retention_seconds=0.0)
+    assert _census(spark, table) == (60, sum(3 * i for i in range(60)))
+
+
+def test_restore_carries_dvs(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv,
+        tx_restore,
+    )
+
+    tx_append(_mk(spark, 0, 50), table, n_files=2)      # v1
+    tx_delete_range_dv(spark, table, "id", 0, 9)        # v2 (masked)
+    tx_append(_mk(spark, 50, 80), table, n_files=1)     # v3
+    tx_restore(table, 2)                                # back to masked v2
+    survivors = set(range(10, 50))
+    assert _census(spark, table) == (len(survivors),
+                                     sum(3 * i for i in survivors))
