@@ -232,8 +232,12 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
             F.col("_metadata.file_name").alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
+        # no broadcast hint: masks are usually tiny (AQE broadcasts them
+        # at runtime) but are bounded only by the number of deleted
+        # rows — a forced broadcast would be the wrong plan for a table
+        # carrying massive DV debt (where compaction is overdue anyway)
         survivors = keyed.join(
-            F.broadcast(mask),
+            mask,
             (keyed["__file"] == mask["file"]) & (keyed["__pos"] == mask["pos"]),
             "left_anti",
         ).select(*data_cols)
@@ -871,8 +875,10 @@ def tx_delete_range_dv(spark: SparkSession, table: str, col: str, lo, hi,
             old_mask = spark.read.parquet(
                 *(os.path.join(table, d) for d in old_dv_files)).select(
                 "file", "pos")
-            # only rows not already masked can be newly deleted
-            live = keyed.join(F.broadcast(old_mask.distinct()),
+            # only rows not already masked can be newly deleted (AQE
+            # broadcasts the usually-tiny mask at runtime; see
+            # _read_files_masked for why no forced hint)
+            live = keyed.join(old_mask.distinct(),
                               ["file", "pos"], "left_anti")
         else:
             old_mask = None
