@@ -1011,3 +1011,44 @@ def tx_restore(table: str, version: int, max_retries: int = 8) -> int:
         except TxConflict:
             continue
     raise TxConflict(f"restore lost {max_retries} CAS races in {table}")
+
+
+def tx_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per surviving commit — (version,
+    parent, op, ts_us, n_files, n_dv_files, txn_app, txn_batch),
+    newest first. Pure manifest metadata (one small JSON per commit,
+    driver-trivial at any data scale); commits dropped by vacuum are
+    absent, exactly like time travel. The operational companion to
+    ``tx_version_as_of_timestamp`` and ``tx_restore``: find the bad
+    commit here, read it with time travel, undo it with restore."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise ValueError(f"not a tx table: {table}")
+    rows = []
+    for f in sorted(os.listdir(mdir), reverse=True):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        txn = m.get("txn") or {}
+        rows.append((
+            m["version"], m.get("parent"), m["op"], m.get("ts_us", 0),
+            len(m["files"]), len(set(m.get("dvs", {}).values())),
+            txn.get("app"),
+            txn.get("batch") if isinstance(txn.get("batch"), int) else None,
+        ))
+    schema = StructType([
+        StructField("version", IntegerType(), False),
+        StructField("parent", IntegerType(), True),
+        StructField("op", StringType(), False),
+        StructField("ts_us", LongType(), False),
+        StructField("n_files", IntegerType(), False),
+        StructField("n_dv_files", IntegerType(), False),
+        StructField("txn_app", StringType(), True),
+        StructField("txn_batch", LongType(), True),
+    ])
+    return spark.createDataFrame(rows, schema)

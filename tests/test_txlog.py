@@ -617,3 +617,34 @@ def test_restore_carries_dvs(spark, table):
     survivors = set(range(10, 50))
     assert _census(spark, table) == (len(survivors),
                                      sum(3 * i for i in survivors))
+
+
+def test_history_describes_every_surviving_commit(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_txn,
+        tx_delete_range_dv,
+        tx_history,
+        tx_restore,
+    )
+
+    tx_append(_mk(spark, 0, 50), table, n_files=2)              # v1
+    tx_append_txn(_mk(spark, 50, 70), table, "st", 0, n_files=1)  # v2
+    tx_delete_range_dv(spark, table, "id", 0, 9)                # v3
+    tx_compact(spark, table, target_bytes=1 << 30)              # v4
+    tx_restore(table, 2)                                        # v5
+    h = {r.version: r for r in tx_history(spark, table).collect()}
+    assert sorted(h) == [0, 1, 2, 3, 4, 5]
+    assert h[0].op == "init" and h[1].op == "append"
+    assert (h[2].txn_app, h[2].txn_batch) == ("st", 0)
+    assert h[3].op == "delete-dv" and h[3].n_dv_files == 1
+    assert h[4].op == "compact" and h[4].n_dv_files == 0
+    assert h[5].op == "restore:v2" and h[5].parent == 4
+    # monotonic commit labels, newest-first ordering
+    versions = [r.version for r in tx_history(spark, table).collect()]
+    assert versions == sorted(versions, reverse=True)
+    ts = [h[v].ts_us for v in sorted(h)]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    # vacuum trims history exactly like time travel
+    tx_vacuum(table, retention_seconds=0.0)
+    left = {r.version for r in tx_history(spark, table).collect()}
+    assert left == {5}
