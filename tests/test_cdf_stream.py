@@ -1,0 +1,91 @@
+"""Unit gates for the tx change-feed STREAMING source
+(sources/cdf_stream.py) beyond the twin-equality pin in
+test_streaming.py: offset semantics (startVersion), replay
+byte-identity (the property that makes downstream idempotent folds
+exactly-once), and option validation."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_project_spark.sources.cdf_stream import TxChangeFeedDataSource
+from pulsar_project_spark.sources.txlog import (
+    tx_append,
+    tx_delete_range,
+    tx_init,
+)
+
+_SCHEMA = "id long, v long, _commit_version int, _w long"
+
+
+def _mk_table(spark):
+    table = tempfile.mkdtemp(prefix="cdfstream_")
+    tx_init(table)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 3 AS v")
+    tx_append(mk(0, 40), table, n_files=2)    # v1
+    tx_append(mk(40, 60), table, n_files=1)   # v2
+    tx_delete_range(spark, table, "id", 0, 9)  # v3 (COW)
+    return table
+
+
+def _drain(spark, table, start_version=0):
+    spark.dataSource.register(TxChangeFeedDataSource)
+    feed = (
+        spark.readStream.format("tx_change_feed")
+        .option("tableDir", table)
+        .option("columns", "id,v")
+        .option("sourceSchema", _SCHEMA)
+        .option("startVersion", start_version)
+        .load()
+    )
+    out = []
+
+    def sink(bdf, batch_id):
+        net = (bdf.groupBy("_commit_version", "id", "v")
+               .agg(F.sum("_w").alias("n")).filter(F.col("n") != 0))
+        out.extend((r["_commit_version"], r["id"], r["n"])
+                   for r in net.collect())
+
+    q = (feed.writeStream.outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .foreachBatch(sink)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return sorted(out)
+
+
+def test_start_version_skips_earlier_commits(spark):
+    table = _mk_table(spark)
+    full = _drain(spark, table, start_version=0)
+    tail = _drain(spark, table, start_version=2)
+    assert {v for v, _, _ in full} == {1, 2, 3}
+    # (start, end]: only the COW delete's net changes remain
+    assert {v for v, _, _ in tail} == {3}
+    assert tail == sorted((3, i, -1) for i in range(10))
+    # and the full feed agrees with the batch relation on the same window
+    from pulsar_project_spark.sources.txlog import tx_table_changes
+
+    batch = sorted(
+        (r["_commit_version"], r["id"],
+         r["_n"] if r["_change_type"] == "insert" else -r["_n"])
+        for r in tx_table_changes(spark, table, 0).collect())
+    assert full == batch
+
+
+def test_replay_is_byte_identical(spark):
+    # same version window drained twice through FRESH checkpoints:
+    # identical rows — immutable manifests + files make replays exact,
+    # which is what downstream txn-id folds rely on
+    table = _mk_table(spark)
+    assert _drain(spark, table) == _drain(spark, table)
+
+
+def test_missing_options_fail_loudly(spark):
+    spark.dataSource.register(TxChangeFeedDataSource)
+    with pytest.raises(Exception, match="sourceSchema"):
+        (spark.readStream.format("tx_change_feed")
+         .option("tableDir", "/nonexistent").load())
