@@ -1319,3 +1319,79 @@ def q_tx_restore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_compact(spark, path, target_bytes=1 << 22)
     tx_restore(path, 2)
     return _tx_census(spark, path, version=None)
+
+
+_TX_EVOLVE_SCHEMA_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN (((event_id % 2) + 2) % 2 = 1 OR event_id IS NULL)
+                      AND ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_day
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_schema_evolution_census", oracle=_TX_EVOLVE_SCHEMA_SQL)
+def q_tx_schema_evolution_census(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION (ADD COLUMN) on the transactional log — the
+    lakehouse property that widening a table costs ZERO rewrites:
+    generation 1 lands WITHOUT the ``day`` column, generation 2 lands
+    with it, and ``tx_read(merge_schema=True)`` unions the generations
+    by name — old rows scan with NULL for the new column, exactly
+    Delta/Iceberg ADD COLUMN semantics. The census counts per type how
+    many rows CARRY the new column (non-NULL day — only generation-2
+    rows with a timestamp can), alongside the full-row count and exact
+    cents, and the oracle replays the generation split from raw events
+    — a row that lost or gained the column wrongly, or a NULL-fill
+    leaking into the wrong generation, breaks the hash. This
+    complements `tx_partition_evolution_census` (layout evolves) with
+    the SCHEMA evolving; DML predicates must reference columns present
+    in every generation (evolve-then-backfill first — the real
+    systems' rule too).
+
+    Scale shape: widening a 100 TB table is one metadata decision; the
+    merged read costs the same scan it always did (parquet mergeSchema
+    resolves footers, not data)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("n_with_day", LongType()),
+    ])
+    path = _rt_path("txlog_evolve_schema")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("value_cents")
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select("user_id", "event_type", cents)
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        "user_id", "event_type", cents,
+        F.expr("ts_us div 86400000000").alias("day"))
+    tx_append(gen1, path, n_files=2)
+    tx_append(gen2, path, n_files=2)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path, merge_schema=True)
+    if "day" not in back.columns:
+        # a degenerate corpus may write only generation-1 files
+        back = back.withColumn("day", F.lit(None).cast("long"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.count("day").alias("n_with_day"),
+    )

@@ -57,6 +57,7 @@ NEW_R8: tuple[str, ...] = (
     "tx_delete_dv_census",             # deletion-vector DELETE (VERDICT #3)
     "ivfpq_rerank_topk",               # ADC shortlist -> exact rerank (VERDICT #4)
     "tx_restore_census",               # RESTORE as a forward commit
+    "tx_schema_evolution_census",      # ADD COLUMN across generations
 )
 
 RECERTS_R8: tuple[str, ...] = (

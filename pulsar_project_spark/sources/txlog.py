@@ -203,29 +203,36 @@ def tx_append(df: DataFrame, table: str, n_files: int | None = None,
 
 
 def _read_files_masked(spark: SparkSession, table: str, snap: dict,
-                       names: list[str]) -> DataFrame:
+                       names: list[str],
+                       merge_schema: bool = False) -> DataFrame:
     """Read ``names`` from ``snap``, applying the snapshot's deletion
     vectors (merge-on-read DELETE): files with a DV entry are scanned
     with the parquet ``_metadata`` columns and anti-joined on
     (file_name, row_index) against the DV relation; files without one
     scan plain. The DV side is commit-bounded metadata (one row per
     deleted row position) and broadcasts; the data side never
-    rewrites — exactly the read-time half of Delta deletion vectors."""
+    rewrites — exactly the read-time half of Delta deletion vectors.
+    ``merge_schema`` unions the file generations' schemas (SCHEMA
+    EVOLUTION — see ``tx_read``)."""
     from pyspark.sql import functions as F
+
+    def _reader():
+        r = spark.read
+        return r.option("mergeSchema", "true") if merge_schema else r
 
     dvs = snap.get("dvs", {})
     plain = [n for n in names if n not in dvs]
     masked = [n for n in names if n in dvs]
     parts = []
     if plain:
-        parts.append(spark.read.parquet(
+        parts.append(_reader().parquet(
             *(os.path.join(table, n) for n in plain)))
     if masked:
         dv_files = sorted({dvs[n] for n in masked})
         mask = spark.read.parquet(
             *(os.path.join(table, d) for d in dv_files)).select(
             "file", "pos").distinct()
-        df = spark.read.parquet(*(os.path.join(table, n) for n in masked))
+        df = _reader().parquet(*(os.path.join(table, n) for n in masked))
         data_cols = df.columns
         keyed = df.select(
             "*",
@@ -244,20 +251,33 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         parts.append(survivors)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # generations may carry different schemas under merge_schema;
+        # missing columns read as NULL (ADD COLUMN semantics)
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
     return out
 
 
 def tx_read(spark: SparkSession, table: str,
-            version: int | None = None) -> DataFrame:
+            version: int | None = None,
+            merge_schema: bool = False) -> DataFrame:
     """Read one immutable snapshot (default: latest), deletion vectors
     applied. The file list is pinned at plan time, so concurrent
     commits/compactions/vacuums of NEWER versions cannot change or
-    tear this scan — snapshot isolation by construction."""
+    tear this scan — snapshot isolation by construction.
+
+    ``merge_schema=True`` is SCHEMA EVOLUTION on read (the Delta/
+    Iceberg ADD COLUMN property): file generations written before a
+    column existed scan with NULLs for it, generations written after
+    carry it — no rewrite of old data, ever. The union is by NAME
+    (parquet mergeSchema), so the widened schema is the union of all
+    generations' columns; widening is append-shaped (new columns), not
+    renames — a rename is a new column plus a backfill, exactly as the
+    real systems treat it."""
     snap = tx_snapshot(table, version)
     if not snap["files"]:
         raise ValueError(f"version {snap['version']} of {table} is empty")
-    return _read_files_masked(spark, table, snap, snap["files"])
+    return _read_files_masked(spark, table, snap, snap["files"],
+                              merge_schema=merge_schema)
 
 
 def plan_compaction(table: str, target_bytes: int) -> list[list[str]]:

@@ -101,6 +101,7 @@ _REPRESENTATIVE = (
     "tx_delete_dv_census",              # DV delete over a 0-row table
     "tx_change_feed_census",            # feed over file-less commits
     "tx_restore_census",                # restore to a file-less version
+    "tx_schema_evolution_census",       # merged read over 0-row generations
     "tx_cdf_incremental_agg_census",    # IVM fold of an empty feed
     "tx_clone_divergence_census",       # clone of a file-less table
     "zorder3_bucket_stats",             # NULL 3-dim bounds on 0 rows

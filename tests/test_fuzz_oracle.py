@@ -308,6 +308,7 @@ _EVENTS_FUZZED = (
     "tx_change_feed_census",
     "tx_cdf_incremental_agg_census",
     "tx_restore_census",
+    "tx_schema_evolution_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -648,3 +648,25 @@ def test_history_describes_every_surviving_commit(spark, table):
     tx_vacuum(table, retention_seconds=0.0)
     left = {r.version for r in tx_history(spark, table).collect()}
     assert left == {5}
+
+
+def test_schema_evolution_merged_read_with_dvs(spark, table):
+    """ADD COLUMN + deletion vectors compose: generation 1 lacks the
+    new column, generation 2 carries it, a DV delete masks rows across
+    BOTH generations (predicate on a column present everywhere), and
+    the merged masked read NULL-fills the old generation exactly."""
+    from pulsar_project_spark.sources.txlog import tx_delete_range_dv
+
+    gen1 = spark.range(0, 50).selectExpr("id", "id * 3 AS v")
+    gen2 = spark.range(50, 80).selectExpr("id", "id * 3 AS v",
+                                          "id * 7 AS extra")
+    tx_append(gen1, table, n_files=2)
+    tx_append(gen2, table, n_files=1)
+    tx_delete_range_dv(spark, table, "id", 40, 59)  # spans the boundary
+    back = tx_read(spark, table, merge_schema=True)
+    rows = {r.id: (r.v, r.extra) for r in back.collect()}
+    survivors = set(range(40)) | set(range(60, 80))
+    assert set(rows) == survivors
+    for i in survivors:
+        assert rows[i][0] == 3 * i
+        assert rows[i][1] == (7 * i if i >= 60 else None)
