@@ -1154,10 +1154,19 @@ GROUP BY event_type
 """
 
 
+# the CDF trio (batch census, IVM fold, streaming twin) consumes the
+# IDENTICAL immutable commit history — build it once per (process,
+# corpus); the table never mutates after build, so sharing is safe,
+# and a different sf_dir (fuzz's fresh mkdtemp per example) rebuilds
+_CDF_BUILD_CACHE: dict = {}
+
+
 def _build_cdf_table(spark: SparkSession, sf_dir: str, name: str) -> str:
-    """Fresh tx table exercising every change-feed commit class: two
-    appends, a layout-only compaction (must contribute NOTHING to the
-    feed), a deletion-vector delete, and a copy-on-write delete."""
+    """Tx table exercising every change-feed commit class: two appends,
+    a layout-only compaction (must contribute NOTHING to the feed), a
+    deletion-vector delete, and a copy-on-write delete. Cached per
+    (process, sf_dir) under the FIRST caller's name — consumers only
+    read the finished manifest chain."""
     import shutil
 
     from pulsar_project_spark.sources.txlog import (
@@ -1168,6 +1177,9 @@ def _build_cdf_table(spark: SparkSession, sf_dir: str, name: str) -> str:
         tx_init,
     )
 
+    cached = _CDF_BUILD_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     path = _rt_path(name)
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -1180,6 +1192,8 @@ def _build_cdf_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     tx_compact(spark, path, target_bytes=1 << 22)                   # v3
     tx_delete_range_dv(spark, path, "user_id", 100, 300)            # v4 (maybe)
     tx_delete_range(spark, path, "user_id", 400, 500)               # v5 (maybe)
+    _CDF_BUILD_CACHE.clear()
+    _CDF_BUILD_CACHE[sf_dir] = path
     return path
 
 
