@@ -85,10 +85,25 @@ def catalog_snapshot(catalog: str, version: int | None = None) -> dict:
 def _catalog_commit(catalog: str, expected_parent: int | None,
                     tables: dict[str, list], op: str) -> int:
     """Hard-link CAS, same shape as ``txlog._commit``: fsync a dot-tmp,
-    link to the version name, EEXIST = lost the race."""
+    link to the version name, EEXIST = lost the race. Carries the same
+    monotonic ``ts_us`` commit label as table manifests, so CROSS-TABLE
+    time travel (``catalog_version_as_of_timestamp``) resolves a
+    consistent multi-table snapshot at an instant."""
+    import time
+
     version = 0 if expected_parent is None else expected_parent + 1
+    parent_ts = 0
+    if expected_parent is not None:
+        try:
+            with open(_catalog_manifest_path(
+                    catalog, expected_parent)) as fh:
+                parent_ts = json.load(fh).get("ts_us", 0)
+        except FileNotFoundError:
+            parent_ts = 0
     manifest = {"version": version, "parent": expected_parent,
-                "op": op, "tables": tables}
+                "op": op,
+                "ts_us": max(parent_ts + 1, time.time_ns() // 1_000),
+                "tables": tables}
     mdir = os.path.join(catalog, _MANIFEST_DIR)
     tmp = os.path.join(mdir, f".v{version:08d}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
@@ -163,8 +178,14 @@ def catalog_move(spark: SparkSession, catalog: str, src: str, dst: str,
         ssnap = tx_snapshot(src_dir, src_v)
         dsnap = tx_snapshot(dst_dir, dst_v)
         if ssnap["files"]:
-            df = spark.read.parquet(
-                *(os.path.join(src_dir, f) for f in ssnap["files"]))
+            # masked read: deletion vectors on the pinned src snapshot
+            # must hold through the move — a plain scan would resurrect
+            # masked rows into one of the two output tables
+            from pulsar_project_spark.sources.txlog import (
+                _read_files_masked,
+            )
+
+            df = _read_files_masked(spark, src_dir, ssnap, ssnap["files"])
             movers = df.filter(predicate)
             survivors = df.filter(~predicate | predicate.isNull())
             new_src = _stage_dataframe(survivors, src_dir, n_files=2)
@@ -286,3 +307,29 @@ def catalog_vacuum(catalog: str, retention_seconds: float = 86400.0) -> int:
                     continue
                 removed += 1
     return removed
+
+
+def catalog_version_as_of_timestamp(catalog: str, ts_us: int) -> int:
+    """CROSS-TABLE time travel: the highest catalog version committed
+    at or before ``ts_us`` — reading every table through that snapshot
+    (``catalog_read(..., version=...)``) yields the CONSISTENT
+    multi-table state at that instant, which per-table AS OF TIMESTAMP
+    cannot give (two tables' own commit clocks interleave arbitrarily
+    around a cross-table move; the catalog clock is the serialization
+    order). Same floor/edge semantics as the table-level resolver."""
+    mdir = os.path.join(catalog, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise ValueError(f"not a tx catalog: {catalog}")
+    best = None
+    for f in os.listdir(mdir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:9])
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        if m.get("ts_us", 0) <= ts_us and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"{catalog}: no catalog commit at or before ts_us={ts_us}")
+    return best

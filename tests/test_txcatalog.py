@@ -258,3 +258,50 @@ def test_catalog_vacuum_default_retention_keeps_everything(spark, tmp_path):
     catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
     assert catalog_vacuum(cat) == 0  # everything too young at 24 h
     assert _counts(spark, cat) == {"hot": 60, "cold": 40}
+
+
+def test_catalog_timestamp_travel_is_cross_table_consistent(spark, tmp_path):
+    """An instant between the two moves must resolve to the catalog
+    snapshot AFTER move 1 and BEFORE move 2 — both tables read at
+    their move-1 placement together (per-table clocks can't give this:
+    the move committed each table's manifest at different instants)."""
+    from pulsar_project_spark.sources.txcatalog import (
+        catalog_version_as_of_timestamp,
+    )
+
+    hot, cold, cat = _mk_pair(spark, tmp_path)
+    catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
+    ts1 = catalog_snapshot(cat)["ts_us"]
+    catalog_move(spark, cat, "hot", "cold", F.col("k") < 70)
+    ts2 = catalog_snapshot(cat)["ts_us"]
+    assert ts1 < ts2
+    v = catalog_version_as_of_timestamp(cat, ts1 + (ts2 - ts1) // 2)
+    assert _counts(spark, cat, version=v) == {"hot": 60, "cold": 40}
+    # far future -> latest; before the first commit -> error
+    latest = catalog_version_as_of_timestamp(cat, ts2 + 10**12)
+    assert _counts(spark, cat, version=latest) == {"hot": 30, "cold": 70}
+    ts0 = catalog_snapshot(cat, 0)["ts_us"]
+    with pytest.raises(ValueError):
+        catalog_version_as_of_timestamp(cat, ts0 - 1)
+
+
+def test_catalog_move_respects_deletion_vectors(spark, tmp_path):
+    from pulsar_project_spark.sources.txlog import tx_delete_range_dv
+
+    hot, cold, cat = _mk_pair(spark, tmp_path)
+    tx_delete_range_dv(spark, hot, "k", 10, 19)
+    # re-pin the catalog at the masked version (fresh catalog dir:
+    # _mk_pair pinned pre-delete)
+    from pulsar_project_spark.sources.txcatalog import (
+        _catalog_commit,
+        catalog_latest_version,
+    )
+    from pulsar_project_spark.sources.txlog import tx_latest_version
+
+    snap = catalog_snapshot(cat)
+    tables = dict(snap["tables"])
+    tables["hot"] = [hot, tx_latest_version(hot)]
+    _catalog_commit(cat, snap["version"], tables, op="repin")
+    catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
+    # masked rows resurrect in NEITHER table
+    assert _counts(spark, cat) == {"hot": 60, "cold": 30}
