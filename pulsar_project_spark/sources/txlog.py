@@ -963,9 +963,20 @@ def tx_table_changes(spark: SparkSession, table: str,
     if v_from > v_to:
         raise ValueError(f"v_from={v_from} > v_to={v_to}")
     sides = []  # (snap-to-read-with, names, weight, commit_version)
-    prev = tx_snapshot(table, v_from)
+    try:
+        prev = tx_snapshot(table, v_from)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{table}: manifest v{v_from} was vacuumed — the change "
+            f"feed needs the full (v_from, v_to] chain (same retention "
+            f"horizon as time travel)") from None
     for v in range(v_from + 1, v_to + 1):
-        cur = tx_snapshot(table, v)
+        try:
+            cur = tx_snapshot(table, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{table}: manifest v{v} was vacuumed — the change "
+                f"feed needs the full (v_from, v_to] chain") from None
         if cur["op"] in _DATA_INVARIANT_OPS:
             prev = cur
             continue
