@@ -135,6 +135,7 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, split: _ChangeSplit):
         if not split.name:
             return
+        import pyarrow as pa
         import pyarrow.parquet as papq
 
         masked: set[int] = set()
@@ -148,14 +149,23 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
                     masked.add(p)
         pf = papq.ParquetFile(os.path.join(split.table, split.name))
         pos = 0
-        tail = (split.version, split.weight)
+        names = split.columns + ["_commit_version", "_w"]
         for batch in pf.iter_batches(columns=split.columns):
-            cols = [batch.column(i).to_pylist()
-                    for i in range(batch.num_columns)]
-            for row in zip(*cols):
-                if pos not in masked:
-                    yield row + tail
-                pos += 1
+            n = batch.num_rows
+            if masked:
+                keep = [i for i in range(n) if (pos + i) not in masked]
+                batch = batch.take(pa.array(keep, pa.int64()))
+            pos += n
+            m = batch.num_rows
+            if m == 0:
+                continue
+            # yield whole Arrow batches, not Python rows — the Python
+            # data plane then moves columnar buffers instead of tuples
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array([split.version] * m, pa.int32()),
+                   pa.array([split.weight] * m, pa.int64())],
+                names=names)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; manifests are immutable
