@@ -1409,3 +1409,182 @@ def q_tx_schema_evolution_census(spark: SparkSession,
         F.sum("value_cents").alias("total_cents"),
         F.count("day").alias("n_with_day"),
     )
+
+
+_TX_UPDATE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN user_id BETWEEN 100 AND 300
+                     THEN CAST(round(value * 100) AS BIGINT) * 3 + 7
+                     ELSE CAST(round(value * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_update_census", oracle=_TX_UPDATE_SQL)
+def q_tx_update_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE completing the DML roster (append / delete /
+    merge / UPDATE) on the transactional log: after OPTIMIZE ZORDER
+    records per-file (user_id, day) bounds, ``tx_update`` rewrites ONLY
+    the files whose bounds can contain user_id in [100, 300], applying
+    ``value_cents = value_cents * 3 + 7`` to exactly the matching rows
+    and carrying every other row byte-identical — untouched files carry
+    by name behind the CAS. NULL user_ids never match a range predicate
+    and pass through unchanged. The census over the updated table is
+    replayed by the oracle as a CASE expression over the raw events, so
+    an over-update (bystander rows transformed), under-update (matching
+    rows missed), or a dropped/duplicated carry breaks the hash.
+    Only-overlapping-files-rewritten is pinned in tests/test_txlog.py
+    (layout-dependent, so it belongs to a test)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_optimize_zorder,
+        tx_read,
+        tx_snapshot,
+        tx_update,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_update")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append(ev, path, n_files=4)
+    tx_optimize_zorder(spark, path, "user_id", "day", n_files=8)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_update(spark, path, "user_id", 100, 300,
+              {"value_cents": "value_cents * 3 + 7"})
+    return tx_read(spark, path).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+_TX_TYPED_CDF_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+rng AS (SELECT * FROM per_user WHERE user_id BETWEEN 100 AND 300),
+del AS (SELECT * FROM per_user WHERE user_id BETWEEN 150 AND 250)
+SELECT 'insert' AS change_type,
+       CAST((SELECT count(*) FROM per_user)
+          + (SELECT count(*) FROM rng) AS BIGINT) AS n_rows,
+       CAST(COALESCE((SELECT sum(cents) FROM per_user), 0)
+          + COALESCE((SELECT sum(cents) FROM rng), 0) AS BIGINT)
+         AS total_cents
+WHERE (SELECT count(*) FROM per_user) > 0
+UNION ALL
+SELECT 'update_preimage',
+       CAST((SELECT count(*) FROM rng) AS BIGINT),
+       CAST(COALESCE((SELECT sum(cents) FROM rng), 0) AS BIGINT)
+WHERE (SELECT count(*) FROM rng) > 0
+UNION ALL
+SELECT 'update_postimage',
+       CAST((SELECT count(*) FROM rng) AS BIGINT),
+       CAST(3 * COALESCE((SELECT sum(cents) FROM rng), 0)
+          + (SELECT count(*) FROM rng) AS BIGINT)
+WHERE (SELECT count(*) FROM rng) > 0
+UNION ALL
+SELECT 'delete',
+       CAST((SELECT count(*) FROM del) AS BIGINT),
+       CAST(3 * COALESCE((SELECT sum(cents) FROM del), 0)
+          + (SELECT count(*) FROM del) AS BIGINT)
+WHERE (SELECT count(*) FROM del) > 0
+"""
+
+
+@declare("tx_typed_change_feed_census", oracle=_TX_TYPED_CDF_SQL)
+def q_tx_typed_change_feed_census(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TYPED change data feed — the Delta CDF surface with all four
+    change classes, derived relationally with zero writer cooperation:
+    within one commit, a key present on BOTH sides of the weighted feed
+    is an update (delete row → 'update_preimage', insert row →
+    'update_postimage'); one-sided keys keep 'insert'/'delete'. The
+    history exercises every class: an append (inserts), a MERGE that
+    transforms users 100-300 to ``3*cents + 1`` (an integer map with no
+    fixed point, so every matched key REALLY changes and must pair as
+    pre+post — a no-op update would cancel upstream and emit nothing,
+    the Delta convention), a second MERGE inserting shadow keys
+    (pure inserts, no pairing), and a deletion-vector delete of users
+    150-250 (one-sided deletes of the rows AS UPDATED — the oracle's
+    ``3*cents + 1`` delete side certifies the feed reads post-update
+    values, not originals). The census folds per change class; the
+    oracle replays all four classes closed-form from raw events, so a
+    mislabeled pair, a phantom update, or a stale preimage breaks the
+    hash.
+
+    Scale shape: the labeling is one window over (commit, key) on the
+    already-small feed (touched rows, not the table) — the typed view
+    costs what the weighted view costs at any table size."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_delete_range_dv,
+        tx_init,
+        tx_merge_upsert,
+        tx_typed_changes,
+    )
+
+    empty_schema = StructType([
+        StructField("change_type", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_typed_cdf")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    per_user = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    in_range = per_user.filter(F.col("user_id").between(100, 300))
+    tx_append(per_user, path, n_files=4)                             # v1
+    tx_merge_upsert(                                                 # v2
+        spark, path,
+        in_range.select("user_id",
+                        (F.col("cents") * 3 + 1).alias("cents")),
+        "user_id")
+    tx_merge_upsert(                                                 # v3
+        spark, path,
+        in_range.select((F.col("user_id") + 10_000_000).alias("user_id"),
+                        "cents"),
+        "user_id")
+    tx_delete_range_dv(spark, path, "user_id", 150, 250)             # v4
+    try:
+        feed = tx_typed_changes(spark, path, "user_id", 0)
+    except ValueError:
+        # a degenerate corpus may commit no data-changing files at all
+        return spark.createDataFrame([], empty_schema)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.sum(F.col("_n") * F.col("cents")).cast("bigint")
+            .alias("total_cents"),
+        )
+    )

@@ -58,6 +58,8 @@ NEW_R8: tuple[str, ...] = (
     "ivfpq_rerank_topk",               # ADC shortlist -> exact rerank (VERDICT #4)
     "tx_restore_census",               # RESTORE as a forward commit
     "tx_schema_evolution_census",      # ADD COLUMN across generations
+    "tx_update_census",                # COW UPDATE completes the DML roster
+    "tx_typed_change_feed_census",     # CDF with update pre/post-images
 )
 
 RECERTS_R8: tuple[str, ...] = (

@@ -687,6 +687,67 @@ def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
     raise TxConflict(f"delete lost {max_retries} CAS races in {table}")
 
 
+def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
+              set_exprs: dict[str, str], max_retries: int = 3) -> int:
+    """Copy-on-write UPDATE ... SET <expr> WHERE col BETWEEN lo AND hi —
+    the DML-roster member between DELETE (drop matching rows) and MERGE
+    (replace by key): matching rows are rewritten IN PLACE with
+    ``set_exprs`` (column name → SQL expression over the row, e.g.
+    ``{"value_cents": "value_cents * 3 + 7"}``) and every other row is
+    carried byte-identical. The manifest's per-file column bounds pick
+    the files that can contain matches (files without recorded bounds
+    are conservatively rewritten) — ONLY those are read back (deletion
+    vectors applied, so a MoR-deleted row can never resurrect through
+    an update rewrite) and swapped behind the CAS; untouched files carry
+    by name. Updated columns keep their original dtype (the expression
+    is cast back), so the table schema is update-invariant. NULLs in
+    ``col`` never match a range predicate (SQL semantics) and pass
+    through unchanged. Bounds for the rewritten files are recomputed
+    (an update can move a clustering column), kept files keep theirs.
+    At 100 TB the bounds test is what makes a targeted UPDATE cost the
+    overlap, not the table. Reference anchor: the reference mutates
+    task/memory fields in place (task.py:406-470) with no concurrent-
+    writer story; this is that surface on the transactional log."""
+    from pyspark.sql import functions as F
+
+    nlo, nhi = _stat_value(lo), _stat_value(hi)
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        stats = snap.get("stats", {})
+        affected, kept = [], []
+        for name in snap["files"]:
+            b = stats.get(name, {}).get(col)
+            if (b is None or nlo is None or nhi is None
+                    or not (b[0] > nhi or b[1] < nlo)):
+                affected.append(name)
+            else:
+                kept.append(name)
+        if not affected:
+            return snap["version"]
+        src = _read_files_masked(spark, table, snap, affected)
+        cond = F.col(col).isNotNull() & F.col(col).between(lo, hi)
+        updated = src.select(*(
+            F.when(cond, F.expr(set_exprs[c]).cast(src.schema[c].dataType))
+            .otherwise(F.col(c)).alias(c) if c in set_exprs else F.col(c)
+            for c in src.columns
+        ))
+        produced = _stage_dataframe(updated, table,
+                                    n_files=max(1, len(affected)))
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        fresh = (_collect_file_stats(table, produced, stat_cols)
+                 if stat_cols else {})
+        keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
+                    if n in kept}
+        try:
+            return _commit(
+                table, snap["version"], kept + produced, op="update",
+                stats=_merged_stats(snap, kept, fresh) if stats else None,
+                dvs=keep_dvs or None)
+        except TxConflict:
+            continue
+    raise TxConflict(f"update lost {max_retries} CAS races in {table}")
+
+
 def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
                     key_col: str, max_retries: int = 3) -> int:
     """Copy-on-write MERGE (upsert) keyed on ``key_col``: the updates'
@@ -1016,6 +1077,42 @@ def tx_table_changes(spark: SparkSession, table: str,
             F.abs(F.col("_net")).cast("long").alias("_n"),
         )
     )
+
+
+def tx_typed_changes(spark: SparkSession, table: str, key_col: str,
+                     v_from: int, v_to: int | None = None) -> DataFrame:
+    """TYPED change data feed — the Delta CDF surface with all four
+    change classes: ``_change_type`` ∈ {'insert', 'delete',
+    'update_preimage', 'update_postimage'}. Derived RELATIONALLY from
+    the weighted feed (``tx_table_changes``) with zero writer
+    cooperation: within one commit, a key present on BOTH sides is an
+    update (its delete row becomes the preimage, its insert row the
+    postimage); a key present on one side only keeps its insert/delete
+    label. A row carried unchanged through a rewrite already cancelled
+    to weight 0 upstream, so an update whose pre- and postimage are
+    identical correctly produces NO feed rows (there was no change) —
+    same convention as Delta, where no-op matches emit nothing.
+
+    The labeling is one window over (commit, key) on the already-small
+    feed (touched rows, not the table), so the typed view costs the
+    same as the weighted one at any scale. Keys are assumed unique per
+    snapshot (the ``tx_merge_upsert`` precondition); under duplicate
+    keys the label degrades to 'both sides present → update' without
+    pairing individual rows, which is the honest relational answer."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feed = tx_table_changes(spark, table, v_from, v_to)
+    w = Window.partitionBy("_commit_version", key_col)
+    sides = F.size(F.collect_set("_change_type").over(w))
+    is_update = sides == 2
+    typed = F.when(
+        is_update,
+        F.when(F.col("_change_type") == "insert",
+               F.lit("update_postimage"))
+        .otherwise(F.lit("update_preimage")),
+    ).otherwise(F.col("_change_type"))
+    return feed.withColumn("_change_type", typed)
 
 
 def tx_restore(table: str, version: int, max_retries: int = 8) -> int:

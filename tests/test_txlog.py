@@ -670,3 +670,122 @@ def test_schema_evolution_merged_read_with_dvs(spark, table):
     for i in survivors:
         assert rows[i][0] == 3 * i
         assert rows[i][1] == (7 * i if i >= 60 else None)
+
+
+def test_update_rewrites_only_overlapping_files(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_optimize_zorder,
+        tx_read_pruned,
+        tx_update,
+    )
+
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 AS a", "id div 64 AS b", "id AS v")
+    tx_append(grid, table, n_files=4)
+    tx_optimize_zorder(spark, table, "a", "b", n_files=16)
+    files_before = set(tx_snapshot(table)["files"])
+    v = tx_update(spark, table, "a", 10, 13, {"v": "v * 2 + 1"})
+    snap = tx_snapshot(table)
+    assert snap["version"] == v and snap["op"] == "update"
+    carried = files_before & set(snap["files"])
+    assert len(carried) > len(files_before) / 2, (
+        len(carried), len(files_before))
+    got = sorted(r["v"] for r in tx_read(spark, table).collect())
+    want = sorted(i * 2 + 1 if 10 <= i % 64 <= 13 else i
+                  for i in range(64 * 64))
+    assert got == want
+    # schema is update-invariant and rewritten files got fresh bounds
+    assert [f.name for f in tx_read(spark, table).schema] == ["a", "b", "v"]
+    _df, n_read, n_total = tx_read_pruned(spark, table, "a", 3, 6)
+    assert n_read < n_total
+
+
+def test_update_keeps_nulls_and_noops_outside_bounds(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_optimize_zorder,
+        tx_update,
+    )
+
+    rows = spark.createDataFrame(
+        [(None, 1, 100), (5, 2, 101), (50, 3, 102)],
+        "a: bigint, b: bigint, v: bigint")
+    tx_append(rows, table, n_files=1)
+    tx_optimize_zorder(spark, table, "a", "b", n_files=1)
+    v1 = tx_latest_version(table)
+    # range that PROVABLY matches nothing: bounds say skip, no commit
+    assert tx_update(spark, table, "a", 1000, 2000, {"v": "0"}) == v1
+    tx_update(spark, table, "a", 0, 10, {"v": "v + 1000"})
+    got = sorted(((r["a"], r["v"]) for r in tx_read(spark, table).collect()),
+                 key=lambda t: t[1])
+    assert got == [(None, 100), (50, 102), (5, 1101)]
+
+
+def test_update_does_not_resurrect_dv_masked_rows(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv,
+        tx_update,
+    )
+
+    tx_append(_mk(spark, 0, 100), table, n_files=2)
+    tx_delete_range_dv(spark, table, "id", 40, 59)
+    # update overlaps the masked range; masked rows must stay deleted,
+    # not reappear transformed in the rewritten files
+    tx_update(spark, table, "id", 50, 69, {"v": "v + 7"})
+    got = {r["id"]: r["v"] for r in tx_read(spark, table).collect()}
+    assert set(got) == set(range(40)) | set(range(60, 100))
+    for i in got:
+        assert got[i] == (3 * i + 7 if 60 <= i <= 69 else 3 * i)
+    # the update rewrite applied the masks, so the rewritten files carry
+    # no DV debt for the masked range they absorbed
+    snap = tx_snapshot(table)
+    assert snap["op"] == "update"
+
+
+def test_typed_changes_labels_updates_and_skips_noops(spark, table):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_merge_upsert,
+        tx_typed_changes,
+    )
+
+    tx_append(_mk(spark, 0, 20), table, n_files=1)                  # v1
+    # replace ids 5..9 with v*2+1 (no integer fixed point) and insert
+    # ids 100..104; ids 0..4 are "updated" to their EXISTING value via
+    # a merge that carries them unchanged -> must emit nothing for them
+    cur = tx_read(spark, table)
+    upd = (
+        cur.filter(F.col("id") < 10)
+        .select("id", F.when(F.col("id") >= 5, F.col("v") * 2 + 1)
+                .otherwise(F.col("v")).alias("v"))
+        .unionByName(spark.range(100, 105).selectExpr("id", "id AS v"))
+    )
+    tx_merge_upsert(spark, table, upd, "id")                        # v2
+    feed = tx_typed_changes(spark, table, "id", 0)
+    rows = [(r["_commit_version"], r["id"], r["v"], r["_change_type"],
+             r["_n"]) for r in feed.collect()]
+    by_type = {}
+    for cv, i, v, ct, n in rows:
+        by_type.setdefault(ct, set()).add((cv, i, v))
+        assert n == 1
+    assert by_type["insert"] == (
+        {(1, i, 3 * i) for i in range(20)}
+        | {(2, i, i) for i in range(100, 105)})
+    assert by_type["update_preimage"] == {(2, i, 3 * i)
+                                          for i in range(5, 10)}
+    assert by_type["update_postimage"] == {(2, i, 6 * i + 1)
+                                           for i in range(5, 10)}
+    assert "delete" not in by_type  # carried no-op "updates" cancelled
+
+
+def test_typed_changes_one_sided_delete_stays_delete(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_typed_changes,
+    )
+
+    tx_append(_mk(spark, 0, 10), table, n_files=1)
+    tx_delete_range(spark, table, "id", 3, 5)
+    feed = tx_typed_changes(spark, table, "id", 1)
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(i, "delete") for i in (3, 4, 5)}
