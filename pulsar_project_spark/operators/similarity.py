@@ -224,3 +224,73 @@ def label_centroid_qsums(emb: DataFrame, label_col: str = "label",
         .groupBy(label_col, "pos")
         .agg(F.sum("q").alias("qsum"), F.count("*").alias("n_vecs"))
     )
+
+
+def semdedup_prune(emb: DataFrame, k: int = 8, threshold: float = 0.3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space, then drop near-duplicate
+    points WITHIN each cluster — the trick that makes semantic dedup
+    tractable at corpus scale, because the quadratic cosine check runs
+    per cluster (O(n²/k) pairs), never across the corpus. Returns
+    (id, cluster_id, pruned 0/1) for every embedded point.
+
+    Deterministic, engine-portable variant: centroids are the ``k``
+    lowest-id vectors (no RNG — the seeded-hash-twin convention of
+    ``get_random_label``); assignment is argmax cosine with ties to the
+    lowest centroid id; a point is pruned iff SOME lower-id point in
+    its cluster sits within ``threshold`` cosine — the keep-first rule
+    every exact-dedup family member uses, applied pairwise (NOT a
+    transitive closure: each survivor is genuinely non-duplicate
+    against every earlier survivor-or-not, matching the paper's
+    epsilon-ball pruning more closely than component collapse would).
+
+    Plan shape: one broadcast of k centroid rows × one scan (argmax
+    window), then a self-equi-join ON cluster id with the lower-id
+    filter — a shuffle on cluster, pairs expanded only within. At
+    100 TB, k grows with the corpus (fixed expected cluster size), so
+    per-cluster work stays bounded; the paper runs k ≈ n/100."""
+    from pyspark.sql.window import Window
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("nrm"))
+    cent = base.orderBy(F.asc(id_col)).limit(k).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        id_col, vec_col, "nrm", "cid",
+        cosine(F.col(vec_col), F.col("c_vec"),
+               F.col("nrm"), F.col("c_nrm")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "cid", vec_col, "nrm")
+    )
+    a = assigned.select(F.col("cid").alias("jcid"),
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select(F.col("cid").alias("jcid"),
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+    pruned_ids = (
+        a.join(b, "jcid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb"),
+                       F.col("na"), F.col("nb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, F.col("cid").alias("cluster_id"))
+        .join(pruned_ids.withColumn("__p", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("__p"), F.lit(0)).cast("int").alias("pruned"),
+        )
+    )

@@ -578,3 +578,110 @@ def q_length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("n_docs") * F.col("max_chars") - F.col("sum_chars"))
         .alias("padding_waste_chars"),
     )
+
+
+_MIX_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         GREATEST(1, COALESCE(n_chars, 0) // 4) AS tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+lagg AS (
+  SELECT lang, CAST(sum(tok) AS BIGINT) AS tok_l FROM d GROUP BY lang
+),
+wts AS (
+  SELECT lang, tok_l,
+         CAST(floor(sqrt(tok_l * 1000000.0)) AS BIGINT) AS w
+  FROM lagg
+),
+tot AS (
+  SELECT CAST(sum(tok_l) AS BIGINT) // 2 AS budget,
+         CAST(sum(w) AS BIGINT) AS wsum
+  FROM wts
+),
+budgets AS (
+  SELECT lang, CAST((budget * w) // wsum AS BIGINT) AS b_l
+  FROM wts, tot
+),
+ordered AS (
+  SELECT doc_id, lang, tok,
+         CAST(COALESCE(sum(tok) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM d
+)
+SELECT o.doc_id, o.lang, CAST(o.tok AS BIGINT) AS tok
+FROM ordered o JOIN budgets b ON o.lang = b.lang
+WHERE o.cum_before < b.b_l
+"""
+
+
+@declare("token_budget_mixture_sample", oracle=_MIX_SQL)
+def q_token_budget_mixture_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BALANCED MIXTURE SAMPLING TO A TOKEN BUDGET — the
+    step that turns ``lang_sampling_weights`` (α=0.5 weights) into an
+    actual training corpus: a global budget of half the corpus tokens
+    is split across languages ∝ √(token mass) (upweighting tail
+    languages, the multilingual-LM standard), and each language fills
+    its share in deterministic md5(doc_id) order until the running
+    token total crosses its budget (the crossing doc is included, so a
+    positive budget never selects zero docs). Membership is a pure
+    function of the data — identical on 1 executor or 1000, re-runnable
+    forever (the ``hash_stratified_sample`` argument: the sample
+    DEFINES the dataset, so RNG-stream reproducibility is
+    disqualifying). Every step is integer math or a correctly-rounded
+    sqrt/floor of an exact integer, so the oracle replays it
+    bit-for-bit; token counts are the 4-chars≈1-token estimate
+    (integer division — the planner's estimate, not the tokenizer's
+    output, which is fine because the budget is a target, not an
+    invoice). At extreme corpus scale (≳10^4 TB) the budget·weight
+    product approaches INT64 — normalize weights first if that day
+    comes (documented rather than silently doubled).
+
+    Plan shape: one scan → 5-row lang aggregate (map-side partials) →
+    broadcast the 5-row budget relation back onto the scan → one
+    window cumsum per lang partition. No shuffle wider than the
+    per-lang sort; at 100 TB the cumsum partitions by lang and Spark
+    range-partitions within, exactly how sequence packing runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.greatest(F.lit(1), F.expr("COALESCE(n_chars, 0) div 4"))
+        .alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    lagg = d.groupBy("lang").agg(F.sum("tok").cast("bigint").alias("tok_l"))
+    wts = lagg.select(
+        "lang", "tok_l",
+        F.floor(F.sqrt(F.col("tok_l") * 1000000.0)).cast("bigint").alias("w"),
+    )
+    wtot = Window.partitionBy()
+    # integer div end to end — `/` is double division in Spark and a
+    # 2^53-crossing product would truncate differently than DuckDB's //
+    budgets = wts.select(
+        "lang",
+        F.sum("tok_l").over(wtot).cast("bigint").alias("tot_tok"),
+        F.col("w"),
+        F.sum("w").over(wtot).cast("bigint").alias("wsum"),
+    ).select(
+        "lang",
+        F.expr("((tot_tok div 2) * w) div wsum").cast("bigint").alias("b_l"),
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = d.select(
+        "doc_id", "lang", "tok",
+        F.coalesce(F.sum("tok").over(wcum), F.lit(0)).cast("bigint")
+        .alias("cum_before"),
+    )
+    return (
+        ordered.join(F.broadcast(budgets), "lang")
+        .filter(F.col("cum_before") < F.col("b_l"))
+        .select("doc_id", "lang", F.col("tok").cast("bigint").alias("tok"))
+    )

@@ -834,3 +834,65 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reranked.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(10)
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.3
+
+
+@declare(
+    "semdedup_embedding_prune",
+    oracle=f"""
+WITH {_norm_base_sql()},
+cent AS (
+  SELECT vec_id AS cid, embedding AS c_vec, nrm AS c_nrm
+  FROM base ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+),
+scored AS (
+  SELECT b.vec_id, c.cid,
+         CASE WHEN b.nrm * c.c_nrm = 0 THEN 0.0
+              ELSE {_dot_sql('b.embedding', 'c.c_vec')} / (b.nrm * c.c_nrm)
+         END AS ccos
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+pruned AS (
+  SELECT DISTINCT bb.vec_id
+  FROM assigned aa JOIN assigned bb
+    ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN base x ON x.vec_id = aa.vec_id
+  JOIN base y ON y.vec_id = bb.vec_id
+  WHERE CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+             ELSE {_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)
+        END >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cid AS cluster_id,
+       CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS pruned
+FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+""",
+)
+def q_semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup): the embedding-space member of the
+    dedup family — cluster (k lowest-id centroids, argmax-cosine
+    assignment, ties to the lowest centroid id), then prune any point
+    with a lower-id cluster-mate within cosine ≥ τ. The quadratic
+    check runs per cluster, never across the corpus — the property
+    that makes semantic dedup tractable at 100 TB (k scales with n,
+    cluster size stays constant). Emits the FULL per-vector relation
+    (id, cluster, pruned 0/1), so the oracle hash certifies the
+    assignment AND the prune decision for every point; every cosine is
+    a sequential-fold double on both engines (bit-exact, so argmax
+    tie-breaks and the τ boundary agree). Completes the dedup roster:
+    exact / chunk / MinHash / SimHash / n-gram / PPJoin / Levenshtein /
+    SemDeDup."""
+    from pulsar_project_spark.operators.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_TAU)

@@ -60,6 +60,8 @@ NEW_R8: tuple[str, ...] = (
     "tx_schema_evolution_census",      # ADD COLUMN across generations
     "tx_update_census",                # COW UPDATE completes the DML roster
     "tx_typed_change_feed_census",     # CDF with update pre/post-images
+    "semdedup_embedding_prune",        # SemDeDup completes the dedup roster
+    "token_budget_mixture_sample",     # α=0.5 mixture executed to a budget
 )
 
 RECERTS_R8: tuple[str, ...] = (

@@ -45,6 +45,8 @@ _REPRESENTATIVE = (
     "json_path_stats_native",           # JSON census
     "udtf_json_path_stats",             # Python UDTF on 0 rows
     "hash_stratified_sample",           # deterministic sampling
+    "token_budget_mixture_sample",      # budget mix over 0 docs
+    "semdedup_embedding_prune",         # semantic dedup over 0 vectors
     "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
     "tx_compaction_roundtrip_census",   # tx compaction on a 0-row table
     "tx_snapshot_time_travel_census",   # time travel over empty commits
@@ -58,6 +60,8 @@ _REPRESENTATIVE = (
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers
     "tx_delete_range_census",           # delete over a 0-row table
+    "tx_update_census",                 # COW update over a 0-row table
+    "tx_typed_change_feed_census",      # typed feed over 0-row commits
     # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
     # aggregates: on empty input each correctly returns one all-zero
     # row in both engines — zero-rows-out doesn't apply; their

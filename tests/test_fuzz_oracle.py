@@ -132,6 +132,10 @@ _PIPELINE_FUZZED = (
     "langid_profile_scores",
     "langid_confusion_matrix",
     "lang_sampling_weights",
+    # round-8 continuation: the weights EXECUTED to a token budget —
+    # tiny fuzz corpora force b_l=0 languages (zero docs selected) and
+    # single-lang corpora (the whole budget lands on one partition)
+    "token_budget_mixture_sample",
     "bpe_token_counts",
     "feature_hash_embeddings",
     "simhash_fingerprints",
@@ -309,6 +313,11 @@ _EVENTS_FUZZED = (
     "tx_cdf_incremental_agg_census",
     "tx_restore_census",
     "tx_schema_evolution_census",
+    # round-8 continuation: COW UPDATE (NULL keys must pass through
+    # unchanged, no-match ranges take the no-commit branch) and the
+    # typed feed (single-sided corpora exercise empty change classes)
+    "tx_update_census",
+    "tx_typed_change_feed_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",
@@ -683,6 +692,10 @@ _EMBEDDING_FUZZED = (
     # shortlist >= corpus (rerank degenerates to exact brute force,
     # which must STILL match the oracle's two-stage replay)
     "ivfpq_rerank_topk",
+    # round-8 continuation: SemDeDup — min_size=2 corpora force
+    # k > n centroids (every point its own cluster, nothing pruned)
+    # and zero-norm vectors (cosine-0 convention on both engines)
+    "semdedup_embedding_prune",
 )
 
 

@@ -30,6 +30,7 @@ ALLOWED_NESTED_LOOP = {
     "kmeans_clusters",          # crossJoin(broadcast(k=8 centroids)) — Lloyd's
     "ivf_cosine_topk",          # same centroid crossJoin inside kmeans_fit
     "ivf_cell_assignment",      # same k=8 centroid broadcast (iters=1 fit)
+    "semdedup_embedding_prune", # k=8 lowest-id centroid broadcast crossJoin
     "mmr_rerank_exact",         # 1-row query-vector broadcast crossJoin
     "bm25_scores",              # 1-row corpus-constants broadcast crossJoin
     "bm25_topk",                # same
