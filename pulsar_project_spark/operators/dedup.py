@@ -617,3 +617,58 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                       "inter", F.col("n_a").cast("long").alias("n_a"),
                       F.col("n_b").cast("long").alias("n_b"),
                       jac.alias("jaccard"))
+
+
+def repeated_window_census(docs: DataFrame, w: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """EXACT SUBSTRING-DEDUP CENSUS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv 2107.06499):
+    per document, how many of its w-token windows occur ≥2 times in
+    the WHOLE corpus (within- or cross-document — self-repetition is
+    repetition). The suffix-array step of the paper reduced to its
+    relational core: every token offset emits one rolling-hash window,
+    one grouped count finds the repeated hashes, one join carries the
+    verdict back. Returns (id, n_windows, n_repeated) for every doc
+    with ≥1 window; the consumer drops or trims spans.
+
+    The window hash folds (acc·31 + h) mod 2³¹−1 per step — unlike the
+    5-gram shingles' overflow-free 2⁵² headroom, w=8 would overflow
+    INT64, so the modular fold is load-bearing, not a style choice.
+    Hash-based "equality" is the paper's own trade (collisions
+    over-count repetition with probability ~n²/2³¹ per window); both
+    engines compute identical hashes, so parity stays exact.
+
+    Shape: posexplode → md5 token hash → w-1 ``lead`` columns over one
+    per-doc window sort → arithmetic combine (all codegen), then one
+    count shuffle on the 8-byte hash and one count-distinct-free join
+    back. At 100 TB the shuffle carries (doc, pos, hash) triples —
+    8-byte hashes, not w-token strings, which is why the fold beats
+    shipping the spans themselves."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(clean_string(text_col))).alias("pos", "tok"),
+    )
+    hashed = toks.select(id_col, "pos", portable_hash(F.col("tok")).alias("h0"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = hashed.select(
+        id_col, "pos", "h0",
+        *[F.lead("h0", i).over(win).alias(f"h{i}") for i in range(1, w)],
+    )
+    poly = F.col("h0")
+    for i in range(1, w):
+        poly = (poly * 31 + F.col(f"h{i}")) % ROLLING_P
+    windows = leads.filter(F.col(f"h{w - 1}").isNotNull()).select(
+        id_col, "pos", poly.alias("sh"))
+    counts = windows.groupBy("sh").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        windows.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("n_occ") >= 2).cast("bigint")).cast("bigint")
+            .alias("n_repeated"),
+        )
+    )

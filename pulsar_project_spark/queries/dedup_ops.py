@@ -23,6 +23,7 @@ from pulsar_project_spark.operators.dedup import (
     minhash_bands,
     minhash_candidates,
     ngram_jaccard_pairs,
+    repeated_window_census,
     rolling_fingerprint,
     simhash,
     token_table,
@@ -532,3 +533,47 @@ def q_prefix_filtered_jaccard_pairs(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(docs)
+
+
+_REPEAT_W = 8
+_REPEAT_WINDOWS = (
+    f"CASE WHEN len(tk) >= {_REPEAT_W} THEN list_transform("
+    f"generate_series(1, len(tk) - {_REPEAT_W - 1}), i -> "
+    f"list_reduce(list_transform(tk[i:i+{_REPEAT_W - 1}], t -> {_TOKHASH}),"
+    " (a, b) -> (a * 31 + b) % 2147483647)"
+    ") ELSE [] END"
+)
+
+
+@declare(
+    "repeated_ngram_span_census",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+win AS (
+  SELECT doc_id, unnest({_REPEAT_WINDOWS}) AS sh FROM toks
+),
+rep AS (
+  SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN sh IN (SELECT sh FROM rep) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repeated
+FROM win GROUP BY doc_id
+""",
+)
+def q_repeated_ngram_span_census(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exact substring-dedup census (Lee et al. 2022): per doc, its
+    8-token windows and how many occur ≥2 times corpus-wide (self-
+    repetition counts — the paper dedups within documents too). The
+    suffix-array pass reduced to one rolling-hash window relation, one
+    grouped count, one join back; the modular fold is load-bearing
+    (8 windows of 32-bit hashes would overflow the shingles' 2^52
+    headroom). Completes the dedup roster's exact-substring axis next
+    to the document-level (md5), chunk-level, and approximate
+    (MinHash/SimHash/PPJoin) members."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_window_census(docs, w=_REPEAT_W)

@@ -62,6 +62,7 @@ NEW_R8: tuple[str, ...] = (
     "tx_typed_change_feed_census",     # CDF with update pre/post-images
     "semdedup_embedding_prune",        # SemDeDup completes the dedup roster
     "token_budget_mixture_sample",     # α=0.5 mixture executed to a budget
+    "repeated_ngram_span_census",      # exact substring dedup (Lee et al.)
 )
 
 RECERTS_R8: tuple[str, ...] = (

@@ -46,6 +46,7 @@ _REPRESENTATIVE = (
     "udtf_json_path_stats",             # Python UDTF on 0 rows
     "hash_stratified_sample",           # deterministic sampling
     "token_budget_mixture_sample",      # budget mix over 0 docs
+    "repeated_ngram_span_census",       # window census over 0 docs
     "semdedup_embedding_prune",         # semantic dedup over 0 vectors
     "jsonl_roundtrip_counts",           # JSONL write/read roundtrip
     "tx_compaction_roundtrip_census",   # tx compaction on a 0-row table

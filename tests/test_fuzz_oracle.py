@@ -752,6 +752,10 @@ _NEARDUP_FUZZED = (
     "minhash_lsh_bands",
     "minhash_candidate_pairs",
     "rolling_fingerprint",
+    # round-8 continuation: repeated 8-token windows — the 20-word
+    # fuzz vocab forces dense window collisions; short docs force the
+    # len(tk) < w empty-window branch
+    "repeated_ngram_span_census",
     "neardup_components",
     "neardup_cluster_size_histogram",
     "cluster_best_representative",
