@@ -1588,3 +1588,72 @@ def q_tx_typed_change_feed_census(spark: SparkSession,
             .alias("total_cents"),
         )
     )
+
+
+_TX_BLOOM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, cents FROM per_user
+WHERE user_id IN (5, 105, 205, 305, 405)
+"""
+
+
+@declare("tx_bloom_point_lookup_census", oracle=_TX_BLOOM_SQL)
+def q_tx_bloom_point_lookup_census(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """BLOOM FILTER INDEX point lookup — the skipping structure for the
+    query min/max bounds CANNOT serve: the per-user table is HASH-
+    scattered across 8 files (every file spans the whole user_id range,
+    so range pruning keeps everything), and the per-file blooms written
+    by ``tx_append_bloomed`` prove definite absence instead — the
+    5-needle probe opens only the maybe-files (actual skipping pinned
+    in tests/test_txlog.py; this census pins CORRECTNESS: the bloom is
+    no-false-negative by construction, so the lookup result must equal
+    the oracle's plain IN-list replay from raw events — a lost needle
+    means the index lied). Files without a bloom are conservatively
+    read, so correctness never depends on the filter.
+
+    Scale shape: planning is driver arithmetic on manifest metadata —
+    zero storage I/O for skipped files; at 100 TB a needle query costs
+    the handful of files that might contain it, not a table scan."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_init,
+        tx_read_bloom_point,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("cents", LongType()),
+    ])
+    path = _rt_path("txlog_bloom")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    per_user = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    # hash-scatter: every file spans the full id range on purpose
+    tx_append_bloomed(per_user.repartition(8, "user_id"), path,
+                      "user_id", n_files=None)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    try:
+        df, _n_read, _n_total = tx_read_bloom_point(
+            spark, path, "user_id", [5, 105, 205, 305, 405])
+    except ValueError:
+        # the blooms PROVED no file holds any needle (valid on a
+        # degenerate corpus missing all five users)
+        return spark.createDataFrame([], empty_schema)
+    return df.select("user_id", "cents")

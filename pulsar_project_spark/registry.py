@@ -63,6 +63,7 @@ NEW_R8: tuple[str, ...] = (
     "semdedup_embedding_prune",        # SemDeDup completes the dedup roster
     "token_budget_mixture_sample",     # α=0.5 mixture executed to a budget
     "repeated_ngram_span_census",      # exact substring dedup (Lee et al.)
+    "tx_bloom_point_lookup_census",    # bloom file-skipping point lookup
 )
 
 RECERTS_R8: tuple[str, ...] = (

@@ -882,19 +882,37 @@ def tx_version_as_of_timestamp(table: str, ts_us: int) -> int:
     earlier one; an instant after the last resolves to the latest.
     Manifests dropped by vacuum are simply no longer candidates (time
     travel past the retention horizon is forfeited, stated exactly
-    like version-based travel)."""
+    like version-based travel).
+
+    Resolution is a BINARY SEARCH over the sorted surviving versions —
+    sound because ``_commit`` makes ts_us strictly monotonic in the
+    version number — so planning reads O(log n) manifests, not all of
+    them. A 100 TB table accumulates millions of commits; AS OF
+    TIMESTAMP is a planning-time call and must not scale with history
+    length. (Vacuum can leave gaps below the latest; the search runs
+    over the listing, which is already sorted-unique, so gaps are
+    harmless.)"""
     mdir = os.path.join(table, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise ValueError(f"not a tx table: {table}")
-    best = None
-    for f in os.listdir(mdir):
-        if not (f.startswith("v") and f.endswith(".json")):
-            continue
-        v = int(f[1:9])
-        with open(os.path.join(mdir, f)) as fh:
-            m = json.load(fh)
-        if m.get("ts_us", 0) <= ts_us and (best is None or v > best):
-            best = v
+    versions = sorted(
+        int(f[1:9]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json"))
+    if not versions:
+        raise ValueError(f"not a tx table: {table}")
+
+    def _ts(v: int) -> int:
+        with open(_manifest_path(table, v)) as fh:
+            return json.load(fh).get("ts_us", 0)
+
+    lo, hi, best = 0, len(versions) - 1, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _ts(versions[mid]) <= ts_us:
+            best = versions[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
     if best is None:
         raise ValueError(
             f"{table}: no commit at or before ts_us={ts_us} "
@@ -1180,3 +1198,135 @@ def tx_history(spark: SparkSession, table: str) -> DataFrame:
         StructField("txn_batch", LongType(), True),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continuation): per-file Bloom skipping index — point lookups
+# on columns where min/max bounds cannot prune (high-cardinality values
+# scattered across every file), the Delta "bloom filter index" feature.
+# ---------------------------------------------------------------------------
+
+_BLOOM_PREFIX = "__bloom__"
+
+
+def _bloom_indexes(value, bits: int, k: int) -> list[int]:
+    """k double-hashed bit positions for ``value``: md5(str(v)) split
+    into two 64-bit words, index_i = (h1 + i·h2) mod bits — the
+    standard Kirsch-Mitzenmacher construction. str() canonicalization
+    means the index is sound for int and string columns (document the
+    restriction rather than hash floats, whose str() round-trip is a
+    correctness trap)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _build_blooms(table: str, names: list[str], col: str,
+                  k: int = 4) -> dict[str, dict]:
+    """Per-file Bloom bitsets over ``col``, sized ~10 bits/row (next
+    power of two, floor 1024) so the false-positive rate stays ~1%
+    regardless of file size — a fixed ``bits`` would saturate on big
+    files and silently stop skipping. Built from the freshly staged
+    files at commit time (one column read while the pages are hot; in
+    a production writer this folds into the write pass). NULLs are
+    not inserted — a point probe never matches NULL. Words are <2^64
+    ints, JSON-safe; ~10 bits/row of manifest weight is the explicit
+    trade (Delta keeps these in sidecar indexes at petabyte scale —
+    same structure, different parking spot)."""
+    import pyarrow.parquet as papq
+
+    out = {}
+    for name in names:
+        tbl = papq.read_table(os.path.join(table, name), columns=[col])
+        vals = tbl.column(col).to_pylist()
+        n = max(1, sum(v is not None for v in vals))
+        bits = 1024
+        while bits < 10 * n:
+            bits <<= 1
+        words = [0] * (bits // 64)
+        for v in vals:
+            if v is None:
+                continue
+            for ix in _bloom_indexes(v, bits, k):
+                words[ix >> 6] |= 1 << (ix & 63)
+        out[name] = {"bits": bits, "k": k, "words": words}
+    return out
+
+
+def tx_append_bloomed(df: DataFrame, table: str, bloom_col: str,
+                      n_files: int | None = None,
+                      max_retries: int = 8) -> int:
+    """Append with a PER-FILE BLOOM FILTER INDEX on ``bloom_col``
+    (plus its min/max bounds) recorded in the manifest stats under
+    ``__bloom__<col>`` — the key namespace keeps it out of every
+    bounds reader's way, and ``_merged_stats`` carries it forward for
+    files later ops keep by name (rewritten files simply lose the
+    bloom and are conservatively read until re-indexed). This is the
+    skipping structure for the lookup min/max CANNOT serve: a
+    high-cardinality id scattered across every file overlaps every
+    [min, max], but each file's bloom proves definite absence —
+    ``tx_read_bloom_point`` then opens only the maybe-files. No false
+    negatives by construction (every stored value was inserted), so
+    correctness never depends on the filter; the residual predicate
+    re-applies exactness."""
+    new_files = _stage_dataframe(df, table, n_files)
+    bounds = _collect_file_stats(table, new_files, [bloom_col])
+    blooms = _build_blooms(table, new_files, bloom_col)
+    fresh = {}
+    for n in new_files:
+        ent = dict(bounds.get(n, {}))
+        ent[_BLOOM_PREFIX + bloom_col] = blooms[n]
+        fresh[n] = ent
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        try:
+            return _commit(
+                table, snap["version"], snap["files"] + new_files,
+                op="append-bloomed",
+                stats=_merged_stats(snap, snap["files"], fresh),
+                dvs=snap.get("dvs"))
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"bloomed append lost {max_retries} CAS races in {table}")
+
+
+def tx_read_bloom_point(spark: SparkSession, table: str, col: str,
+                        values, version: int | None = None):
+    """Point lookup ``col IN (values)`` with Bloom file skipping: a
+    file is opened only if its bloom says SOME probe value may be
+    present (files without a bloom — pre-index generations, compaction
+    outputs — are conservatively kept). Returns (DataFrame-with-the-
+    exact-IN-filter-applied, n_files_read, n_files_total); raises
+    ``ValueError`` when every file PROVABLY lacks every probe value
+    (the ``tx_read_pruned`` convention). Planning cost is pure driver
+    arithmetic on manifest metadata — zero storage I/O for skipped
+    files, which at 100 TB is the entire point of a needle query."""
+    from pyspark.sql import functions as F
+
+    vs = list(values) if isinstance(values, (list, tuple, set)) else [values]
+    snap = tx_snapshot(table, version)
+    stats = snap.get("stats", {})
+    key = _BLOOM_PREFIX + col
+    chosen = []
+    for name in snap["files"]:
+        b = stats.get(name, {}).get(key)
+        if b is None:
+            chosen.append(name)
+            continue
+        words, bits, k = b["words"], b["bits"], b["k"]
+        for v in vs:
+            if all((words[ix >> 6] >> (ix & 63)) & 1
+                   for ix in _bloom_indexes(v, bits, k)):
+                chosen.append(name)
+                break
+    if not chosen:
+        raise ValueError(
+            f"no file of {table} v{snap['version']} can contain "
+            f"{col} in {vs}")
+    df = _read_files_masked(spark, table, snap, chosen)
+    return (df.filter(F.col(col).isin(vs)),
+            len(chosen), len(snap["files"]))

@@ -318,6 +318,10 @@ _EVENTS_FUZZED = (
     # typed feed (single-sided corpora exercise empty change classes)
     "tx_update_census",
     "tx_typed_change_feed_census",
+    # bloom skipping: fuzz corpora miss probe users entirely (the
+    # proved-absent-everywhere ValueError branch) and hit NULL user_ids
+    # (never inserted into a bloom, never probed)
+    "tx_bloom_point_lookup_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -789,3 +789,91 @@ def test_typed_changes_one_sided_delete_stays_delete(spark, table):
     feed = tx_typed_changes(spark, table, "id", 1)
     got = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert got == {(i, "delete") for i in (3, 4, 5)}
+
+
+def test_as_of_timestamp_binary_search_survives_vacuum_gaps(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_version_as_of_timestamp,
+    )
+
+    for i in range(6):
+        tx_append(_mk(spark, i * 10, i * 10 + 10), table, n_files=1)
+    stamps = {v: tx_snapshot(table, v)["ts_us"] for v in range(7)}
+    # simulate a partial vacuum: drop two mid-chain manifests
+    for v in (2, 4):
+        os.unlink(os.path.join(table, "_manifests", f"v{v:08d}.json"))
+    # an instant at a vacuumed commit floors to the nearest SURVIVING
+    # earlier version; surviving versions resolve to themselves
+    assert tx_version_as_of_timestamp(table, stamps[2]) == 1
+    assert tx_version_as_of_timestamp(table, stamps[3]) == 3
+    assert tx_version_as_of_timestamp(table, stamps[4]) == 3
+    assert tx_version_as_of_timestamp(table, stamps[6] + 10**9) == 6
+    with pytest.raises(ValueError):
+        tx_version_as_of_timestamp(table, stamps[0] - 1)
+
+
+def test_bloom_point_lookup_skips_files_bounds_cannot(spark, table):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_read_bloom_point,
+    )
+
+    # hash-scatter 4000 ids over 8 files: every file spans ~the whole
+    # range, so min/max bounds prune NOTHING — only the bloom can skip
+    df = spark.range(4000).selectExpr("id", "id * 7 AS v")
+    tx_append_bloomed(df.repartition(8, "id"), table, "id")
+    snap = tx_snapshot(table)
+    stats = snap["stats"]
+    assert all("__bloom__id" in stats[n] and "id" in stats[n]
+               for n in snap["files"])
+    lo = min(stats[n]["id"][0] for n in snap["files"])
+    hi = max(stats[n]["id"][1] for n in snap["files"])
+    assert all(stats[n]["id"][0] < lo + 400 and stats[n]["id"][1] > hi - 400
+               for n in snap["files"]), "scatter failed: bounds would prune"
+    out, n_read, n_total = tx_read_bloom_point(spark, table, "id", [1234])
+    assert n_total == 8 and n_read < n_total, (n_read, n_total)
+    assert [(r["id"], r["v"]) for r in out.collect()] == [(1234, 8638)]
+    # absent needle: with ~1% fpp per file, usually zero files survive;
+    # either way the result is exactly empty
+    try:
+        out2, n2, _ = tx_read_bloom_point(spark, table, "id", [99999])
+        assert out2.count() == 0 and n2 <= 2
+    except ValueError:
+        pass  # proved absent everywhere — the stronger outcome
+
+
+def test_bloom_carries_through_kept_files_and_drops_on_rewrite(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_delete_range,
+        tx_read_bloom_point,
+    )
+
+    tx_append_bloomed(_mk(spark, 0, 1000), table, "id", n_files=4)
+    # COW delete far outside most files: kept files keep their blooms
+    tx_delete_range(spark, table, "id", 0, 10)
+    snap = tx_snapshot(table)
+    with_bloom = [n for n in snap["files"]
+                  if "__bloom__id" in snap["stats"].get(n, {})]
+    without = [n for n in snap["files"]
+               if "__bloom__id" not in snap["stats"].get(n, {})]
+    assert with_bloom, "kept files lost their blooms"
+    assert without, "rewrite output should have no bloom (conservative)"
+    # lookup still exact: bloom skips among indexed files, the rewrite
+    # output is conservatively read
+    out, n_read, n_total = tx_read_bloom_point(spark, table, "id", [500])
+    assert [(r["id"], r["v"]) for r in out.collect()] == [(500, 1500)]
+    assert n_read < n_total
+
+
+def test_bloom_never_false_negative_exhaustive(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_read_bloom_point,
+    )
+
+    tx_append_bloomed(_mk(spark, 0, 300), table, "id", n_files=4)
+    out, _, _ = tx_read_bloom_point(spark, table, "id", list(range(300)))
+    assert out.count() == 300  # every stored needle found
