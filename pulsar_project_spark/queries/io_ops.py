@@ -1539,7 +1539,7 @@ def q_tx_typed_change_feed_census(spark: SparkSession,
     import shutil
 
     from pulsar_project_spark.sources.txlog import (
-        tx_append,
+        tx_append_clustered,
         tx_delete_range_dv,
         tx_init,
         tx_merge_upsert,
@@ -1563,7 +1563,11 @@ def q_tx_typed_change_feed_census(spark: SparkSession,
              .cast("bigint").alias("cents"))
     )
     in_range = per_user.filter(F.col("user_id").between(100, 300))
-    tx_append(per_user, path, n_files=4)                             # v1
+    # clustered append: per-file user_id bounds make the range merge
+    # rewrite only overlapping files and the beyond-range shadow merge
+    # rewrite NOTHING (pure insert) — the targeted-DML pattern at scale,
+    # and it halves the census build cost (BENCH_NOTES round-8 cont.)
+    tx_append_clustered(per_user, path, ["user_id"], n_files=4)      # v1
     tx_merge_upsert(                                                 # v2
         spark, path,
         in_range.select("user_id",

@@ -252,14 +252,26 @@ def q_streaming_lc_distinct(spark: SparkSession,
     return run_streaming_lc_distinct(spark, sf_dir)
 
 
-@declare("streaming_tx_change_feed")
+def _tx_cdf_sql() -> str:
+    from pulsar_project_spark.queries.io_ops import _TX_CDF_SQL
+    return _TX_CDF_SQL
+
+
+@declare("streaming_tx_change_feed", oracle=_tx_cdf_sql())
 def q_streaming_tx_change_feed(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Rows-only by design (a genuine streaming run over a custom
-    Python DataSource tailing the tx log's manifest chain, with an
-    exactly-once tx_append_txn fold); twin-paired with the
-    oracle-backed `tx_change_feed_census` — equality pinned in
-    tests/test_streaming.py."""
+    """FULL-ORACLE streaming query (upgraded from rows-only in the
+    round-8 continuation): a genuine streaming run over the custom
+    Python DataSource tailing the tx log's manifest chain, folding
+    per-commit weighted changes into a STATE tx table via exactly-once
+    ``tx_append_txn``, drained twice against one checkpoint. The final
+    census carries the SAME oracle as the batch twin
+    ``tx_change_feed_census`` — sound because stream offsets are
+    manifest versions (every micro-batch is a whole (start, end]
+    commit window, so both sides of a commit net within one batch) and
+    the per-(side, type) partials are additive. This closes the chain
+    storage → stream → storage → DuckDB with a driver hash at every
+    link."""
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_tx_change_feed,
     )

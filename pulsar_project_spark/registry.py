@@ -64,6 +64,7 @@ NEW_R8: tuple[str, ...] = (
     "token_budget_mixture_sample",     # α=0.5 mixture executed to a budget
     "repeated_ngram_span_census",      # exact substring dedup (Lee et al.)
     "tx_bloom_point_lookup_census",    # bloom file-skipping point lookup
+    "streaming_tx_change_feed",        # rows-only → FULL oracle upgrade
 )
 
 RECERTS_R8: tuple[str, ...] = (

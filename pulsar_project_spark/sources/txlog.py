@@ -60,6 +60,10 @@ class TxConflict(Exception):
     """Another writer committed the version this transaction targeted."""
 
 
+class TxConstraintViolation(ValueError):
+    """A write contained rows failing a table CHECK constraint."""
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -98,7 +102,8 @@ def _commit(table: str, expected_parent: int | None,
             files: list[str], op: str,
             txn: dict | None = None,
             stats: dict | None = None,
-            dvs: dict | None = None) -> int:
+            dvs: dict | None = None,
+            constraints: dict | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -114,10 +119,16 @@ def _commit(table: str, expected_parent: int | None,
     travel (``tx_version_as_of_timestamp``)."""
     version = 0 if expected_parent is None else expected_parent + 1
     parent_ts = 0
+    parent_constraints: dict = {}
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
-                parent_ts = json.load(fh).get("ts_us", 0)
+                pm = json.load(fh)
+            parent_ts = pm.get("ts_us", 0)
+            # CHECK constraints are TABLE metadata, not commit payload:
+            # every commit carries them forward unless the commit
+            # explicitly replaces the set (tx_set/drop_constraint)
+            parent_constraints = pm.get("constraints", {})
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -129,6 +140,10 @@ def _commit(table: str, expected_parent: int | None,
         "ts_us": max(parent_ts + 1, time.time_ns() // 1_000),
         "files": sorted(files),
     }
+    effective_constraints = (constraints if constraints is not None
+                             else parent_constraints)
+    if effective_constraints:
+        manifest["constraints"] = effective_constraints
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -182,7 +197,9 @@ def tx_append(df: DataFrame, table: str, n_files: int | None = None,
     """Append ``df`` as new immutable files; returns the new version.
     Stage once, then CAS-commit with rebase on conflict (an append
     composes with any concurrent commit — the file list is re-read and
-    the new files re-added on top)."""
+    the new files re-added on top). CHECK constraints are enforced on
+    the incoming rows before a byte is staged."""
+    _enforce_constraints(df, table)
     new_files = _stage_dataframe(df, table, n_files)
     for _ in range(max_retries):
         snap = tx_snapshot(table)
@@ -325,12 +342,28 @@ def tx_compact(spark: SparkSession, table: str, target_bytes: int,
         keep = [f for f in snap["files"] if f not in replaced]
         # carry kept files' bounds; recompute bounds for the rewritten
         # outputs over the same column set (ADVICE r7: compaction must
-        # not erase the stats machinery the pruned read depends on)
+        # not erase the stats machinery the pruned read depends on).
+        # Bloom indexes are REBUILT for the outputs too — compaction is
+        # the re-index opportunity (Delta OPTIMIZE does the same):
+        # rewrites elsewhere (UPDATE/DELETE/MERGE) drop the bloom and
+        # read conservatively, but a compaction that dropped it would
+        # erode skipping forever on exactly the files everything
+        # eventually flows into.
         prev_stats = snap.get("stats", {})
-        stat_cols = sorted({c for s in prev_stats.values() for c in s})
+        stat_cols = sorted(
+            {c for s in prev_stats.values() for c in s
+             if not c.startswith(_BLOOM_PREFIX)})
+        bloom_cols = sorted(
+            {c[len(_BLOOM_PREFIX):] for s in prev_stats.values()
+             for c in s if c.startswith(_BLOOM_PREFIX)})
         stats = None
-        if stat_cols:
-            fresh = _collect_file_stats(table, produced, stat_cols)
+        if stat_cols or bloom_cols:
+            fresh = (_collect_file_stats(table, produced, stat_cols)
+                     if stat_cols else {n: {} for n in produced})
+            for col in bloom_cols:
+                blooms = _build_blooms(table, produced, col)
+                for n in produced:
+                    fresh.setdefault(n, {})[_BLOOM_PREFIX + col] = blooms[n]
             stats = _merged_stats(snap, keep, fresh)
         keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
                     if n in keep}
@@ -525,6 +558,7 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
     done = tx_txn_version(table, app, batch)
     if done is not None:
         return done
+    _enforce_constraints(df, table)
     new_files = _stage_dataframe(df, table, n_files)
     for _ in range(max_retries):
         done = tx_txn_version(table, app, batch)
@@ -731,6 +765,10 @@ def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
             .otherwise(F.col(c)).alias(c) if c in set_exprs else F.col(c)
             for c in src.columns
         ))
+        # carried rows were valid when written (and ADD CONSTRAINT
+        # validates the whole table) — only the transformed rows can
+        # newly violate
+        _enforce_constraints(updated.filter(cond), table)
         produced = _stage_dataframe(updated, table,
                                     n_files=max(1, len(affected)))
         stat_cols = sorted({c for s in stats.values() for c in s})
@@ -774,6 +812,7 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             f"(got {n_rows} rows, {n_keys} distinct)")
     if n_rows == 0:
         return tx_latest_version(table)
+    _enforce_constraints(updates, table)
     ulo, uhi = updates.agg(F.min(key_col), F.max(key_col)).first()
     nulo, nuhi = _stat_value(ulo), _stat_value(uhi)
     for _ in range(max_retries):
@@ -848,6 +887,7 @@ def tx_append_clustered(df: DataFrame, table: str,
     Re-speccing a 100 TB table therefore costs nothing for existing
     data — old generations stay readable and prunable under the bounds
     they were written with; only new files get the new clustering."""
+    _enforce_constraints(df, table)
     out = (df.repartitionByRange(n_files, *cluster_cols)
            .sortWithinPartitions(*cluster_cols))
     new_files = _stage_dataframe(out, table, n_files=None)
@@ -1272,6 +1312,7 @@ def tx_append_bloomed(df: DataFrame, table: str, bloom_col: str,
     negatives by construction (every stored value was inserted), so
     correctness never depends on the filter; the residual predicate
     re-applies exactness."""
+    _enforce_constraints(df, table)
     new_files = _stage_dataframe(df, table, n_files)
     bounds = _collect_file_stats(table, new_files, [bloom_col])
     blooms = _build_blooms(table, new_files, bloom_col)
@@ -1330,3 +1371,88 @@ def tx_read_bloom_point(spark: SparkSession, table: str, col: str,
     df = _read_files_masked(spark, table, snap, chosen)
     return (df.filter(F.col(col).isin(vs)),
             len(chosen), len(snap["files"]))
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continuation): CHECK constraints — writer-side data quality
+# enforcement at commit time (Delta ALTER TABLE ADD CONSTRAINT).
+# ---------------------------------------------------------------------------
+
+
+def tx_constraints(table: str, version: int | None = None) -> dict:
+    """The CHECK constraints in force at ``version`` (default latest):
+    {name: SQL predicate}. Constraints are table metadata carried
+    forward by EVERY commit (see ``_commit``), so they survive
+    compaction, clones of the pinned snapshot, restores, and vacuum
+    (the latest manifest always carries the current set)."""
+    return tx_snapshot(table, version).get("constraints", {})
+
+
+def _enforce_constraints(df: DataFrame, table: str,
+                         constraints: dict | None = None) -> None:
+    """Raise ``TxConstraintViolation`` if any row of ``df`` FAILS any
+    CHECK predicate. SQL CHECK semantics: a row violates only when the
+    predicate evaluates FALSE — NULL/unknown passes (the standard's
+    rule, and Delta's). One job evaluates all predicates at once
+    (conjunction pushed into a single filter+limit), so enforcement
+    costs one pass over the WRITE — never over the table."""
+    from pyspark.sql import functions as F
+
+    cs = tx_constraints(table) if constraints is None else constraints
+    if not cs:
+        return
+    bad = None
+    for name, pred in sorted(cs.items()):
+        fail = ~F.coalesce(F.expr(pred), F.lit(True))
+        bad = fail if bad is None else (bad | fail)
+    offending = df.filter(bad).limit(1)
+    if not offending.isEmpty():
+        raise TxConstraintViolation(
+            f"{table}: write violates CHECK constraint(s) "
+            f"{sorted(cs)} — first offending row: "
+            f"{offending.first().asDict()}")
+
+
+def tx_set_constraint(spark: SparkSession, table: str, name: str,
+                      predicate: str, max_retries: int = 8) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``predicate``): validates the
+    CURRENT table contents first (one scan — a constraint that the
+    existing data already violates is a lie, Delta rejects it too),
+    then commits a metadata-only version carrying the updated set.
+    Every subsequent write through any writer in this module validates
+    against it at commit time and is REJECTED whole (no partial
+    ingestion) on violation."""
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        cs = dict(snap.get("constraints", {}))
+        cs[name] = predicate
+        if snap["files"]:
+            _enforce_constraints(
+                _read_files_masked(spark, table, snap, snap["files"]),
+                table, {name: predicate})
+        try:
+            return _commit(table, snap["version"], list(snap["files"]),
+                           op=f"set-constraint:{name}",
+                           stats=snap.get("stats"), dvs=snap.get("dvs"),
+                           constraints=cs)
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"set-constraint lost {max_retries} CAS races in {table}")
+
+
+def tx_drop_constraint(table: str, name: str, max_retries: int = 8) -> int:
+    """DROP CONSTRAINT ``name`` (missing name is a no-op, idempotent)."""
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        cs = dict(snap.get("constraints", {}))
+        cs.pop(name, None)
+        try:
+            return _commit(table, snap["version"], list(snap["files"]),
+                           op=f"drop-constraint:{name}",
+                           stats=snap.get("stats"), dvs=snap.get("dvs"),
+                           constraints=cs)
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop-constraint lost {max_retries} CAS races in {table}")
