@@ -516,6 +516,17 @@ def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
         produced = _stage_dataframe(arranged, table)
         stats = (_collect_file_stats(table, produced, [col_a, col_b])
                  if record_stats else None)
+        # OPTIMIZE rebuilds bloom indexes like compaction does — the
+        # whole-table rewrite would otherwise erase every bloom at once
+        bloom_cols = sorted(
+            {c[len(_BLOOM_PREFIX):]
+             for s in snap.get("stats", {}).values()
+             for c in s if c.startswith(_BLOOM_PREFIX)})
+        if bloom_cols and stats is not None:
+            for col in bloom_cols:
+                blooms = _build_blooms(table, produced, col)
+                for n in produced:
+                    stats.setdefault(n, {})[_BLOOM_PREFIX + col] = blooms[n]
         try:
             return _commit(table, snap["version"], produced,
                            op="optimize-zorder", stats=stats)
@@ -1456,3 +1467,49 @@ def tx_drop_constraint(table: str, name: str, max_retries: int = 8) -> int:
             continue
     raise TxConflict(
         f"drop-constraint lost {max_retries} CAS races in {table}")
+
+
+def tx_detail(spark: SparkSession, table: str,
+              version: int | None = None) -> DataFrame:
+    """DESCRIBE DETAIL — the per-file operational relation of one
+    snapshot: (file, bytes, n_rows, stat_cols, bloom_cols, has_dv).
+    Pure metadata: sizes from the directory entries, row counts from
+    the parquet footers, everything else from the manifest — no data
+    pages touched. (A production writer would record n_rows in the
+    manifest at commit time and skip the footer reads; the footer path
+    keeps this module's manifests minimal.) The operational companion
+    to ``tx_history``: history says WHAT happened, detail says what
+    the table IS — the first thing an engineer asks a 100 TB table
+    before choosing compaction targets or bloom columns."""
+    import pyarrow.parquet as papq
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    snap = tx_snapshot(table, version)
+    stats = snap.get("stats", {})
+    dvs = snap.get("dvs", {})
+    rows = []
+    for name in snap["files"]:
+        path = os.path.join(table, name)
+        st = stats.get(name, {})
+        rows.append((
+            name,
+            os.path.getsize(path),
+            papq.read_metadata(path).num_rows,
+            sum(1 for c in st if not c.startswith(_BLOOM_PREFIX)),
+            sum(1 for c in st if c.startswith(_BLOOM_PREFIX)),
+            name in dvs,
+        ))
+    schema = StructType([
+        StructField("file", StringType(), False),
+        StructField("bytes", LongType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("stat_cols", IntegerType(), False),
+        StructField("bloom_cols", IntegerType(), False),
+        StructField("has_dv", StringType(), False),
+    ])
+    return spark.createDataFrame(
+        [(f, b, n, s, bl, str(d).lower()) for f, b, n, s, bl, d in rows],
+        schema)

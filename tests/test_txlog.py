@@ -1011,3 +1011,43 @@ def test_add_constraint_validates_existing_data(spark, table):
         tx_set_constraint(spark, table, "v_positive", "v > 0")
     # the failed ADD commits nothing
     assert "constraints" not in tx_snapshot(table)
+
+
+def test_optimize_zorder_rebuilds_blooms(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_optimize_zorder,
+        tx_read_bloom_point,
+    )
+
+    grid = spark.range(2000).selectExpr(
+        "id % 64 AS a", "id div 64 AS b", "id AS v")
+    tx_append_bloomed(grid.repartition(4, "v"), table, "v")
+    tx_optimize_zorder(spark, table, "a", "b", n_files=4)
+    snap = tx_snapshot(table)
+    assert snap["op"] == "optimize-zorder"
+    assert all("__bloom__v" in snap["stats"].get(n, {})
+               for n in snap["files"]), "OPTIMIZE dropped the bloom index"
+    out, n_read, n_total = tx_read_bloom_point(spark, table, "v", [777])
+    assert [r["v"] for r in out.collect()] == [777]
+    assert n_read < n_total  # zordered on (a,b): v scatters, bloom skips
+
+
+def test_tx_detail_reflects_snapshot_metadata(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_delete_range_dv,
+        tx_detail,
+    )
+
+    tx_append(_mk(spark, 0, 100), table, n_files=2)
+    tx_append_bloomed(_mk(spark, 100, 200), table, "id", n_files=2)
+    tx_delete_range_dv(spark, table, "id", 0, 9)
+    d = {r["file"]: r for r in tx_detail(spark, table).collect()}
+    snap = tx_snapshot(table)
+    data_files = [n for n in snap["files"]]
+    assert set(d) == set(data_files)
+    assert sum(r["n_rows"] for r in d.values()) == 200  # DV masks, not rows
+    assert sum(r["bloom_cols"] for r in d.values()) == 2  # bloomed gen only
+    assert any(r["has_dv"] == "true" for r in d.values())
+    assert all(r["bytes"] > 0 for r in d.values())
