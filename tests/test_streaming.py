@@ -199,7 +199,9 @@ TWIN_OF = {
     "streaming_ks_drift": "ks_distance_order_values",
     "streaming_cms_heavy_hitters": "cms_heavy_hitters",
     "streaming_lc_distinct": "lc_distinct_bitmap_census",
-    "streaming_tx_change_feed": "tx_change_feed_census",
+    # streaming_tx_change_feed left the rows-only set in the round-8
+    # continuation: it now carries the batch twin's oracle DIRECTLY
+    # (self-certifying, like streaming_tx_exactly_once_census)
 }
 
 
@@ -479,6 +481,5 @@ def test_twin_tx_change_feed(spark):
     got = {tuple(r) for r in
            _declared("streaming_tx_change_feed")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_tx_change_feed"])(
-                spark, SF_SMOKE).collect()}
+            _declared("tx_change_feed_census")(spark, SF_SMOKE).collect()}
     assert got == want
