@@ -1661,3 +1661,76 @@ def q_tx_bloom_point_lookup_census(spark: SparkSession,
         # degenerate corpus missing all five users)
         return spark.createDataFrame([], empty_schema)
     return df.select("user_id", "cents")
+
+
+_TX_RENAME_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(count(CASE WHEN ((event_id % 2) + 2) % 2 = 0 THEN 1 END)
+            AS BIGINT) AS n_gen1
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_rename_column_census", oracle=_TX_RENAME_SQL)
+def q_tx_rename_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN without rewriting a byte (read-time column
+    mapping): generation 1 lands under the OLD name (``value_cents``),
+    the rename commits as pure metadata, generation 2 lands under the
+    NEW name (``cents``) — and the merged read sees ONE logical column
+    spanning both generations. The census sums that logical column per
+    type and counts gen-1 rows separately, so a rename that dropped,
+    double-counted, or NULLed either generation breaks the hash; the
+    oracle replays from raw events where the distinction never existed.
+    Chain composition (a→b→c), time travel showing each snapshot under
+    its own chain, DML migration, and feed windows crossing the rename
+    are pinned in tests/test_txlog.py.
+
+    Scale shape: the rename is one manifest commit at any table size;
+    the read-side cost is a coalesce projection — zero data movement,
+    with compaction retiring the mapping debt over time exactly like
+    deletion-vector debt."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_read,
+        tx_rename_column,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+        StructField("n_gen1", LongType()),
+    ])
+    path = _rt_path("txlog_rename")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select(
+        "event_type", cents.alias("value_cents"),
+        F.lit(1).cast("bigint").alias("gen1"))
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        "event_type", cents.alias("cents"),
+        F.lit(0).cast("bigint").alias("gen1"))
+    tx_append(gen1, path, n_files=2)
+    tx_rename_column(path, "value_cents", "cents")
+    tx_append(gen2, path, n_files=2)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path)
+    if "cents" not in back.columns:
+        back = back.withColumn("cents", F.lit(None).cast("bigint"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("cents"),
+        F.sum("gen1").cast("bigint").alias("n_gen1"),
+    )

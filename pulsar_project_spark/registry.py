@@ -65,6 +65,7 @@ NEW_R8: tuple[str, ...] = (
     "repeated_ngram_span_census",      # exact substring dedup (Lee et al.)
     "tx_bloom_point_lookup_census",    # bloom file-skipping point lookup
     "streaming_tx_change_feed",        # rows-only → FULL oracle upgrade
+    "tx_rename_column_census",         # RENAME COLUMN via column mapping
 )
 
 RECERTS_R8: tuple[str, ...] = (

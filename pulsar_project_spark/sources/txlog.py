@@ -103,7 +103,8 @@ def _commit(table: str, expected_parent: int | None,
             txn: dict | None = None,
             stats: dict | None = None,
             dvs: dict | None = None,
-            constraints: dict | None = None) -> int:
+            constraints: dict | None = None,
+            renames: list | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -120,6 +121,7 @@ def _commit(table: str, expected_parent: int | None,
     version = 0 if expected_parent is None else expected_parent + 1
     parent_ts = 0
     parent_constraints: dict = {}
+    parent_renames: list = []
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
@@ -129,6 +131,7 @@ def _commit(table: str, expected_parent: int | None,
             # every commit carries them forward unless the commit
             # explicitly replaces the set (tx_set/drop_constraint)
             parent_constraints = pm.get("constraints", {})
+            parent_renames = pm.get("renames", [])
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -144,6 +147,9 @@ def _commit(table: str, expected_parent: int | None,
                              else parent_constraints)
     if effective_constraints:
         manifest["constraints"] = effective_constraints
+    effective_renames = renames if renames is not None else parent_renames
+    if effective_renames:
+        manifest["renames"] = effective_renames
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -237,6 +243,9 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         r = spark.read
         return r.option("mergeSchema", "true") if merge_schema else r
 
+    chain = snap.get("renames", [])
+    if chain:
+        merge_schema = True  # generations differ by column NAME
     dvs = snap.get("dvs", {})
     plain = [n for n in names if n not in dvs]
     masked = [n for n in names if n in dvs]
@@ -271,7 +280,7 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         # generations may carry different schemas under merge_schema;
         # missing columns read as NULL (ADD COLUMN semantics)
         out = out.unionByName(p, allowMissingColumns=merge_schema)
-    return out
+    return _apply_renames(out, chain)
 
 
 def tx_read(spark: SparkSession, table: str,
@@ -1125,9 +1134,15 @@ def tx_table_changes(spark: SparkSession, table: str,
         raise ValueError(
             f"no data-changing commits in {table} ({v_from}, {v_to}]")
     parts = []
+    # a feed window crossing a RENAME commit mixes generations read
+    # under different chains — present every side under the FINAL
+    # (v_to) logical schema, the Delta CDF convention (idempotent for
+    # sides already resolved under a prefix of the chain)
+    final_chain = tx_snapshot(table, v_to).get("renames", [])
     for snap, names, w, v in sides:
         parts.append(
-            _read_files_masked(spark, table, snap, names)
+            _apply_renames(_read_files_masked(spark, table, snap, names),
+                           final_chain)
             .withColumn("_commit_version", F.lit(v).cast("int"))
             .withColumn("_w", F.lit(w).cast("long")))
     un = parts[0]
@@ -1513,3 +1528,61 @@ def tx_detail(spark: SparkSession, table: str,
     return spark.createDataFrame(
         [(f, b, n, s, bl, str(d).lower()) for f, b, n, s, bl, d in rows],
         schema)
+
+
+def _apply_renames(df: DataFrame, chain: list) -> DataFrame:
+    """Resolve an ordered rename chain against a physical read: for each
+    [old, new] (in commit order, so a→b then b→c composes), a frame
+    carrying BOTH names coalesces old into new (post-rename generations
+    win where present — they are never NULL for rows they physically
+    hold) and drops the physical column; a frame carrying only the old
+    name renames it. Pure projection — zero data movement."""
+    from pyspark.sql import functions as F
+
+    for old, new in chain:
+        cols = df.columns
+        if old in cols and new in cols:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))) \
+                   .drop(old)
+        elif old in cols:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def tx_rename_column(table: str, old: str, new: str,
+                     max_retries: int = 8) -> int:
+    """RENAME COLUMN without rewriting a byte — read-time column
+    mapping (the Delta column-mapping property reduced to its
+    correctness core): the manifest carries an ordered rename chain
+    ``[[old, new], ...]`` which EVERY commit carries forward (like
+    CHECK constraints), and every read path resolves it by coalescing
+    the physical generations' columns into the logical name. Files
+    written BEFORE the rename keep their physical parquet schema
+    forever; files written AFTER carry the new name natively; a merged
+    read sees ONE logical column. Time travel shows each snapshot
+    under ITS OWN chain (a pre-rename snapshot still reads with the
+    old name — schema history is history too).
+
+    Consequences, all deliberate: pruning on a renamed column is
+    conservatively skipped for pre-rename generations (their bounds
+    live under the physical name) and DML rewrites naturally MIGRATE
+    the files they touch to the logical schema — compaction therefore
+    retires the mapping debt over time, exactly like DV debt. Renaming
+    onto an existing rename target is rejected (that would merge two
+    columns, not rename one)."""
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        chain = [list(p) for p in snap.get("renames", [])]
+        if any(new == n for _, n in chain):
+            raise ValueError(
+                f"{table}: '{new}' is already a rename target — renaming "
+                f"'{old}' onto it would merge two columns")
+        chain.append([old, new])
+        try:
+            return _commit(table, snap["version"], list(snap["files"]),
+                           op=f"rename:{old}->{new}",
+                           stats=snap.get("stats"), dvs=snap.get("dvs"),
+                           renames=chain)
+        except TxConflict:
+            continue
+    raise TxConflict(f"rename lost {max_retries} CAS races in {table}")

@@ -322,6 +322,9 @@ _EVENTS_FUZZED = (
     # proved-absent-everywhere ValueError branch) and hit NULL user_ids
     # (never inserted into a bloom, never probed)
     "tx_bloom_point_lookup_census",
+    # rename mapping: single-sided fuzz corpora leave one generation
+    # empty (the coalesced read must still surface the other)
+    "tx_rename_column_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -1051,3 +1051,52 @@ def test_tx_detail_reflects_snapshot_metadata(spark, table):
     assert sum(r["bloom_cols"] for r in d.values()) == 2  # bloomed gen only
     assert any(r["has_dv"] == "true" for r in d.values())
     assert all(r["bytes"] > 0 for r in d.values())
+
+
+def test_rename_column_chain_time_travel_and_dml_migration(spark, table):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_rename_column,
+    )
+
+    tx_append(_mk(spark, 0, 100), table, n_files=2)                 # v1: v
+    v_pre = tx_latest_version(table)
+    tx_rename_column(table, "v", "val")                             # v2
+    tx_append(spark.range(100, 150).selectExpr(
+        "id", "id * 3 AS val"), table, n_files=1)                   # v3
+    tx_rename_column(table, "val", "amount")                        # v4: chain
+    got = tx_read(spark, table)
+    assert sorted(got.columns) == ["amount", "id"]
+    assert got.agg(F.sum("amount")).first()[0] == sum(
+        3 * i for i in range(150))
+    # time travel: the pre-rename snapshot still reads under ITS name
+    old = tx_read(spark, table, v_pre)
+    assert sorted(old.columns) == ["id", "v"]
+    # DML on the logical name migrates the files it touches
+    tx_delete_range(spark, table, "id", 0, 9)
+    after = tx_read(spark, table)
+    assert after.agg(F.sum("amount")).first()[0] == sum(
+        3 * i for i in range(10, 150))
+    # renaming onto an existing target is a merge, not a rename
+    with pytest.raises(ValueError):
+        tx_rename_column(table, "id", "amount")
+
+
+def test_change_feed_across_rename_uses_final_schema(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_rename_column,
+        tx_table_changes,
+    )
+
+    tx_append(_mk(spark, 0, 20), table, n_files=1)                  # v1
+    tx_rename_column(table, "v", "val")                             # v2
+    tx_delete_range(spark, table, "id", 5, 7)                       # v3
+    feed = tx_table_changes(spark, table, 0)
+    assert "val" in feed.columns and "v" not in feed.columns
+    rows = {(r["_commit_version"], r["id"], r["val"], r["_change_type"])
+            for r in feed.collect()}
+    assert rows == ({(1, i, 3 * i, "insert") for i in range(20)}
+                    | {(3, i, 3 * i, "delete") for i in (5, 6, 7)})
