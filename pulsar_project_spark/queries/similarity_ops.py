@@ -836,7 +836,7 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reranked.orderBy(F.asc("exact_dist"), F.asc("vec_id")).limit(10)
 
 
-_SEMDEDUP_K = 8
+_SEMDEDUP_PER_CLUSTER = 625
 _SEMDEDUP_TAU = 0.3
 
 
@@ -846,7 +846,8 @@ _SEMDEDUP_TAU = 0.3
 WITH {_norm_base_sql()},
 cent AS (
   SELECT vec_id AS cid, embedding AS c_vec, nrm AS c_nrm
-  FROM base ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+  FROM base ORDER BY vec_id
+  LIMIT greatest(8, (SELECT count(*) FROM base) // {_SEMDEDUP_PER_CLUSTER})
 ),
 scored AS (
   SELECT b.vec_id, c.cid,
@@ -895,4 +896,5 @@ def q_semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_project_spark.operators.similarity import semdedup_prune
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_prune(emb, k=_SEMDEDUP_K, threshold=_SEMDEDUP_TAU)
+    return semdedup_prune(emb, per_cluster=_SEMDEDUP_PER_CLUSTER,
+                          threshold=_SEMDEDUP_TAU)

@@ -890,9 +890,14 @@ def tx_clone(src: str, dst: str, version: int | None = None) -> int:
             os.link(os.path.join(src, name), target)
     stats = snap.get("stats")
     base = tx_snapshot(dst)
+    # table METADATA clones too: without these a clone of a renamed
+    # table would read physical column names (wrong data, silently)
+    # and a constrained table would accept writes the source rejects
     return _commit(dst, base["version"], list(snap["files"]),
                    op=f"clone:{src}@v{snap['version']}", stats=stats,
-                   dvs=dvs or None)
+                   dvs=dvs or None,
+                   constraints=snap.get("constraints", {}),
+                   renames=snap.get("renames", []))
 
 
 def tx_append_clustered(df: DataFrame, table: str,

@@ -1100,3 +1100,30 @@ def test_change_feed_across_rename_uses_final_schema(spark, table):
             for r in feed.collect()}
     assert rows == ({(1, i, 3 * i, "insert") for i in range(20)}
                     | {(3, i, 3 * i, "delete") for i in (5, 6, 7)})
+
+
+def test_clone_carries_renames_and_constraints(spark, table):
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        TxConstraintViolation,
+        tx_clone,
+        tx_constraints,
+        tx_rename_column,
+        tx_set_constraint,
+    )
+
+    tx_append(_mk(spark, 1, 50), table, n_files=1)
+    tx_rename_column(table, "v", "val")
+    tx_set_constraint(spark, table, "val_pos", "val > 0")
+    dst = _tf.mkdtemp(prefix="txclone_")
+    tx_clone(table, dst)
+    got = tx_read(spark, dst)
+    assert sorted(got.columns) == ["id", "val"]  # logical schema cloned
+    assert got.agg(F.sum("val")).first()[0] == sum(3 * i for i in range(1, 50))
+    assert tx_constraints(dst) == {"val_pos": "val > 0"}
+    with pytest.raises(TxConstraintViolation):
+        tx_append(spark.createDataFrame([(99, -1)], "id: long, val: long"),
+                  dst)
