@@ -1734,3 +1734,68 @@ def q_tx_rename_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.sum("gen1").cast("bigint").alias("n_gen1"),
     )
+
+
+_TX_DROP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_drop_column_census", oracle=_TX_DROP_SQL)
+def q_tx_drop_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN without rewriting a byte (column-mapping sibling of
+    RENAME): generation 1 lands WITH a scratch column, the drop commits
+    as pure metadata, generation 2 lands without it — and the merged
+    read shows the clean logical schema over both generations with
+    every row intact. The census is the full-relation rollup the
+    oracle replays from raw events (where the scratch column never
+    existed), so a drop that lost rows, leaked the column back, or
+    disturbed surviving columns breaks the hash. A belt-and-braces
+    guard inside the query raises if the dropped column resurfaces.
+    Lazy reclamation (DML/compaction rewrites retire the bytes),
+    pre-drop time travel, drop-of-renamed, and the
+    constraint-referenced refusal are pinned in tests/test_txlog.py."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_drop_column,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_dropcol")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select(
+        "event_type", cents.alias("value_cents"),
+        F.expr("ts_us div 86400000000").alias("scratch_day"))
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        "event_type", cents.alias("value_cents"))
+    tx_append(gen1, path, n_files=2)
+    tx_drop_column(path, "scratch_day")
+    tx_append(gen2, path, n_files=2)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path)
+    if "scratch_day" in back.columns:
+        raise AssertionError("dropped column resurfaced in the logical read")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )

@@ -66,6 +66,7 @@ NEW_R8: tuple[str, ...] = (
     "tx_bloom_point_lookup_census",    # bloom file-skipping point lookup
     "streaming_tx_change_feed",        # rows-only → FULL oracle upgrade
     "tx_rename_column_census",         # RENAME COLUMN via column mapping
+    "tx_drop_column_census",           # DROP COLUMN, lazy reclamation
 )
 
 RECERTS_R8: tuple[str, ...] = (

@@ -104,7 +104,8 @@ def _commit(table: str, expected_parent: int | None,
             stats: dict | None = None,
             dvs: dict | None = None,
             constraints: dict | None = None,
-            renames: list | None = None) -> int:
+            renames: list | None = None,
+            drops: list | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -122,6 +123,7 @@ def _commit(table: str, expected_parent: int | None,
     parent_ts = 0
     parent_constraints: dict = {}
     parent_renames: list = []
+    parent_drops: list = []
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
@@ -132,6 +134,7 @@ def _commit(table: str, expected_parent: int | None,
             # explicitly replaces the set (tx_set/drop_constraint)
             parent_constraints = pm.get("constraints", {})
             parent_renames = pm.get("renames", [])
+            parent_drops = pm.get("drops", [])
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -150,6 +153,9 @@ def _commit(table: str, expected_parent: int | None,
     effective_renames = renames if renames is not None else parent_renames
     if effective_renames:
         manifest["renames"] = effective_renames
+    effective_drops = drops if drops is not None else parent_drops
+    if effective_drops:
+        manifest["drops"] = effective_drops
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -244,8 +250,9 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         return r.option("mergeSchema", "true") if merge_schema else r
 
     chain = snap.get("renames", [])
-    if chain:
-        merge_schema = True  # generations differ by column NAME
+    drops = snap.get("drops", [])
+    if chain or drops:
+        merge_schema = True  # generations differ by column NAME/presence
     dvs = snap.get("dvs", {})
     plain = [n for n in names if n not in dvs]
     masked = [n for n in names if n in dvs]
@@ -280,7 +287,9 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         # generations may carry different schemas under merge_schema;
         # missing columns read as NULL (ADD COLUMN semantics)
         out = out.unionByName(p, allowMissingColumns=merge_schema)
-    return _apply_renames(out, chain)
+    out = _apply_renames(out, chain)
+    present = [c for c in drops if c in out.columns]
+    return out.drop(*present) if present else out
 
 
 def tx_read(spark: SparkSession, table: str,
@@ -897,7 +906,8 @@ def tx_clone(src: str, dst: str, version: int | None = None) -> int:
                    op=f"clone:{src}@v{snap['version']}", stats=stats,
                    dvs=dvs or None,
                    constraints=snap.get("constraints", {}),
-                   renames=snap.get("renames", []))
+                   renames=snap.get("renames", []),
+                   drops=snap.get("drops", []))
 
 
 def tx_append_clustered(df: DataFrame, table: str,
@@ -1591,3 +1601,38 @@ def tx_rename_column(table: str, old: str, new: str,
         except TxConflict:
             continue
     raise TxConflict(f"rename lost {max_retries} CAS races in {table}")
+
+
+def tx_drop_column(table: str, col: str, max_retries: int = 8) -> int:
+    """DROP COLUMN without rewriting a byte — the column-mapping
+    sibling of ``tx_rename_column``: the manifest carries a drop list
+    every commit forwards; reads resolve renames FIRST, then project
+    the dropped logical names out (so dropping a renamed column drops
+    the logical column wherever its physical bytes live). Physical
+    files keep the bytes until DML or compaction naturally rewrites
+    them through the logical view — storage is reclaimed lazily,
+    exactly like DV debt. Time travel before the drop still shows the
+    column (schema history is history). Dropping a column named in a
+    CHECK constraint is rejected — the constraint would silently stop
+    binding, which is how real systems corrupt quietly; drop the
+    constraint first, explicitly."""
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        for name, pred in snap.get("constraints", {}).items():
+            import re as _re
+            if _re.search(rf"\b{_re.escape(col)}\b", pred):
+                raise ValueError(
+                    f"{table}: column '{col}' is referenced by CHECK "
+                    f"constraint '{name}' ({pred!r}) — drop the "
+                    f"constraint first")
+        drops = list(snap.get("drops", []))
+        if col not in drops:
+            drops.append(col)
+        try:
+            return _commit(table, snap["version"], list(snap["files"]),
+                           op=f"drop-column:{col}",
+                           stats=snap.get("stats"), dvs=snap.get("dvs"),
+                           drops=drops)
+        except TxConflict:
+            continue
+    raise TxConflict(f"drop-column lost {max_retries} CAS races in {table}")

@@ -65,6 +65,7 @@ _REPRESENTATIVE = (
     "tx_typed_change_feed_census",      # typed feed over 0-row commits
     "tx_bloom_point_lookup_census",     # bloom probe over 0-row table
     "tx_rename_column_census",          # rename over 0-row generations
+    "tx_drop_column_census",            # drop over 0-row generations
     # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
     # aggregates: on empty input each correctly returns one all-zero
     # row in both engines — zero-rows-out doesn't apply; their

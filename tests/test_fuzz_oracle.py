@@ -325,6 +325,7 @@ _EVENTS_FUZZED = (
     # rename mapping: single-sided fuzz corpora leave one generation
     # empty (the coalesced read must still surface the other)
     "tx_rename_column_census",
+    "tx_drop_column_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

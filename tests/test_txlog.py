@@ -1127,3 +1127,36 @@ def test_clone_carries_renames_and_constraints(spark, table):
     with pytest.raises(TxConstraintViolation):
         tx_append(spark.createDataFrame([(99, -1)], "id: long, val: long"),
                   dst)
+
+
+def test_drop_column_lazy_and_time_travel(spark, table):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_drop_column,
+        tx_rename_column,
+        tx_set_constraint,
+    )
+
+    wide = spark.range(0, 50).selectExpr("id", "id * 3 AS v", "id % 5 AS tag")
+    tx_append(wide, table, n_files=1)                               # v1
+    v_pre = tx_latest_version(table)
+    tx_drop_column(table, "tag")                                    # v2
+    got = tx_read(spark, table)
+    assert sorted(got.columns) == ["id", "v"]
+    assert got.count() == 50
+    # pre-drop snapshot still shows the column
+    assert sorted(tx_read(spark, table, v_pre).columns) == ["id", "tag", "v"]
+    # new generation never had the column; merged read stays clean
+    tx_append(spark.range(50, 60).selectExpr("id", "id * 3 AS v"),
+              table, n_files=1)                                     # v3
+    after = tx_read(spark, table)
+    assert sorted(after.columns) == ["id", "v"] and after.count() == 60
+    # dropping a renamed column drops the logical name
+    tx_rename_column(table, "v", "val")
+    tx_drop_column(table, "val")
+    assert tx_read(spark, table).columns == ["id"]
+    # a constraint-referenced column refuses to drop
+    tx_set_constraint(spark, table, "id_pos", "id >= 0")
+    with pytest.raises(ValueError):
+        tx_drop_column(table, "id")
