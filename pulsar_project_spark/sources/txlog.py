@@ -1149,16 +1149,21 @@ def tx_table_changes(spark: SparkSession, table: str,
         raise ValueError(
             f"no data-changing commits in {table} ({v_from}, {v_to}]")
     parts = []
-    # a feed window crossing a RENAME commit mixes generations read
-    # under different chains — present every side under the FINAL
-    # (v_to) logical schema, the Delta CDF convention (idempotent for
-    # sides already resolved under a prefix of the chain)
-    final_chain = tx_snapshot(table, v_to).get("renames", [])
+    # a feed window crossing a RENAME or DROP COLUMN commit mixes
+    # generations read under different mappings — present every side
+    # under the FINAL (v_to) logical schema, the Delta CDF convention
+    # (idempotent for sides already resolved under a prefix)
+    final_snap = tx_snapshot(table, v_to)
+    final_chain = final_snap.get("renames", [])
+    final_drops = final_snap.get("drops", [])
     for snap, names, w, v in sides:
+        part = _apply_renames(_read_files_masked(spark, table, snap, names),
+                              final_chain)
+        gone = [c for c in final_drops if c in part.columns]
+        if gone:
+            part = part.drop(*gone)
         parts.append(
-            _apply_renames(_read_files_masked(spark, table, snap, names),
-                           final_chain)
-            .withColumn("_commit_version", F.lit(v).cast("int"))
+            part.withColumn("_commit_version", F.lit(v).cast("int"))
             .withColumn("_w", F.lit(w).cast("long")))
     un = parts[0]
     for p in parts[1:]:

@@ -1160,3 +1160,22 @@ def test_drop_column_lazy_and_time_travel(spark, table):
     tx_set_constraint(spark, table, "id_pos", "id >= 0")
     with pytest.raises(ValueError):
         tx_drop_column(table, "id")
+
+
+def test_change_feed_across_drop_column_uses_final_schema(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range,
+        tx_drop_column,
+        tx_table_changes,
+    )
+
+    wide = spark.range(0, 20).selectExpr("id", "id * 3 AS v", "id % 5 AS tag")
+    tx_append(wide, table, n_files=1)                               # v1
+    tx_drop_column(table, "tag")                                    # v2
+    tx_delete_range(spark, table, "id", 5, 7)                       # v3
+    feed = tx_table_changes(spark, table, 0)
+    assert "tag" not in feed.columns
+    rows = {(r["_commit_version"], r["id"], r["v"], r["_change_type"])
+            for r in feed.collect()}
+    assert rows == ({(1, i, 3 * i, "insert") for i in range(20)}
+                    | {(3, i, 3 * i, "delete") for i in (5, 6, 7)})
