@@ -226,9 +226,19 @@ def label_centroid_qsums(emb: DataFrame, label_col: str = "label",
     )
 
 
+# worst-case guard (the MinHash MAX_BUCKET precedent): k ∝ n bounds
+# cluster size only in EXPECTATION — a pathological corpus whose points
+# all argmax onto one centroid would re-quadratize the per-cluster
+# confirm. Clusters above this cap skip the pairwise confirm entirely
+# (all members kept, pruned=0): conservative — semantic dedup may keep
+# a duplicate, it must never drop a non-duplicate or the job.
+SEMDEDUP_MAX_CLUSTER = 20_000
+
+
 def semdedup_prune(emb: DataFrame, k: int | None = None,
                    threshold: float = 0.3,
                    per_cluster: int = 625,
+                   max_cluster: int = SEMDEDUP_MAX_CLUSTER,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023, arXiv
@@ -279,9 +289,16 @@ def semdedup_prune(emb: DataFrame, k: int | None = None,
         .filter(F.col("rnk") == 1)
         .select(id_col, "cid", vec_col, "nrm")
     )
+    # only clusters within the worst-case cap enter pair generation —
+    # the size relation is k rows, broadcast back onto the build side
+    small = (assigned.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("__csz"))
+             .filter(F.col("__csz") <= max_cluster)
+             .select(F.col("cid").alias("jcid")))
     a = assigned.select(F.col("cid").alias("jcid"),
                         F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
+                        F.col(vec_col).alias("va"), F.col("nrm").alias("na")) \
+        .join(F.broadcast(small), "jcid")
     b = assigned.select(F.col("cid").alias("jcid"),
                         F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))

@@ -838,6 +838,8 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_PER_CLUSTER = 625
 _SEMDEDUP_TAU = 0.3
+_SEMDEDUP_MAX_CLUSTER = 20_000  # worst-case pair-generation guard,
+# declared in BOTH engines (operators.similarity.SEMDEDUP_MAX_CLUSTER)
 
 
 @declare(
@@ -863,9 +865,14 @@ assigned AS (
     FROM scored
   ) WHERE rnk = 1
 ),
+csz AS (
+  SELECT cid FROM assigned GROUP BY cid
+  HAVING count(*) <= {_SEMDEDUP_MAX_CLUSTER}
+),
 pruned AS (
   SELECT DISTINCT bb.vec_id
-  FROM assigned aa JOIN assigned bb
+  FROM assigned aa JOIN csz ON csz.cid = aa.cid
+  JOIN assigned bb
     ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
   JOIN base x ON x.vec_id = aa.vec_id
   JOIN base y ON y.vec_id = bb.vec_id

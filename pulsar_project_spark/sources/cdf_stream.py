@@ -135,25 +135,32 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, split: _ChangeSplit):
         if not split.name:
             return
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as papq
 
-        masked: set[int] = set()
+        masked = None  # sorted numpy array of masked row positions
         if split.dv_name:
             dv = papq.read_table(
                 os.path.join(split.table, split.dv_name),
                 columns=["file", "pos"])
-            for f, p in zip(dv.column("file").to_pylist(),
-                            dv.column("pos").to_pylist()):
-                if f == split.name:
-                    masked.add(p)
+            sub = dv.filter(pc.equal(dv.column("file"), split.name))
+            masked = np.sort(
+                sub.column("pos").to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            if masked.size == 0:
+                masked = None
         pf = papq.ParquetFile(os.path.join(split.table, split.name))
         pos = 0
         names = split.columns + ["_commit_version", "_w"]
         for batch in pf.iter_batches(columns=split.columns):
             n = batch.num_rows
-            if masked:
-                keep = [i for i in range(n) if (pos + i) not in masked]
+            if masked is not None:
+                # vectorized DV filter: positions in this batch minus
+                # the masked set, no per-row Python (VERDICT r8 #4)
+                rng = np.arange(pos, pos + n, dtype=np.int64)
+                keep = rng[~np.isin(rng, masked, assume_unique=False)] - pos
                 batch = batch.take(pa.array(keep, pa.int64()))
             pos += n
             m = batch.num_rows
