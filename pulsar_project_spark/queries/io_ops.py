@@ -1799,3 +1799,160 @@ def q_tx_drop_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+_TX_PRUNE_RENAMED_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id BETWEEN 0 AND 400
+GROUP BY event_type
+"""
+
+
+@declare("tx_pruned_read_renamed_census", oracle=_TX_PRUNE_RENAMED_SQL)
+def q_tx_pruned_read_renamed_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Stats pruning THROUGH the rename chain (VERDICT r8 order #1 —
+    the composition of round-8 schema evolution with round-7/8 data
+    skipping): generation 1 lands range-clustered on the OLD name
+    (``uid``, per-file bounds recorded under it), the rename to
+    ``user_key`` commits as pure metadata, generation 2 lands clustered
+    under the NEW name — and ``tx_read_pruned`` on the LOGICAL name
+    must skip files of BOTH generations, resolving each file's bounds
+    through the chain (``_physical_ancestors``). Before this round the
+    pre-rename generation was conservatively unprunable — at 100 TB,
+    renaming a hot filter column silently cost full-history scans until
+    compaction retired the mapping. The census hash-matches the
+    oracle's filtered rollup over raw events, so a bounds resolution
+    that skipped a file it shouldn't have (lost rows) or mis-joined
+    generations breaks the gate; the actual skip COUNT on both
+    generations is pinned in tests/test_txlog.py (layout-dependent, so
+    it belongs to a test, not a hash)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_init,
+        tx_read_pruned,
+        tx_rename_column,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_prune_renamed")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select(
+        F.col("user_id").alias("uid"), "event_type",
+        cents.alias("value_cents"))
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        F.col("user_id").alias("user_key"), "event_type",
+        cents.alias("value_cents"))
+    if not gen1.isEmpty():
+        tx_append_clustered(gen1, path, ["uid"], n_files=4)
+        tx_rename_column(path, "uid", "user_key")
+    if not gen2.isEmpty():
+        tx_append_clustered(gen2, path, ["user_key"], n_files=4)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    try:
+        pruned, _n_read, _n_total = tx_read_pruned(
+            spark, path, "user_key", 0, 400)
+    except ValueError:
+        # bounds PROVED no file intersects the range (degenerate corpus)
+        return spark.createDataFrame([], empty_schema)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+_TX_WIDEN_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_widen_column_census", oracle=_TX_WIDEN_SQL)
+def q_tx_widen_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE (widening) without rewriting a byte — the
+    remaining member of the standard schema-evolution set after
+    ADD/RENAME/DROP (VERDICT r8 order #3): generation 1 lands with
+    ``cents`` as INT, the widen to BIGINT commits as pure metadata
+    (``tx_widen_column``), generation 2 lands as BIGINT natively — and
+    the merged read presents ONE bigint column over both generations
+    via an explicit footer-union read schema with Spark's scan-level
+    parquet type promotion (mergeSchema refuses int/bigint unions; the
+    promotion path reads int32 pages as longs with zero copies of the
+    data). A belt-and-braces guard raises if the logical type is not
+    bigint. The census (count / exact sum / max per type) hash-matches
+    the oracle over raw events where the narrow generation never
+    existed, so a promotion that truncated, NULLed, or double-read
+    either generation breaks the gate. Widen-then-filter pushdown,
+    pre-widen time travel (each snapshot under its own type), lossy
+    and narrowing rejections, and idempotence are pinned in
+    tests/test_txlog.py."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+        tx_widen_column,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("max_cents", LongType()),
+    ])
+    path = _rt_path("txlog_widen")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("int").alias("cents"))
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    if not gen1.isEmpty():
+        tx_append(gen1, path, n_files=2)
+        tx_widen_column(path, "cents", "bigint")
+    if not gen2.isEmpty():
+        tx_append(gen2, path, n_files=2)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path)
+    if gen1.isEmpty():
+        # only the native-bigint generation landed: nothing was widened
+        back = back.withColumn("cents", F.col("cents").cast("bigint"))
+    if back.schema["cents"].dataType.simpleString() != "bigint":
+        raise AssertionError(
+            f"widened column read back as "
+            f"{back.schema['cents'].dataType.simpleString()}, not bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("max_cents"),
+    )

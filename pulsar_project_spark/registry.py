@@ -43,59 +43,48 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R8: tuple[str, ...] = (
-    # empty: every oracle-backed query declared before round 8 has a
+NEVER_CHECKED_R9: tuple[str, ...] = (
+    # empty: every oracle-backed query declared before round 9 has a
     # cumulative driver-green verdict (tools/rotate_budget.py over
-    # CORRECTNESS_r01..r07: 230/230, 0 ever-failed).
+    # CORRECTNESS_r01..r08: 246/246, 0 ever-failed).
 )
 
-NEW_R8: tuple[str, ...] = (
-    # oracle-backed queries added in round 8 (each also fuzz/test-gated).
-    "tx_change_feed_census",           # manifest-diff CDF (VERDICT #1)
-    "tx_cdf_incremental_agg_census",   # IVM off storage: fold(feed)==view
-    "tx_time_travel_timestamp_census", # AS OF TIMESTAMP (VERDICT #2)
-    "tx_delete_dv_census",             # deletion-vector DELETE (VERDICT #3)
-    "ivfpq_rerank_topk",               # ADC shortlist -> exact rerank (VERDICT #4)
-    "tx_restore_census",               # RESTORE as a forward commit
-    "tx_schema_evolution_census",      # ADD COLUMN across generations
-    "tx_update_census",                # COW UPDATE completes the DML roster
-    "tx_typed_change_feed_census",     # CDF with update pre/post-images
-    "semdedup_embedding_prune",        # SemDeDup completes the dedup roster
-    "token_budget_mixture_sample",     # α=0.5 mixture executed to a budget
-    "repeated_ngram_span_census",      # exact substring dedup (Lee et al.)
-    "tx_bloom_point_lookup_census",    # bloom file-skipping point lookup
-    "streaming_tx_change_feed",        # rows-only → FULL oracle upgrade
-    "tx_rename_column_census",         # RENAME COLUMN via column mapping
-    "tx_drop_column_census",           # DROP COLUMN, lazy reclamation
+NEW_R9: tuple[str, ...] = (
+    # oracle-backed queries added in round 9 (each also fuzz/test-gated).
+    "tx_pruned_read_renamed_census",   # chain-resolved pruning (VERDICT #1)
+    "tx_widen_column_census",          # ALTER COLUMN TYPE widening (#3)
+    "streaming_tx_mv_census",          # streaming MV off the CDF (#6)
 )
 
-RECERTS_R8: tuple[str, ...] = (
-    # modules changed in round 8 after their round-7 verdict:
-    # sources/txlog.py (vacuum guards, txn sidecar, stats carry, DV
-    # machinery, CDF) + sources/txcatalog.py (catalog_vacuum) — every
-    # tx-family query re-certifies against the hardened engine
-    "tx_compaction_roundtrip_census", "tx_snapshot_time_travel_census",
-    "tx_optimize_zorder_census", "tx_pruned_read_census",
-    "tx_delete_range_census", "tx_merge_upsert_census",
-    "tx_clone_divergence_census", "tx_catalog_atomic_move_census",
-    "tx_vacuum_reclaim_census", "tx_partition_evolution_census",
-    "streaming_tx_exactly_once_census",
-    # queries/io_ops.py (round-8 tx queries appended alongside)
-    "compaction_plan_buckets", "jsonl_roundtrip_counts",
-    # queries/similarity_ops.py (rerank appended alongside)
-    "ivfpq_adc_topk",
+RECERTS_R9: tuple[str, ...] = (
+    # modules changed in round 9 after their round-8 verdict:
+    # sources/txlog.py (ADVICE r8 fixes: constraint-bypass UPDATE,
+    # rename collision, bloom rebuild after RENAME/DROP, TOCTOU
+    # constraints, bloom probe typing; rename-chain bounds resolution;
+    # type widening) — every tx-family query re-certifies
+    "tx_change_feed_census", "tx_cdf_incremental_agg_census",
+    "tx_time_travel_timestamp_census", "tx_delete_dv_census",
+    "tx_restore_census", "tx_schema_evolution_census",
+    "tx_update_census", "tx_typed_change_feed_census",
+    "tx_bloom_point_lookup_census", "tx_rename_column_census",
+    "tx_drop_column_census", "tx_compaction_roundtrip_census",
+    "tx_snapshot_time_travel_census", "tx_optimize_zorder_census",
+    "tx_pruned_read_census", "tx_delete_range_census",
+    "tx_merge_upsert_census", "tx_clone_divergence_census",
+    "tx_catalog_atomic_move_census", "tx_vacuum_reclaim_census",
+    "tx_partition_evolution_census", "streaming_tx_exactly_once_census",
+    # sources/cdf_stream.py (vectorized DV mask + column mapping)
+    "streaming_tx_change_feed",
+    # operators/similarity.py + queries/similarity_ops.py (MAX_CLUSTER
+    # guard in both engines) — semdedup plus the module's other members
+    "semdedup_embedding_prune", "knn_cosine_topk", "srp_near_pairs",
+    "srp_lsh_buckets", "label_centroid_qsums",
 )
 
-# Stalest-green refresh: the 11 queries whose last driver verdict is
-# round 2 (carried from the r7 list — the r7 [:50] trim cut them), then
-# the round-3 block alphabetically; the [:50] trim keeps as many as fit.
-STALE_REFRESH_R8: tuple[str, ...] = (
-    # last verdict round 2
-    "pricing_summary", "profile_orders_table", "shipping_priority_top10",
-    "simhash_fingerprints", "sql_brand_volume", "term_frequency_top20",
-    "title_extraction", "token_count_destopped", "top_revenue_orders",
-    "truncate_display_200", "user_event_windows",
-    # last verdict round 3 (alphabetical; trim cuts the tail)
+# Stalest-green refresh: the round-3-verdict block is now the oldest
+# (alphabetical; the [:50] trim keeps as many as fit). Members already
+# re-certified above are excluded.
+STALE_REFRESH_R9: tuple[str, ...] = (
     "big_order_customers", "bm25_scores", "bm25_topk",
     "chunk_exact_dedup", "cluster_best_representative",
     "contamination_ngram_overlap", "corpus_pipeline_e2e",
@@ -106,16 +95,18 @@ STALE_REFRESH_R8: tuple[str, ...] = (
     "fact_fact_smj_rollup", "forward_fill_user_values",
     "fuzzy_part_name_pairs", "grouping_sets_region_priority",
     "hybrid_bm25_cosine_rerank", "intersect_click_and_purchase_days",
-    "json_path_stats_native", "knn_cosine_topk",
+    "json_path_stats_native", "label_fact_urljoin",
+    "late_shipment_priority_counts", "minhash_candidate_pairs",
+    "minhash_lsh_bands", "neardup_components", "ngram_jaccard_pairs",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r7 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r8 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R8,
-    *NEW_R8,
-    *RECERTS_R8,
-    *STALE_REFRESH_R8,
+    *NEVER_CHECKED_R9,
+    *NEW_R9,
+    *RECERTS_R9,
+    *STALE_REFRESH_R9,
 )[:50]
 
 

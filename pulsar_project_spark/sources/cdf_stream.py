@@ -52,16 +52,24 @@ _DATA_INVARIANT_OPS = ("compact", "optimize-zorder")
 
 class _ChangeSplit(InputPartition):
     """One (data file, side) of one commit: everything ``read`` needs,
-    picklable, no driver state."""
+    picklable, no driver state. ``chain`` is the END version's rename
+    chain (the Delta CDF convention: a feed window crossing a RENAME
+    presents every side under the FINAL logical schema), ``arrow_types``
+    maps each requested logical column to its Arrow type so a
+    generation that predates a column yields typed nulls."""
 
     def __init__(self, table: str, name: str, dv_name: str | None,
-                 weight: int, version: int, columns: list[str]):
+                 weight: int, version: int, columns: list[str],
+                 chain: list | None = None,
+                 arrow_types: dict | None = None):
         self.table = table
         self.name = name
         self.dv_name = dv_name
         self.weight = weight
         self.version = version
         self.columns = columns
+        self.chain = chain or []
+        self.arrow_types = arrow_types or {}
 
 
 def _latest_version(table: str) -> int:
@@ -96,6 +104,8 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
                 "columns, matching the declared schema order) required")
         self._start = int(options.get("startversion",
                                       options.get("startVersion", 0)))
+        self._source_schema = (options.get("sourceschema")
+                               or options.get("sourceSchema") or "")
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -107,6 +117,12 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
         table = self._table
         splits: list[_ChangeSplit] = []
         prev = _manifest(table, start["version"])
+        # a window crossing a RENAME commit mixes generations written
+        # under different physical names — every split resolves columns
+        # through the END version's chain (final-logical-schema
+        # convention, matching the batch relation tx_table_changes)
+        chain = _manifest(table, end["version"]).get("renames", [])
+        arrow_types = self._arrow_types()
         for v in range(start["version"] + 1, end["version"] + 1):
             cur = _manifest(table, v)
             if cur["op"] in _DATA_INVARIANT_OPS:
@@ -120,10 +136,12 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
                 n for n in (cfiles & pfiles) if pdvs.get(n) != cdvs.get(n))
             for name in added + dv_changed:
                 splits.append(_ChangeSplit(
-                    table, name, cdvs.get(name), 1, v, self._columns))
+                    table, name, cdvs.get(name), 1, v, self._columns,
+                    chain, arrow_types))
             for name in removed + dv_changed:
                 splits.append(_ChangeSplit(
-                    table, name, pdvs.get(name), -1, v, self._columns))
+                    table, name, pdvs.get(name), -1, v, self._columns,
+                    chain, arrow_types))
             prev = cur
         if not splits:
             # Spark requires >= 1 partition; an empty window (only
@@ -131,6 +149,23 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
             splits.append(_ChangeSplit(table, "", None, 0,
                                        end["version"], self._columns))
         return splits
+
+    def _arrow_types(self) -> dict:
+        """Arrow type per requested logical column, parsed from the
+        declared source DDL — the null-fill type for generations that
+        predate a column."""
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import _parse_datatype_string
+
+        ddl = self._source_schema
+        if not ddl:
+            return {}
+        try:
+            struct = _parse_datatype_string(ddl)
+        except Exception:
+            return {}
+        return {f.name: to_arrow_type(f.dataType) for f in struct.fields
+                if f.name in self._columns}
 
     def read(self, split: _ChangeSplit):
         if not split.name:
@@ -152,9 +187,29 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
             if masked.size == 0:
                 masked = None
         pf = papq.ParquetFile(os.path.join(split.table, split.name))
+        # resolve each requested LOGICAL column to the physical name
+        # this generation carries (newest ancestor present wins); a
+        # column this generation predates yields typed nulls (ADD
+        # COLUMN semantics). With no renames this is the identity map.
+        phys_names = set(pf.schema_arrow.names)
+        colmap: list[tuple[str, str | None]] = []
+        for c in split.columns:
+            anc = [c]
+            seen = {c}
+            for old, new in reversed(split.chain):
+                if new in seen and old not in seen:
+                    anc.append(old)
+                    seen.add(old)
+            colmap.append(
+                (c, next((a for a in anc if a in phys_names), None)))
+        read_cols = sorted({p for _, p in colmap if p is not None})
+        if not read_cols:
+            # no requested column exists physically: scan one column
+            # anyway purely for the row count (all outputs are nulls)
+            read_cols = [pf.schema_arrow.names[0]]
         pos = 0
         names = split.columns + ["_commit_version", "_w"]
-        for batch in pf.iter_batches(columns=split.columns):
+        for batch in pf.iter_batches(columns=read_cols):
             n = batch.num_rows
             if masked is not None:
                 # vectorized DV filter: positions in this batch minus
@@ -166,10 +221,17 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
             m = batch.num_rows
             if m == 0:
                 continue
+            arrays = []
+            for c, p in colmap:
+                if p is not None:
+                    arrays.append(batch.column(batch.schema.get_field_index(p)))
+                else:
+                    arrays.append(pa.nulls(
+                        m, split.arrow_types.get(c, pa.null())))
             # yield whole Arrow batches, not Python rows — the Python
             # data plane then moves columnar buffers instead of tuples
             yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)]
+                arrays
                 + [pa.array([split.version] * m, pa.int32()),
                    pa.array([split.weight] * m, pa.int64())],
                 names=names)

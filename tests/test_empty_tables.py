@@ -66,6 +66,9 @@ _REPRESENTATIVE = (
     "tx_bloom_point_lookup_census",     # bloom probe over 0-row table
     "tx_rename_column_census",          # rename over 0-row generations
     "tx_drop_column_census",            # drop over 0-row generations
+    "tx_pruned_read_renamed_census",    # chain-resolved pruning, 0 rows
+    "tx_widen_column_census",           # widen over 0-row generations
+    "streaming_tx_mv_census",           # streaming MV over 0-row commits
     # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
     # aggregates: on empty input each correctly returns one all-zero
     # row in both engines — zero-rows-out doesn't apply; their

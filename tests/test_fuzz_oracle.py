@@ -326,6 +326,12 @@ _EVENTS_FUZZED = (
     # empty (the coalesced read must still surface the other)
     "tx_rename_column_census",
     "tx_drop_column_census",
+    # round-9: chain-resolved pruning (fuzz hits single-sided corpora
+    # where a whole generation is missing, and NULL user_ids the
+    # residual BETWEEN must drop) and type widening (the narrow
+    # generation may be empty -> the cast-only fallback path)
+    "tx_pruned_read_renamed_census",
+    "tx_widen_column_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -1179,3 +1179,239 @@ def test_change_feed_across_drop_column_uses_final_schema(spark, table):
             for r in feed.collect()}
     assert rows == ({(1, i, 3 * i, "insert") for i in range(20)}
                     | {(3, i, 3 * i, "delete") for i in (5, 6, 7)})
+
+
+# ---------------------------------------------------------------------------
+# Round 9: ADVICE r8 regressions (constraint bypass, rename collision,
+# OPTIMIZE-after-rename blooms, TOCTOU, bloom probe typing), rename-chain
+# pruning, and ALTER COLUMN TYPE widening.
+# ---------------------------------------------------------------------------
+
+
+def test_update_cannot_bypass_constraint_via_predicate_move(spark, table):
+    # ADVICE r8 high: the WHERE predicate must be resolved against
+    # PRE-update values — an update that moves the predicate column out
+    # of [lo, hi] must not smuggle violating rows past enforcement
+    from pulsar_project_spark.sources.txlog import (
+        TxConstraintViolation, tx_set_constraint, tx_update,
+    )
+
+    tx_append(spark.range(1, 11).selectExpr("id", "id AS v"),
+              table, n_files=1)
+    tx_set_constraint(spark, table, "v_pos", "v > 0")
+    with pytest.raises(TxConstraintViolation):
+        tx_update(spark, table, "v", 1, 10, {"v": "v - 100"})
+    assert tx_read(spark, table).filter("v <= 0").count() == 0
+
+
+def test_rename_validates_old_exists_and_new_not_live(spark, table):
+    # ADVICE r8 medium: renaming onto a live column merged two columns
+    # and silently discarded the old one's data
+    from pulsar_project_spark.sources.txlog import tx_rename_column
+
+    tx_append(spark.range(5).selectExpr("id AS a", "id * 2 AS b"),
+              table, n_files=1)
+    with pytest.raises(ValueError, match="live column"):
+        tx_rename_column(table, "a", "b")
+    with pytest.raises(ValueError, match="no live column"):
+        tx_rename_column(table, "zz", "c")
+    # data intact, both columns still read
+    got = tx_read(spark, table)
+    assert sorted(got.columns) == ["a", "b"]
+    assert got.count() == 5
+
+
+def test_optimize_and_compact_rebuild_blooms_after_rename_drop(spark, table):
+    # ADVICE r8 medium: bloom rebuild used the physical (stats-key)
+    # name against files staged from the logical schema → ArrowInvalid,
+    # OPTIMIZE permanently broken after RENAME/DROP COLUMN
+    from pulsar_project_spark.sources.txlog import (
+        _BLOOM_PREFIX,
+        tx_append_bloomed,
+        tx_drop_column,
+        tx_optimize_zorder,
+        tx_read_bloom_point,
+        tx_rename_column,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS k", "id * 2 AS v", "id % 7 AS scratch")
+    tx_append_bloomed(df, table, "k", n_files=2)
+    tx_rename_column(table, "k", "key")
+    tx_drop_column(table, "scratch")
+    tx_compact(spark, table, target_bytes=1 << 30)  # merges both files
+    snap = tx_snapshot(table)
+    assert all(
+        _BLOOM_PREFIX + "key" in s for s in snap["stats"].values()
+    ), "compaction must rebuild the bloom under the LOGICAL name"
+    got, n_read, n_total = tx_read_bloom_point(spark, table, "key", [17])
+    assert got.count() == 1
+    tx_optimize_zorder(spark, table, "key", "v", n_files=4)
+    got2 = tx_read(spark, table)
+    assert got2.count() == 200 and "scratch" not in got2.columns
+
+
+def test_constraint_added_mid_write_binds_via_retry(spark, table,
+                                                    monkeypatch):
+    # ADVICE r8 TOCTOU: a constraint committed between a writer's
+    # validation and its commit must bind the staged rows
+    import pulsar_project_spark.sources.txlog as tl
+
+    tx_append(spark.range(1, 5).selectExpr("id", "id AS v"),
+              table, n_files=1)
+    orig = tl._stage_dataframe
+    fired = {"done": False}
+
+    def staged(df, tbl, n_files=None):
+        out = orig(df, tbl, n_files)
+        if not fired["done"]:
+            fired["done"] = True
+            tl.tx_set_constraint(spark, tbl, "v_pos", "v > 0")
+        return out
+
+    monkeypatch.setattr(tl, "_stage_dataframe", staged)
+    with pytest.raises(tl.TxConstraintViolation):
+        tl.tx_append(spark.range(1, 3).selectExpr("id", "-id AS v"),
+                     table, n_files=1)
+    assert tx_read(spark, table).filter("v <= 0").count() == 0
+
+
+def test_bloom_probe_and_column_types_validated(spark, table):
+    # ADVICE r8 low: a float probe str()-hashes differently from the
+    # stored int → silent false negative; now an explicit TypeError
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed, tx_read_bloom_point,
+    )
+
+    tx_append_bloomed(spark.range(10).selectExpr("id AS k", "id AS v"),
+                      table, "k", n_files=1)
+    with pytest.raises(TypeError, match="only int and str"):
+        tx_read_bloom_point(spark, table, "k", [5.0])
+    with pytest.raises(TypeError, match="only int and str"):
+        tx_append_bloomed(
+            spark.range(10).selectExpr("cast(id AS double) AS f"),
+            table, "f", n_files=1)
+
+
+def test_pruned_read_resolves_rename_chain(spark, table):
+    # VERDICT r8 order #1: bounds recorded under the physical
+    # (pre-rename) name must keep skipping under the logical name
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered, tx_read_pruned, tx_rename_column,
+    )
+
+    gen1 = spark.range(100).selectExpr("id AS a", "id * 2 AS x")
+    tx_append_clustered(gen1, table, ["a"], n_files=4)
+    tx_rename_column(table, "a", "b")
+    gen2 = spark.range(100, 200).selectExpr("id AS b", "id * 2 AS x")
+    tx_append_clustered(gen2, table, ["b"], n_files=4)
+    out, n_read, n_total = tx_read_pruned(spark, table, "b", 0, 24)
+    assert n_total == 8
+    assert n_read <= 2, "pre-rename generation must PRUNE, not scan"
+    assert out.count() == 25
+
+
+def test_pre_rename_bloom_still_skips(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed, tx_read_bloom_point, tx_rename_column,
+    )
+
+    tx_append_bloomed(
+        spark.range(1000).selectExpr("id AS a", "id AS v")
+        .repartition(4, "a"),
+        table, "a", n_files=None)
+    tx_rename_column(table, "a", "b")
+    got, n_read, n_total = tx_read_bloom_point(spark, table, "b", [17])
+    assert n_total == 4 and n_read < n_total
+    assert got.count() == 1
+
+
+def test_widen_column_end_to_end_and_time_travel(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_widen_column
+
+    tx_append(spark.range(5).selectExpr(
+        "cast(id AS int) AS v", "id AS k"), table, n_files=1)     # v1
+    tx_widen_column(table, "v", "bigint")                          # v2
+    tx_append(spark.range(5, 10).selectExpr(
+        "cast(id AS bigint) AS v", "id AS k"), table, n_files=1)  # v3
+    cur = tx_read(spark, table)
+    assert cur.schema["v"].dataType.simpleString() == "bigint"
+    assert cur.agg({"v": "sum"}).first()[0] == sum(range(10))
+    assert cur.count() == 10
+    # widen visible only after its commit: the pre-widen snapshot
+    # reads under its own (narrow) type — schema history is history
+    old = tx_read(spark, table, 1)
+    assert old.schema["v"].dataType.simpleString() == "int"
+    # idempotent re-widen commits nothing
+    assert tx_widen_column(table, "v", "bigint") == tx_latest_version(table)
+
+
+def test_widen_rejects_lossy_narrowing_and_missing(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_widen_column
+
+    tx_append(spark.range(5).selectExpr("id AS v"), table, n_files=1)
+    with pytest.raises(ValueError):
+        tx_widen_column(table, "v", "int")       # narrowing
+    with pytest.raises(ValueError):
+        tx_widen_column(table, "v", "double")    # lossy above 2^53
+    with pytest.raises(ValueError):
+        tx_widen_column(table, "nope", "bigint")
+
+
+def test_widen_then_filter_pushdown_and_pruning(spark, table):
+    # the widened read must keep BOTH skipping layers: manifest bounds
+    # (recorded pre-widen) and parquet predicate pushdown under
+    # scan-level type promotion
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered, tx_read_pruned, tx_widen_column,
+    )
+
+    df = spark.range(100).selectExpr("cast(id AS int) AS v", "id AS k")
+    tx_append_clustered(df, table, ["v"], n_files=4)
+    tx_widen_column(table, "v", "bigint")
+    out, n_read, n_total = tx_read_pruned(spark, table, "v", 0, 24)
+    assert n_total == 4 and n_read <= 2
+    assert out.count() == 25
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(v,0" in plan
+
+
+def test_widen_composes_with_rename(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_rename_column, tx_widen_column,
+    )
+
+    tx_append(spark.range(5).selectExpr("cast(id AS int) AS a"),
+              table, n_files=1)
+    tx_rename_column(table, "a", "b")
+    tx_widen_column(table, "b", "bigint")   # keyed by LOGICAL name
+    tx_append(spark.range(5, 8).selectExpr("id AS b"), table, n_files=1)
+    got = tx_read(spark, table)
+    assert got.columns == ["b"]
+    assert got.schema["b"].dataType.simpleString() == "bigint"
+    assert got.agg({"b": "sum"}).first()[0] == sum(range(8))
+
+
+def test_widen_survives_compaction_and_update(spark, table):
+    # DML migrates narrow files to the wide physical type; the type
+    # map stays correct throughout
+    from pulsar_project_spark.sources.txlog import (
+        tx_update, tx_widen_column,
+    )
+    import pyarrow.parquet as papq
+
+    tx_append(spark.range(10).selectExpr(
+        "cast(id AS int) AS v", "id AS k"), table, n_files=1)
+    tx_widen_column(table, "v", "bigint")
+    tx_update(spark, table, "k", 0, 4, {"v": "v + 100"})
+    snap = tx_snapshot(table)
+    # the rewrite staged from the logical schema: physically bigint now
+    types = {
+        papq.read_schema(os.path.join(table, n)).field("v").type
+        for n in snap["files"]
+    }
+    assert all(str(t) == "int64" for t in types)
+    got = tx_read(spark, table)
+    assert got.agg({"v": "sum"}).first()[0] == sum(range(10)) + 5 * 100
+    tx_compact(spark, table, target_bytes=1 << 30)
+    assert tx_read(spark, table).count() == 10
