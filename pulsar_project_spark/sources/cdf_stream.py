@@ -152,20 +152,45 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
 
     def _arrow_types(self) -> dict:
         """Arrow type per requested logical column, parsed from the
-        declared source DDL — the null-fill type for generations that
-        predate a column."""
-        from pyspark.sql.pandas.types import to_arrow_type
-        from pyspark.sql.types import _parse_datatype_string
+        declared source DDL — the cast target for narrow (pre-widen)
+        generations and the null-fill type for generations that predate
+        a column. Parsed with a pure-Python scanner: ``partitions()``
+        runs in the data-source planning worker, which has NO JVM
+        access, so pyspark's DDL parser is unavailable here. Columns of
+        non-primitive types are simply absent from the map (no cast, no
+        typed null-fill — the physical array passes through)."""
+        import pyarrow as pa
 
-        ddl = self._source_schema
-        if not ddl:
-            return {}
-        try:
-            struct = _parse_datatype_string(ddl)
-        except Exception:
-            return {}
-        return {f.name: to_arrow_type(f.dataType) for f in struct.fields
-                if f.name in self._columns}
+        prim = {
+            "tinyint": pa.int8(), "smallint": pa.int16(),
+            "int": pa.int32(), "integer": pa.int32(),
+            "bigint": pa.int64(), "long": pa.int64(),
+            "float": pa.float32(), "real": pa.float32(),
+            "double": pa.float64(), "string": pa.string(),
+            "boolean": pa.bool_(),
+        }
+        out: dict = {}
+        # split on commas at angle-bracket depth 0 (array<..>/map<..,..>
+        # fields survive the scan and are skipped as non-primitive)
+        parts, depth, cur = [], 0, []
+        for ch in self._source_schema:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        for part in parts:
+            toks = part.strip().split()
+            if len(toks) >= 2 and toks[0] in self._columns:
+                t = prim.get(toks[1].lower())
+                if t is not None:
+                    out[toks[0]] = t
+        return out
 
     def read(self, split: _ChangeSplit):
         if not split.name:
@@ -224,7 +249,16 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
             arrays = []
             for c, p in colmap:
                 if p is not None:
-                    arrays.append(batch.column(batch.schema.get_field_index(p)))
+                    arr = batch.column(batch.schema.get_field_index(p))
+                    want = split.arrow_types.get(c)
+                    if want is not None and arr.type != want:
+                        # scan-level type promotion for widened tables:
+                        # narrow physical generations (int32 under an
+                        # ALTER COLUMN TYPE bigint) cast to the declared
+                        # type — same semantics as the batch reader's
+                        # explicit widened schema
+                        arr = arr.cast(want)
+                    arrays.append(arr)
                 else:
                     arrays.append(pa.nulls(
                         m, split.arrow_types.get(c, pa.null())))

@@ -106,7 +106,8 @@ def _commit(table: str, expected_parent: int | None,
             constraints: dict | None = None,
             renames: list | None = None,
             drops: list | None = None,
-            types: dict | None = None) -> int:
+            types: dict | None = None,
+            add_schema: dict | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -126,6 +127,7 @@ def _commit(table: str, expected_parent: int | None,
     parent_renames: list = []
     parent_drops: list = []
     parent_types: dict = {}
+    parent_schema: dict = {}
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
@@ -138,6 +140,7 @@ def _commit(table: str, expected_parent: int | None,
             parent_renames = pm.get("renames", [])
             parent_drops = pm.get("drops", [])
             parent_types = pm.get("types", {})
+            parent_schema = pm.get("schema", {})
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -162,6 +165,18 @@ def _commit(table: str, expected_parent: int | None,
     effective_types = types if types is not None else parent_types
     if effective_types:
         manifest["types"] = effective_types
+    # the manifest records the MONOTONE UNION of every physical column
+    # ever staged (name → Spark simpleString): the read planner can then
+    # build a widened explicit schema from metadata alone, with zero
+    # per-file footer round trips — at 100 TB the same planning-time
+    # property the stats bounds give pruning. Stale names (retired by
+    # compaction through renames/drops) are harmless: reads null-fill
+    # then coalesce/project them away.
+    effective_schema = dict(parent_schema)
+    if add_schema:
+        effective_schema.update(add_schema)
+    if effective_schema:
+        manifest["schema"] = effective_schema
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -239,7 +254,7 @@ def tx_append(df: DataFrame, table: str, n_files: int | None = None,
                 op="append",
                 stats=(_merged_stats(snap, snap["files"], {})
                        if snap.get("stats") else None),
-                dvs=snap.get("dvs"))
+                dvs=snap.get("dvs"), add_schema=_df_schema_map(df))
         except TxConflict:
             continue
     raise TxConflict(f"append lost {max_retries} CAS races in {table}")
@@ -373,13 +388,14 @@ def tx_compact(spark: SparkSession, table: str, target_bytes: int,
             return snap["version"]
         replaced: set[str] = set()
         produced: list[str] = []
+        staged_schema: dict = {}
         for bucket in merge_buckets:
             # masked read: compacting a DV'd file APPLIES the deletion
             # vector and drops it — DV compaction, the job that turns
             # merge-on-read debt back into clean files
-            produced += _stage_dataframe(
-                _read_files_masked(spark, table, snap, bucket),
-                table, n_files=1)
+            src = _read_files_masked(spark, table, snap, bucket)
+            staged_schema.update(_df_schema_map(src))
+            produced += _stage_dataframe(src, table, n_files=1)
             replaced.update(bucket)
         keep = [f for f in snap["files"] if f not in replaced]
         # carry kept files' bounds; recompute bounds for the rewritten
@@ -424,7 +440,8 @@ def tx_compact(spark: SparkSession, table: str, target_bytes: int,
         try:
             return _commit(table, snap["version"], keep + produced,
                            op="compact", stats=stats,
-                           dvs=keep_dvs or None)
+                           dvs=keep_dvs or None,
+                           add_schema=staged_schema)
         except TxConflict:
             continue  # somebody committed: re-plan against their files
     raise TxConflict(f"compaction lost {max_retries} CAS races in {table}")
@@ -589,7 +606,8 @@ def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
                     stats.setdefault(n, {})[_BLOOM_PREFIX + col] = blooms[n]
         try:
             return _commit(table, snap["version"], produced,
-                           op="optimize-zorder", stats=stats)
+                           op="optimize-zorder", stats=stats,
+                           add_schema=_df_schema_map(df))
         except TxConflict:
             continue  # staged files orphaned; vacuum reclaims them
     raise TxConflict(f"optimize lost {max_retries} CAS races in {table}")
@@ -648,7 +666,8 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
                            txn={"app": app, "batch": batch},
                            stats=(_merged_stats(snap, snap["files"], {})
                                   if snap.get("stats") else None),
-                           dvs=snap.get("dvs"))
+                           dvs=snap.get("dvs"),
+                           add_schema=_df_schema_map(df))
         except TxConflict:
             continue
     raise TxConflict(f"txn append lost {max_retries} CAS races in {table}")
@@ -714,6 +733,13 @@ def _merged_stats(snap: dict, files: list[str], fresh: dict) -> dict:
     return keep
 
 
+def _df_schema_map(df: DataFrame) -> dict:
+    """{column → Spark simpleString} of a staged DataFrame — the unit
+    every data-staging commit contributes to the manifest's monotone
+    schema union (see ``_commit``)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
 def _physical_ancestors(col: str, chain: list) -> list[str]:
     """Every physical column name that resolves to logical ``col``
     through the manifest rename chain, newest first: for a→b→c the
@@ -742,19 +768,35 @@ def _resolve_to_logical(col: str, chain: list) -> str:
     return col
 
 
-def _logical_columns(table: str, snap: dict) -> set[str]:
-    """The snapshot's CURRENT logical column names: the union of every
-    file footer's physical names, resolved through the rename chain,
-    minus the drop list. Driver-side footer metadata only (a production
-    writer records the schema in the manifest at commit time; the
-    footer path keeps this module's manifests minimal)."""
+def _physical_schema_map(table: str, snap: dict,
+                         names: list[str] | None = None) -> dict:
+    """{physical column → Spark simpleString} for a snapshot: the
+    manifest's recorded schema union when present (zero I/O — every
+    writer in this module records what it stages), else the union of
+    the listed files' footers (pre-upgrade tables). ``names`` limits
+    the footer fallback to the files actually being read."""
+    recorded = snap.get("schema")
+    if recorded:
+        return dict(recorded)
     import pyarrow.parquet as papq
 
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    out: dict = {}
+    for name in (snap["files"] if names is None else names):
+        sch = from_arrow_schema(papq.read_schema(os.path.join(table, name)))
+        for f in sch.fields:
+            out.setdefault(f.name, f.dataType.simpleString())
+    return out
+
+
+def _logical_columns(table: str, snap: dict) -> set[str]:
+    """The snapshot's CURRENT logical column names: the physical schema
+    union (manifest-recorded, footer fallback), resolved through the
+    rename chain, minus the drop list."""
     chain = snap.get("renames", [])
     drops = set(snap.get("drops", []))
-    phys: set[str] = set()
-    for name in snap["files"]:
-        phys.update(papq.read_schema(os.path.join(table, name)).names)
+    phys = _physical_schema_map(table, snap)
     return {_resolve_to_logical(c, chain) for c in phys} - drops
 
 
@@ -856,7 +898,7 @@ def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
             return _commit(
                 table, snap["version"], kept + produced, op="delete",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None)
+                dvs=keep_dvs or None, add_schema=_df_schema_map(survivors))
         except TxConflict:
             continue
     raise TxConflict(f"delete lost {max_retries} CAS races in {table}")
@@ -931,7 +973,7 @@ def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
             return _commit(
                 table, snap["version"], kept + produced, op="update",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None)
+                dvs=keep_dvs or None, add_schema=_df_schema_map(updated))
         except TxConflict:
             continue
     raise TxConflict(f"update lost {max_retries} CAS races in {table}")
@@ -1000,7 +1042,7 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             return _commit(
                 table, snap["version"], kept + produced, op="merge",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None)
+                dvs=keep_dvs or None, add_schema=_df_schema_map(merged))
         except TxConflict:
             continue
     raise TxConflict(f"merge lost {max_retries} CAS races in {table}")
@@ -1035,7 +1077,9 @@ def tx_clone(src: str, dst: str, version: int | None = None) -> int:
                    dvs=dvs or None,
                    constraints=snap.get("constraints", {}),
                    renames=snap.get("renames", []),
-                   drops=snap.get("drops", []))
+                   drops=snap.get("drops", []),
+                   types=snap.get("types", {}),
+                   add_schema=snap.get("schema", {}))
 
 
 def tx_append_clustered(df: DataFrame, table: str,
@@ -1066,7 +1110,8 @@ def tx_append_clustered(df: DataFrame, table: str,
             return _commit(
                 table, snap["version"], snap["files"] + new_files,
                 op="append-clustered",
-                stats=_merged_stats(snap, snap["files"], fresh))
+                stats=_merged_stats(snap, snap["files"], fresh),
+                add_schema=_df_schema_map(df))
         except TxConflict:
             continue
     raise TxConflict(
@@ -1529,7 +1574,7 @@ def tx_append_bloomed(df: DataFrame, table: str, bloom_col: str,
                 table, snap["version"], snap["files"] + new_files,
                 op="append-bloomed",
                 stats=_merged_stats(snap, snap["files"], fresh),
-                dvs=snap.get("dvs"))
+                dvs=snap.get("dvs"), add_schema=_df_schema_map(df))
         except TxConflict:
             continue
     raise TxConflict(
@@ -1870,53 +1915,52 @@ def _sql_type(name: str):
 
 
 def _widened_read_schema(table: str, snap: dict, names: list[str]):
-    """The EXPLICIT read schema for a widened table: the union of the
-    listed files' footer schemas (driver-side metadata, first-seen
-    field order) with every physical column whose LOGICAL name appears
-    in the manifest type map promoted to the widened type. Spark's
-    parquet scan then promotes narrow pages in place — no mergeSchema
-    (which refuses int/bigint unions), no per-generation read plans."""
-    import pyarrow.parquet as papq
-
-    from pyspark.sql.pandas.types import from_arrow_schema
+    """The EXPLICIT read schema for a widened table: the physical
+    schema union — manifest-recorded, so planning does ZERO per-file
+    I/O; footer fallback for pre-upgrade tables — with every physical
+    column whose LOGICAL name appears in the manifest type map promoted
+    to the widened type. Spark's parquet scan then promotes narrow
+    pages in place: no mergeSchema (which refuses int/bigint unions),
+    no per-generation read plans. Stale physical names in the union
+    (generations a subset read skips) surface as nulls and are
+    coalesced/projected away by the rename/drop resolution — the table
+    schema stays stable no matter which files a pruned read touches."""
     from pyspark.sql.types import StructField, StructType
 
     types = snap.get("types", {})
     chain = snap.get("renames", [])
-    fields: dict = {}
-    order: list[str] = []
-    for name in names:
-        sch = from_arrow_schema(papq.read_schema(os.path.join(table, name)))
-        for f in sch.fields:
-            if f.name not in fields:
-                fields[f.name] = f.dataType
-                order.append(f.name)
     out = []
-    for n in order:
+    for n, ts in _physical_schema_map(table, snap, names).items():
         lc = _resolve_to_logical(n, chain)
-        dt = _sql_type(types[lc]) if lc in types else fields[n]
-        out.append(StructField(n, dt, True))
+        out.append(StructField(
+            n, _sql_type_any(types[lc] if lc in types else ts), True))
     return StructType(out)
+
+
+def _sql_type_any(name: str):
+    """SQL type string → Spark DataType: the widening vocabulary fast
+    path, then the general DDL parser (arrays, strings, timestamps)."""
+    try:
+        return _sql_type(name)
+    except KeyError:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(name)
 
 
 def _current_column_type(table: str, snap: dict, col: str) -> str | None:
     """The effective SQL type of logical column ``col`` at ``snap``:
-    the manifest type map wins (already widened); otherwise the first
-    file footer carrying any physical ancestor answers. None = column
-    not found in any footer."""
-    import pyarrow.parquet as papq
-
-    from pyspark.sql.pandas.types import from_arrow_schema
-
+    the manifest type map wins (already widened); otherwise the
+    physical schema union (manifest-recorded, footer fallback) under
+    the newest physical ancestor carrying the column. None = not
+    found."""
     declared = snap.get("types", {}).get(col)
     if declared is not None:
         return declared
-    anc = set(_physical_ancestors(col, snap.get("renames", [])))
-    for name in snap["files"]:
-        sch = from_arrow_schema(papq.read_schema(os.path.join(table, name)))
-        for f in sch.fields:
-            if f.name in anc:
-                return f.dataType.simpleString()
+    phys = _physical_schema_map(table, snap)
+    for a in _physical_ancestors(col, snap.get("renames", [])):
+        if a in phys:
+            return phys[a]
     return None
 
 

@@ -1210,6 +1210,12 @@ def run_streaming_tx_change_feed(spark: SparkSession,
     )
 
 
+# the MV commit history is immutable after build — one build per
+# (process, corpus), same sharing rule as io_ops._CDF_BUILD_CACHE
+# (a different sf_dir, e.g. fuzz's fresh mkdtemp, rebuilds)
+_MV_BUILD_CACHE: dict = {}
+
+
 def _build_mv_table(spark: SparkSession, sf_dir: str) -> str:
     """Tx table for the streaming-MV capstone: every commit class the
     change feed distinguishes, INCLUDING a mid-history RENAME — two
@@ -1232,6 +1238,9 @@ def _build_mv_table(spark: SparkSession, sf_dir: str) -> str:
         tx_update,
     )
 
+    cached = _MV_BUILD_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     path = _rt_path("txlog_mv_stream")
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -1262,6 +1271,8 @@ def _build_mv_table(spark: SparkSession, sf_dir: str) -> str:
     if tx_snapshot(path)["files"]:
         tx_update(spark, path, "user_id", 0, 50,
                   {"val_cents": "val_cents * 2"})                 # COW upd
+    _MV_BUILD_CACHE.clear()
+    _MV_BUILD_CACHE[sf_dir] = path
     return path
 
 

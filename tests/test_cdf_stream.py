@@ -89,3 +89,28 @@ def test_missing_options_fail_loudly(spark):
     with pytest.raises(Exception, match="sourceSchema"):
         (spark.readStream.format("tx_change_feed")
          .option("tableDir", "/nonexistent").load())
+
+
+def test_stream_crosses_rename_and_widen_boundaries(spark):
+    # round 9: the source resolves requested logical columns through
+    # the END version's rename chain (pre-rename generations read their
+    # physical name) and casts narrow physical generations to the
+    # declared type (ALTER COLUMN TYPE widening)
+    from pulsar_project_spark.sources.txlog import (
+        tx_rename_column, tx_widen_column,
+    )
+
+    table = tempfile.mkdtemp(prefix="cdfstream_rw_")
+    tx_init(table)
+    tx_append(spark.range(0, 10).selectExpr(
+        "id", "cast(id * 3 AS int) AS v0"), table, n_files=1)   # v1 narrow
+    tx_rename_column(table, "v0", "v")                          # v2
+    tx_widen_column(table, "v", "bigint")                       # v3
+    tx_append(spark.range(10, 15).selectExpr(
+        "id", "cast(id * 3 AS bigint) AS v"), table, n_files=1)  # v4 wide
+    got = _drain(spark, table)
+    # every row surfaces under the LOGICAL name with bigint values:
+    # commit 1 under the final schema, commit 4 natively
+    assert {c for c, _, _ in got} == {1, 4}
+    assert got == sorted([(1, i, 1) for i in range(10)]
+                         + [(4, i, 1) for i in range(10, 15)])

@@ -1415,3 +1415,50 @@ def test_widen_survives_compaction_and_update(spark, table):
     assert got.agg({"v": "sum"}).first()[0] == sum(range(10)) + 5 * 100
     tx_compact(spark, table, target_bytes=1 << 30)
     assert tx_read(spark, table).count() == 10
+
+
+def test_manifest_records_schema_union_plans_without_footers(spark, table,
+                                                             monkeypatch):
+    # round 9: every staging writer records {column → type} into the
+    # manifest's monotone schema union, so planning a widened read does
+    # ZERO per-file footer I/O — poison pyarrow's footer reader and the
+    # read must still plan and run
+    from pulsar_project_spark.sources.txlog import tx_widen_column
+
+    tx_append(spark.range(5).selectExpr("cast(id AS int) AS v", "id AS k"),
+              table, n_files=1)
+    tx_widen_column(table, "v", "bigint")
+    tx_append(spark.range(5, 10).selectExpr("id AS v", "id AS k"),
+              table, n_files=1)
+    snap = tx_snapshot(table)
+    assert snap["schema"]["v"] == "bigint"   # newest generation wins
+    assert snap["schema"]["k"] == "bigint"
+    import pyarrow.parquet as papq
+
+    def boom(*a, **k):
+        raise AssertionError("footer read at planning time")
+
+    monkeypatch.setattr(papq, "read_schema", boom)
+    got = tx_read(spark, table)
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    assert got.count() == 10
+
+
+def test_schema_union_survives_clone_and_stays_stable_on_pruned_reads(
+        spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered, tx_clone, tx_read_pruned, tx_widen_column,
+    )
+
+    df = spark.range(100).selectExpr("cast(id AS int) AS v", "id AS k")
+    tx_append_clustered(df, table, ["v"], n_files=4)
+    tx_widen_column(table, "v", "bigint")
+    dst = tempfile.mkdtemp(prefix="txclone_")
+    tx_clone(table, dst)
+    got = tx_read(spark, dst)
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    assert got.count() == 100
+    # a pruned subset read presents the SAME table schema
+    sub, n_read, n_total = tx_read_pruned(spark, dst, "v", 0, 24)
+    assert sorted(sub.columns) == sorted(got.columns)
+    assert sub.count() == 25 and n_read < n_total
