@@ -1218,9 +1218,14 @@ def tx_delete_range_dv(spark: SparkSession, table: str, col: str, lo, hi,
             return snap["version"]
         # raw physical read (positions must be per-FILE, pre-rename):
         # the logical column may live under ancestor physical names in
-        # pre-rename generations, so coalesce every ancestor present
-        rdr = (spark.read.option("mergeSchema", "true") if chain
-               else spark.read)
+        # pre-rename generations, so coalesce every ancestor present.
+        # Renamed OR widened tables read under the explicit physical-
+        # union schema (mergeSchema refuses int/bigint generations)
+        if chain or snap.get("types"):
+            rdr = spark.read.schema(
+                _widened_read_schema(table, snap, affected))
+        else:
+            rdr = spark.read
         src = rdr.parquet(*(os.path.join(table, n) for n in affected))
         anc = [c for c in _physical_ancestors(col, chain)
                if c in src.columns]

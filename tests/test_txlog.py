@@ -1462,3 +1462,23 @@ def test_schema_union_survives_clone_and_stays_stable_on_pruned_reads(
     sub, n_read, n_total = tx_read_pruned(spark, dst, "v", 0, 24)
     assert sorted(sub.columns) == sorted(got.columns)
     assert sub.count() == 25 and n_read < n_total
+
+
+def test_widen_composes_with_dv_delete_across_generations(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv, tx_widen_column,
+    )
+
+    tx_append(spark.range(10).selectExpr(
+        "cast(id AS int) AS v", "id AS k"), table, n_files=1)   # narrow
+    tx_widen_column(table, "v", "bigint")
+    tx_append(spark.range(10, 20).selectExpr(
+        "cast(id AS bigint) AS v", "id AS k"), table, n_files=1)  # wide
+    # the DV planning read spans BOTH generations (no k bounds recorded)
+    tx_delete_range_dv(spark, table, "k", 0, 4)
+    tx_delete_range_dv(spark, table, "k", 15, 16)
+    got = tx_read(spark, table)
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    assert got.count() == 13
+    assert got.agg({"v": "sum"}).first()[0] == \
+        sum(range(5, 15)) + sum(range(17, 20))
