@@ -1956,3 +1956,112 @@ def q_tx_widen_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+_TX_MERGE_COND_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         ((event_id % 2) + 2) % 2 AS r2
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+),
+tgt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM base WHERE r2 = 0 GROUP BY user_id
+),
+src AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM base WHERE r2 = 1 GROUP BY user_id
+),
+merged AS (
+  SELECT t.user_id,
+         CASE WHEN s.user_id IS NOT NULL AND s.cnt % 2 = 1
+              THEN t.cnt + s.cnt ELSE t.cnt END AS cnt,
+         CASE WHEN s.user_id IS NOT NULL AND s.cnt % 2 = 1
+              THEN t.cents + s.cents ELSE t.cents END AS cents
+  FROM tgt t LEFT JOIN src s ON t.user_id = s.user_id
+  UNION ALL
+  SELECT s.user_id, s.cnt, s.cents FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.user_id = s.user_id)
+)
+SELECT user_id % 23 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY bucket
+"""
+
+
+@declare("tx_merge_conditional_census", oracle=_TX_MERGE_COND_SQL)
+def q_tx_merge_conditional_census(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL CONDITIONAL MERGE — the three-clause Delta statement
+    (``tx_merge``), beyond the round-7 replace-whole-row upsert: per-
+    user rollups of the EVEN event-id half are the target (range-
+    clustered so manifest bounds make the merge targeted); the ODD
+    half's rollups merge in with ``WHEN MATCHED AND __s_cnt % 2 = 1
+    THEN UPDATE SET cnt = cnt + __s_cnt, cents = cents + __s_cents``
+    (accumulate — expressions over the join of target and ``__s_``-
+    prefixed source) and ``WHEN NOT MATCHED THEN INSERT``. Matched
+    rows FAILING the condition must carry through byte-identical, so
+    the census (23 user buckets × users/events/exact cents) breaks on
+    a no-op match that mutated, an insert that dropped, or an update
+    applied to the wrong clause — the oracle replays the clause logic
+    as a relational CASE. The delete clause, bounds-targeting, and
+    constraint enforcement under the condition are pinned in
+    tests/test_txlog.py.
+
+    Scale shape: source key range picks the files that can match
+    (rename-chain-resolved bounds); NOT MATCHED anti-joins only the
+    affected files' keys (kept files cannot match, by the same bounds
+    argument) — a targeted merge costs the overlap, never the table."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_init,
+        tx_merge,
+        tx_read,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("n_users", LongType()),
+        StructField("total_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_merge_cond")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    r2 = F.pmod(F.col("event_id"), F.lit(2))
+    tgt = (ev.filter(r2 == 0).groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum(cents).cast("bigint").alias("cents")))
+    src = (ev.filter(r2 == 1).groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum(cents).cast("bigint").alias("cents")))
+    if not tgt.isEmpty():
+        tx_append_clustered(tgt, path, ["user_id"], n_files=4)
+    if src.isEmpty() and not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    if not src.isEmpty():
+        tx_merge(spark, path, src, "user_id",
+                 when_matched_set={"cnt": "cnt + __s_cnt",
+                                   "cents": "cents + __s_cents"},
+                 matched_condition="__s_cnt % 2 = 1")
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path)
+    return back.groupBy(
+        F.pmod(F.col("user_id"), F.lit(23)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

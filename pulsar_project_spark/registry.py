@@ -54,6 +54,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_pruned_read_renamed_census",   # chain-resolved pruning (VERDICT #1)
     "tx_widen_column_census",          # ALTER COLUMN TYPE widening (#3)
     "streaming_tx_mv_census",          # streaming MV off the CDF (#6)
+    "tx_merge_conditional_census",     # three-clause MERGE (Delta form)
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -104,6 +104,18 @@ class TxChangeFeedStreamReader(DataSourceStreamReader):
                 "columns, matching the declared schema order) required")
         self._start = int(options.get("startversion",
                                       options.get("startVersion", 0)))
+        # startingTimestamp resolves ONCE at stream construction (the
+        # Delta CDF option): binary search over the manifest chain —
+        # stdlib-only, so it runs fine in the planning worker
+        ts = options.get("startingtimestamp", options.get(
+            "startingTimestamp"))
+        if ts is not None:
+            from pulsar_project_spark.sources.txlog import (
+                tx_version_as_of_timestamp,
+            )
+
+            self._start = tx_version_as_of_timestamp(
+                self._table, int(ts))
         self._source_schema = (options.get("sourceschema")
                                or options.get("sourceSchema") or "")
 

@@ -2012,3 +2012,136 @@ def tx_widen_column(table: str, col: str, to_type: str,
         except TxConflict:
             continue
     raise TxConflict(f"widen lost {max_retries} CAS races in {table}")
+
+
+def tx_merge(spark: SparkSession, table: str, source: DataFrame,
+             key_col: str,
+             when_matched_set: dict[str, str] | None = None,
+             matched_condition: str | None = None,
+             insert_not_matched: bool = True,
+             delete_matched: bool = False,
+             max_retries: int = 3) -> int:
+    """FULL CONDITIONAL MERGE — the Delta statement users actually
+    write, generalizing ``tx_merge_upsert`` (replace-whole-row) to the
+    three-clause form::
+
+        MERGE INTO target t USING source s ON t.key = s.key
+        WHEN MATCHED [AND <matched_condition>] THEN
+            UPDATE SET col = <expr>   -- when_matched_set
+          | DELETE                    -- delete_matched=True
+        WHEN NOT MATCHED THEN INSERT *   -- insert_not_matched
+
+    Update expressions evaluate over the joined row: target columns
+    under their own names, source columns prefixed ``__s_`` (e.g.
+    ``{"cents": "cents + __s_cents"}`` accumulates). The matched
+    condition sees the same namespace; matched rows failing it carry
+    through UNCHANGED (and cancel to weight 0 in the change feed —
+    no-op matches emit nothing, the Delta CDF convention). Exactly one
+    of update/delete may be chosen for the matched clause.
+
+    Scale shape identical to the upsert: the source's observed key
+    range picks the files that can contain matches (manifest bounds
+    resolved through the rename chain; files without bounds are
+    conservatively rewritten), ONLY those are read back (deletion
+    vectors applied) and swapped behind the CAS; kept files cannot
+    contain matches by the bounds argument. NOT MATCHED needs only the
+    affected files' keys for the same reason. Unique non-null source
+    keys are a precondition (fail loudly). CHECK constraints are
+    enforced on the full rewritten relation inside the retry loop, so
+    a constraint landing mid-race still binds (the TOCTOU rule)."""
+    from pyspark.sql import functions as F
+
+    if delete_matched and when_matched_set:
+        raise ValueError(
+            "tx_merge: choose when_matched_set OR delete_matched, not both")
+    n_rows, n_keys = source.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col)).first()
+    if n_rows != n_keys:
+        raise ValueError(
+            f"tx_merge: need unique non-null {key_col}s in source "
+            f"(got {n_rows} rows, {n_keys} distinct non-null)")
+    if n_rows == 0:
+        return tx_latest_version(table)
+    ulo, uhi = source.agg(F.min(key_col), F.max(key_col)).first()
+    nulo, nuhi = _stat_value(ulo), _stat_value(uhi)
+    src_pref = source.select(
+        *(F.col(c).alias("__s_" + c) for c in source.columns))
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        stats = snap.get("stats", {})
+        chain = snap.get("renames", [])
+        affected, kept = [], []
+        for name in snap["files"]:
+            b = _file_bounds(stats.get(name, {}), key_col, chain)
+            if (b is None or nulo is None or nuhi is None
+                    or not (b[0] > nuhi or b[1] < nulo)):
+                affected.append(name)
+            else:
+                kept.append(name)
+        parts = []
+        if affected:
+            tgt = _read_files_masked(spark, table, snap, affected)
+            tgt_cols = tgt.columns
+            j = tgt.join(
+                src_pref,
+                F.col(key_col) == F.col("__s_" + key_col), "left")
+            matched = F.col("__s_" + key_col).isNotNull()
+            cond = matched & (F.expr(matched_condition)
+                              if matched_condition else F.lit(True))
+            if delete_matched:
+                survivors = j.filter(~cond).select(*tgt_cols)
+            else:
+                ws = when_matched_set or {}
+                survivors = j.select(*(
+                    F.when(cond,
+                           F.expr(ws[c]).cast(tgt.schema[c].dataType))
+                    .otherwise(F.col(c)).alias(c) if c in ws
+                    else F.col(c)
+                    for c in tgt_cols))
+            parts.append(survivors)
+            if insert_not_matched:
+                inserts = src_pref.join(
+                    tgt.select(F.col(key_col).alias("__t_key")),
+                    F.col("__s_" + key_col) == F.col("__t_key"),
+                    "left_anti",
+                ).select(*(F.col("__s_" + c).alias(c)
+                           for c in source.columns))
+                parts.append(inserts)
+        elif insert_not_matched:
+            # no file can contain a matching key: every source row
+            # is an insert
+            parts.append(source)
+        if not parts:
+            return snap["version"]  # delete/update merge with no overlap
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        _enforce_constraints(merged, table, snap.get("constraints", {}))
+        produced = _stage_dataframe(
+            merged, table, n_files=max(1, len(affected)) if affected else 1)
+        stat_cols = sorted({c for s in stats.values() for c in s
+                            if not c.startswith(_BLOOM_PREFIX)})
+        fresh = (_collect_file_stats(table, produced, stat_cols)
+                 if stat_cols else {})
+        keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
+                    if n in kept}
+        try:
+            return _commit(
+                table, snap["version"], kept + produced, op="merge",
+                stats=_merged_stats(snap, kept, fresh) if stats else None,
+                dvs=keep_dvs or None, add_schema=_df_schema_map(merged))
+        except TxConflict:
+            continue
+    raise TxConflict(f"merge lost {max_retries} CAS races in {table}")
+
+
+def tx_changes_as_of_timestamp(spark: SparkSession, table: str,
+                               ts_us: int,
+                               v_to: int | None = None) -> DataFrame:
+    """CHANGE DATA FEED from a TIMESTAMP — the form incremental
+    consumers actually configure ('give me everything since last
+    night'): resolves the instant to the version the table stood at
+    (``tx_version_as_of_timestamp``, O(log n) manifests) and feeds the
+    commits AFTER it. Same vacuum-horizon contract as time travel."""
+    return tx_table_changes(
+        spark, table, tx_version_as_of_timestamp(table, ts_us), v_to)

@@ -114,3 +114,35 @@ def test_stream_crosses_rename_and_widen_boundaries(spark):
     assert {c for c, _, _ in got} == {1, 4}
     assert got == sorted([(1, i, 1) for i in range(10)]
                          + [(4, i, 1) for i in range(10, 15)])
+
+
+def test_starting_timestamp_option_resolves_version(spark):
+    from pulsar_project_spark.sources.txlog import tx_snapshot
+
+    table = _mk_table(spark)   # v1 append, v2 append, v3 COW delete
+    ts_after_v2 = tx_snapshot(table, 2)["ts_us"]
+    spark.dataSource.register(TxChangeFeedDataSource)
+    feed = (
+        spark.readStream.format("tx_change_feed")
+        .option("tableDir", table)
+        .option("columns", "id,v")
+        .option("sourceSchema", _SCHEMA)
+        .option("startingTimestamp", ts_after_v2)
+        .load()
+    )
+    out = []
+
+    def sink(bdf, batch_id):
+        net = (bdf.groupBy("_commit_version", "id")
+               .agg(F.sum("_w").alias("n")).filter(F.col("n") != 0))
+        out.extend((r["_commit_version"], r["id"], r["n"])
+                   for r in net.collect())
+
+    q = (feed.writeStream.outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .foreachBatch(sink)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # only the COW delete (v3) is after the resolved start version
+    assert sorted(out) == sorted((3, i, -1) for i in range(10))

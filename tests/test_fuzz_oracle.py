@@ -332,6 +332,10 @@ _EVENTS_FUZZED = (
     # generation may be empty -> the cast-only fallback path)
     "tx_pruned_read_renamed_census",
     "tx_widen_column_census",
+    # conditional MERGE: single-sided corpora make the target or the
+    # source empty (insert-only / no-commit branches); NULL user_ids
+    # and event_ids are filtered as non-keys on both engines
+    "tx_merge_conditional_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

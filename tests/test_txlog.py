@@ -1482,3 +1482,80 @@ def test_widen_composes_with_dv_delete_across_generations(spark, table):
     assert got.count() == 13
     assert got.agg({"v": "sum"}).first()[0] == \
         sum(range(5, 15)) + sum(range(17, 20))
+
+
+def test_merge_conditional_update_delete_and_noop_matches(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_merge
+
+    tgt = spark.range(10).selectExpr("id AS k", "id * 10 AS v")
+    tx_append(tgt, table, n_files=1)
+    src = spark.range(5, 15).selectExpr("id AS k", "id AS v")
+    # WHEN MATCHED AND __s_v % 2 = 0 THEN UPDATE SET v = v + __s_v;
+    # WHEN NOT MATCHED THEN INSERT
+    tx_merge(spark, table, src, "k",
+             when_matched_set={"v": "v + __s_v"},
+             matched_condition="__s_v % 2 = 0")
+    got = {r["k"]: r["v"] for r in tx_read(spark, table).collect()}
+    expect = {k: k * 10 for k in range(10)}
+    for k in (6, 8):                 # matched, condition true: accumulate
+        expect[k] = k * 10 + k
+    for k in range(10, 15):          # not matched: inserted as-is
+        expect[k] = k
+    # k in (5, 7, 9): matched but condition false — byte-identical
+    assert got == expect
+    # WHEN MATCHED AND __s_v >= 12 THEN DELETE (no inserts)
+    tx_merge(spark, table, src, "k",
+             delete_matched=True, matched_condition="__s_v >= 12",
+             insert_not_matched=False)
+    got2 = {r["k"] for r in tx_read(spark, table).collect()}
+    assert got2 == set(range(12))    # 12, 13, 14 deleted
+
+
+def test_merge_conditional_rejects_both_clauses_and_dup_keys(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_merge
+
+    tx_append(spark.range(3).selectExpr("id AS k", "id AS v"),
+              table, n_files=1)
+    src = spark.range(2).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="not both"):
+        tx_merge(spark, table, src, "k",
+                 when_matched_set={"v": "v"}, delete_matched=True)
+    dup = src.unionByName(src)
+    with pytest.raises(ValueError, match="unique"):
+        tx_merge(spark, table, dup, "k", when_matched_set={"v": "v"})
+
+
+def test_merge_conditional_targets_only_overlapping_files(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered, tx_merge,
+    )
+
+    tx_append_clustered(
+        spark.range(1000).selectExpr("id AS k", "id AS v"),
+        table, ["k"], n_files=8)
+    before = set(tx_snapshot(table)["files"])
+    tx_merge(spark, table,
+             spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v"),
+             "k", when_matched_set={"v": "__s_v"})
+    after = tx_snapshot(table)
+    kept = before & set(after["files"])
+    assert len(kept) >= 7, "non-overlapping files must carry by name"
+    got = tx_read(spark, table)
+    assert got.count() == 1000
+    assert got.filter("k BETWEEN 10 AND 19").agg(
+        {"v": "sum"}).first()[0] == sum(2 * k for k in range(10, 20))
+
+
+def test_changes_as_of_timestamp_resolves_then_feeds(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_changes_as_of_timestamp,
+    )
+
+    tx_append(spark.range(5).selectExpr("id", "id AS v"),
+              table, n_files=1)                     # v1
+    ts_after_v1 = tx_snapshot(table)["ts_us"]
+    tx_append(spark.range(5, 8).selectExpr("id", "id AS v"),
+              table, n_files=1)                     # v2
+    feed = tx_changes_as_of_timestamp(spark, table, ts_after_v1)
+    rows = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(i, "insert") for i in range(5, 8)}
