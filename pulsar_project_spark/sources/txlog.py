@@ -1840,11 +1840,17 @@ def tx_rename_column(table: str, old: str, new: str,
                 raise ValueError(
                     f"{table}: no live column '{old}' to rename")
         chain.append([old, new])
+        # the widening type map is keyed by LOGICAL name — renaming a
+        # widened column must re-key its entry or the widen silently
+        # stops applying (caught by round-9 self-review)
+        types = dict(snap.get("types", {}))
+        if old in types:
+            types[new] = types.pop(old)
         try:
             return _commit(table, snap["version"], list(snap["files"]),
                            op=f"rename:{old}->{new}",
                            stats=snap.get("stats"), dvs=snap.get("dvs"),
-                           renames=chain)
+                           renames=chain, types=types)
         except TxConflict:
             continue
     raise TxConflict(f"rename lost {max_retries} CAS races in {table}")

@@ -1559,3 +1559,22 @@ def test_changes_as_of_timestamp_resolves_then_feeds(spark, table):
     feed = tx_changes_as_of_timestamp(spark, table, ts_after_v1)
     rows = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert rows == {(i, "insert") for i in range(5, 8)}
+
+
+def test_rename_rekeys_widened_type_map(spark, table):
+    # widen FIRST, rename SECOND: the types map is keyed by logical
+    # name and must follow the rename (round-9 self-review catch —
+    # without the re-key the widen silently stopped applying)
+    from pulsar_project_spark.sources.txlog import (
+        tx_rename_column, tx_widen_column,
+    )
+
+    tx_append(spark.range(5).selectExpr("cast(id AS int) AS a"),
+              table, n_files=1)
+    tx_widen_column(table, "a", "bigint")
+    tx_rename_column(table, "a", "b")
+    assert tx_snapshot(table)["types"] == {"b": "bigint"}
+    tx_append(spark.range(5, 8).selectExpr("id AS b"), table, n_files=1)
+    got = tx_read(spark, table)
+    assert got.schema["b"].dataType.simpleString() == "bigint"
+    assert got.agg({"b": "sum"}).first()[0] == sum(range(8))
