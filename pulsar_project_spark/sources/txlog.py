@@ -1421,7 +1421,13 @@ def tx_restore(table: str, version: int, max_retries: int = 8) -> int:
     they removed), and a concurrent writer CAS-races it like any other
     commit. This is the operational answer to "a pipeline wrote
     garbage at v7, put the table back to v5 NOW" — pure metadata, zero
-    data movement, at any table size."""
+    data movement, at any table size.
+
+    Restore restores DATA; table METADATA (constraints, rename chain,
+    drop list, widening type map) carries forward from the CURRENT
+    version, not the restored one — restoring past a widen keeps
+    reading wide (value-preserving over the narrow files), restoring
+    past a rename keeps the current logical names."""
     snap_old = tx_snapshot(table, version)
     for _ in range(max_retries):
         cur = tx_snapshot(table)
