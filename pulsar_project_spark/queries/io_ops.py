@@ -2065,3 +2065,82 @@ def q_tx_merge_conditional_census(spark: SparkSession,
         F.sum("cnt").cast("bigint").alias("total_events"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+_TX_REORG_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@declare("tx_reorg_purge_census", oracle=_TX_REORG_SQL)
+def q_tx_reorg_purge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE): a table is built with EVERY kind
+    of column-mapping debt — generation 1 lands with a scratch column
+    (later DROPped), under an old name (later RENAMEd), as INT (later
+    WIDENed); generation 2 lands clean — then ``tx_reorg_purge``
+    rewrites exactly the lagging generation and commits with the
+    rename chain, drop list, and type map CLEARED, returning the read
+    path to vanilla (no coalesce projection, no explicit schema, bytes
+    of the dropped column actually reclaimable). The census over the
+    reorged table must hash-match the oracle over raw events, so a
+    purge that lost rows, leaked the dropped column's values, or
+    mis-cast the widen breaks the gate; an in-query guard raises if any
+    mapping metadata survives. Physical-schema assertions, DV purge,
+    carry-by-name for clean files, and pre-reorg time travel are pinned
+    in tests/test_txlog.py."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_drop_column,
+        tx_init,
+        tx_read,
+        tx_rename_column,
+        tx_reorg_purge,
+        tx_snapshot,
+        tx_widen_column,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+    path = _rt_path("txlog_reorg")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    ev = load_events(spark, sf_dir)
+    res = F.pmod(F.col("event_id"), F.lit(2))
+    gen1 = ev.filter(res == 0).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("int").alias("value_cents"),
+        F.expr("ts_us div 86400000000").alias("scratch_day"))
+    gen2 = ev.filter((res == 1) | F.col("event_id").isNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    if not gen1.isEmpty():
+        tx_append(gen1, path, n_files=2)
+        tx_drop_column(path, "scratch_day")
+        tx_rename_column(path, "value_cents", "cents")
+        tx_widen_column(path, "cents", "bigint")
+    if not gen2.isEmpty():
+        tx_append(gen2, path, n_files=2)
+    tx_reorg_purge(spark, path)
+    snap = tx_snapshot(path)
+    if snap.get("renames") or snap.get("drops") or snap.get("types"):
+        raise AssertionError("reorg left mapping metadata behind")
+    if not snap["files"]:
+        return spark.createDataFrame([], empty_schema)
+    back = tx_read(spark, path)
+    if "scratch_day" in back.columns:
+        raise AssertionError("dropped column resurfaced after reorg")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

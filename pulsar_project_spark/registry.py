@@ -55,6 +55,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_widen_column_census",          # ALTER COLUMN TYPE widening (#3)
     "streaming_tx_mv_census",          # streaming MV off the CDF (#6)
     "tx_merge_conditional_census",     # three-clause MERGE (Delta form)
+    "tx_reorg_purge_census",           # REORG APPLY (PURGE) mapping-debt
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -2157,3 +2157,100 @@ def tx_changes_as_of_timestamp(spark: SparkSession, table: str,
     commits AFTER it. Same vacuum-horizon contract as time travel."""
     return tx_table_changes(
         spark, table, tx_version_as_of_timestamp(table, ts_us), v_to)
+
+
+def tx_reorg_purge(spark: SparkSession, table: str,
+                   max_retries: int = 3) -> int:
+    """REORG TABLE ... APPLY (PURGE) — explicitly retire column-mapping
+    debt: rewrite every file whose PHYSICAL schema lags the logical one
+    (pre-rename names, dropped-column bytes, pre-widen narrow types),
+    then commit a manifest with the rename chain, drop list, and
+    widening type map CLEARED — the table's read path returns to
+    vanilla (no coalesce projection, no explicit schema) and dropped
+    bytes are actually reclaimable by vacuum. Files already in logical
+    form carry by name (zero bytes moved); a table with no mapping debt
+    commits nothing. Old snapshots keep their own chains (each manifest
+    carries its metadata), so time travel across the reorg still shows
+    history under historical schemas.
+
+    Compaction and DML retire this debt INCIDENTALLY, file by file;
+    reorg is the explicit maintenance pass a 100 TB operator schedules
+    after a hot-column rename so the whole history regains native
+    pruning at once. The per-file schema test reads footers (driver
+    metadata I/O, like vacuum's stat pass) — acceptable for an explicit
+    maintenance op; the data rewrite itself touches only lagging files.
+    Blooms and stats for rewritten files are rebuilt under the LOGICAL
+    names (the compaction precedent)."""
+    import pyarrow.parquet as papq
+
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        chain = snap.get("renames", [])
+        drops = set(snap.get("drops", []))
+        types = snap.get("types", {})
+        if not (chain or drops or types):
+            return snap["version"]  # no mapping debt
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        lagging, clean = [], []
+        for name in snap["files"]:
+            sch = papq.read_schema(os.path.join(table, name))
+            lag = False
+            for f in sch:
+                lc = _resolve_to_logical(f.name, chain)
+                if (lc != f.name or lc in drops
+                        or (lc in types
+                            and to_arrow_type(_sql_type_any(types[lc]))
+                            != f.type)):
+                    lag = True
+                    break
+            (lagging if lag else clean).append(name)
+        # DV-masked files also purge their masks (the compaction rule)
+        dvs = snap.get("dvs", {})
+        for name in list(clean):
+            if name in dvs:
+                clean.remove(name)
+                lagging.append(name)
+        if not lagging:
+            # physically clean already: clear the metadata only
+            try:
+                return _commit(table, snap["version"],
+                               list(snap["files"]), op="reorg-purge",
+                               stats=snap.get("stats"), renames=[],
+                               drops=[], types={})
+            except TxConflict:
+                continue
+        src = _read_files_masked(spark, table, snap, lagging)
+        produced = _stage_dataframe(
+            src, table, n_files=max(1, len(lagging) // 2))
+        # stats + blooms rebuilt under LOGICAL names for the outputs
+        prev_stats = snap.get("stats", {})
+        dropped = drops
+        stat_cols = sorted({
+            lc for s in prev_stats.values() for c in s
+            if not c.startswith(_BLOOM_PREFIX)
+            for lc in (_resolve_to_logical(c, chain),)
+            if lc not in dropped})
+        bloom_cols = sorted({
+            lc for s in prev_stats.values() for c in s
+            if c.startswith(_BLOOM_PREFIX)
+            for lc in (_resolve_to_logical(c[len(_BLOOM_PREFIX):], chain),)
+            if lc not in dropped})
+        stats = None
+        if stat_cols or bloom_cols:
+            fresh = (_collect_file_stats(table, produced, stat_cols)
+                     if stat_cols else {n: {} for n in produced})
+            for col in bloom_cols:
+                blooms = _build_blooms(table, produced, col)
+                for n in produced:
+                    fresh.setdefault(n, {})[_BLOOM_PREFIX + col] = blooms[n]
+            stats = _merged_stats(snap, clean, fresh)
+        keep_dvs = {n: d for n, d in dvs.items() if n in clean}
+        try:
+            return _commit(table, snap["version"], clean + produced,
+                           op="reorg-purge", stats=stats,
+                           dvs=keep_dvs or None, renames=[], drops=[],
+                           types={}, add_schema=_df_schema_map(src))
+        except TxConflict:
+            continue
+    raise TxConflict(f"reorg lost {max_retries} CAS races in {table}")

@@ -336,6 +336,9 @@ _EVENTS_FUZZED = (
     # source empty (insert-only / no-commit branches); NULL user_ids
     # and event_ids are filtered as non-keys on both engines
     "tx_merge_conditional_census",
+    # reorg: single-sided corpora leave only the clean or only the
+    # lagging generation (metadata-only and no-debt branches)
+    "tx_reorg_purge_census",
     # round-4 additions: ordered funnel / cohort / keyless interval join
     "ordered_funnel_stages",
     "cohort_retention_matrix",

@@ -1578,3 +1578,71 @@ def test_rename_rekeys_widened_type_map(spark, table):
     got = tx_read(spark, table)
     assert got.schema["b"].dataType.simpleString() == "bigint"
     assert got.agg({"b": "sum"}).first()[0] == sum(range(8))
+
+
+def test_reorg_purge_retires_all_mapping_debt(spark, table):
+    import pyarrow.parquet as papq
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_delete_range_dv,
+        tx_drop_column,
+        tx_rename_column,
+        tx_reorg_purge,
+        tx_widen_column,
+    )
+
+    tx_append_clustered(spark.range(10).selectExpr(
+        "cast(id AS int) AS a", "id AS k", "id % 3 AS scratch"),
+        table, ["k"], n_files=1)                            # narrow+extra
+    tx_drop_column(table, "scratch")
+    tx_rename_column(table, "a", "b")
+    tx_widen_column(table, "b", "bigint")
+    tx_append_clustered(spark.range(10, 20).selectExpr(
+        "cast(id AS bigint) AS b", "id AS k"), table,
+        ["k"], n_files=1)                                   # clean gen
+    # k-bounds make the DV delete target ONLY the narrow generation —
+    # the clean file must stay DV-free and carry by name through reorg
+    tx_delete_range_dv(spark, table, "k", 0, 2)             # DV debt
+    clean_before = [
+        n for n in tx_snapshot(table)["files"]
+        if papq.read_schema(os.path.join(table, n)).names == ["b", "k"]]
+    pre_reorg_v = tx_latest_version(table)
+    tx_reorg_purge(spark, table)
+    snap = tx_snapshot(table)
+    assert not snap.get("renames") and not snap.get("drops") \
+        and not snap.get("types") and not snap.get("dvs")
+    for n in snap["files"]:
+        sch = papq.read_schema(os.path.join(table, n))
+        assert sorted(sch.names) == ["b", "k"]
+        assert str(sch.field("b").type) == "int64"
+    # clean (wide, un-DV'd) files carried by name
+    assert set(clean_before) <= set(snap["files"])
+    got = tx_read(spark, table)
+    assert got.count() == 17  # DV'd rows 0..2 purged with their mask
+    assert got.agg({"b": "sum"}).first()[0] == sum(range(3, 20))
+    # pre-reorg time travel still reads under the historical mapping
+    old = tx_read(spark, table, pre_reorg_v)
+    assert old.count() == 17 and "b" in old.columns
+    # idempotent: a clean table commits nothing
+    v = tx_latest_version(table)
+    assert tx_reorg_purge(spark, table) == v
+
+
+def test_reorg_purge_rebuilds_blooms_and_stats_logical(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        _BLOOM_PREFIX,
+        tx_append_bloomed,
+        tx_read_bloom_point,
+        tx_rename_column,
+        tx_reorg_purge,
+    )
+
+    tx_append_bloomed(spark.range(500).selectExpr("id AS a", "id AS v"),
+                      table, "a", n_files=2)
+    tx_rename_column(table, "a", "key")
+    tx_reorg_purge(spark, table)
+    snap = tx_snapshot(table)
+    assert all(_BLOOM_PREFIX + "key" in s for s in snap["stats"].values())
+    got, n_read, n_total = tx_read_bloom_point(spark, table, "key", [7])
+    assert got.count() == 1
