@@ -1985,7 +1985,7 @@ merged AS (
   SELECT s.user_id, s.cnt, s.cents FROM src s
   WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.user_id = s.user_id)
 )
-SELECT user_id % 23 AS bucket,
+SELECT ((user_id % 23) + 23) % 23 AS bucket,
        CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(cnt) AS BIGINT) AS total_events,
        CAST(sum(cents) AS BIGINT) AS total_cents
