@@ -1646,3 +1646,18 @@ def test_reorg_purge_rebuilds_blooms_and_stats_logical(spark, table):
     assert all(_BLOOM_PREFIX + "key" in s for s in snap["stats"].values())
     got, n_read, n_total = tx_read_bloom_point(spark, table, "key", [7])
     assert got.count() == 1
+
+
+def test_widen_float_to_double_end_to_end(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_widen_column
+
+    tx_append(spark.range(4).selectExpr(
+        "cast(id * 0.5 AS float) AS f", "id AS k"), table, n_files=1)
+    tx_widen_column(table, "f", "double")
+    tx_append(spark.range(4, 8).selectExpr(
+        "cast(id * 0.5 AS double) AS f", "id AS k"), table, n_files=1)
+    got = tx_read(spark, table)
+    assert got.schema["f"].dataType.simpleString() == "double"
+    # halves are exactly representable: float->double promotion is
+    # value-exact, so the sum is bit-deterministic
+    assert got.agg({"f": "sum"}).first()[0] == sum(i * 0.5 for i in range(8))
