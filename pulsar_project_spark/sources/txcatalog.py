@@ -210,14 +210,20 @@ def catalog_read(spark: SparkSession, catalog: str, name: str,
                  version: int | None = None):
     """Read table ``name`` exactly as the catalog snapshot pins it.
     Returns (DataFrame | None, n_files) — None for a 0-file table (the
-    caller supplies the schema-correct empty frame if needed)."""
+    caller supplies the schema-correct empty frame if needed). Reads
+    through the FULL tx read path (round-9 fix: the raw parquet read
+    ignored deletion vectors and column mapping, so a catalog-managed
+    table with a DV delete resurrected masked rows and a renamed one
+    leaked physical column names)."""
+    from pulsar_project_spark.sources.txlog import _read_files_masked
+
     csnap = catalog_snapshot(catalog, version)
     tdir, tv = csnap["tables"][name]
-    files = tx_snapshot(tdir, tv)["files"]
+    snap = tx_snapshot(tdir, tv)
+    files = snap["files"]
     if not files:
         return None, 0
-    df = spark.read.parquet(*(os.path.join(tdir, f) for f in files))
-    return df, len(files)
+    return _read_files_masked(spark, tdir, snap, files), len(files)
 
 
 def catalog_vacuum(catalog: str, retention_seconds: float = 86400.0) -> int:

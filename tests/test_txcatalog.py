@@ -305,3 +305,25 @@ def test_catalog_move_respects_deletion_vectors(spark, tmp_path):
     catalog_move(spark, cat, "hot", "cold", F.col("k") < 40)
     # masked rows resurrect in NEITHER table
     assert _counts(spark, cat) == {"hot": 60, "cold": 30}
+
+
+def test_catalog_read_applies_dvs_and_column_mapping(spark, tmp_path):
+    # round-9 fix: the raw parquet read resurrected DV-masked rows and
+    # leaked physical column names on catalog-managed tables
+    from pulsar_project_spark.sources.txlog import (
+        tx_delete_range_dv, tx_rename_column,
+    )
+
+    hot, cold, cat = _mk_pair(spark, tmp_path)
+    tx_delete_range_dv(spark, hot, "k", 0, 9)
+    tx_rename_column(hot, "v", "value")
+    # re-pin the catalog onto the new hot version via a no-op move
+    # window (the catalog pins versions; a fresh catalog sees latest)
+    cat2 = str(tmp_path / "_catalog2")
+    catalog_init(cat2, {"hot": hot, "cold": cold})
+    df, n_files = catalog_read(spark, cat2, "hot")
+    assert df.count() == 90, "DV-masked rows must not resurrect"
+    assert "value" in df.columns and "v" not in df.columns, \
+        "catalog reads must resolve the rename chain"
+    assert df.agg({"value": "sum"}).first()[0] == sum(
+        10 * i for i in range(10, 100))
