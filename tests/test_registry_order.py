@@ -159,3 +159,34 @@ def test_round_stamp_filter_actually_filters():
             # names first green in round k-1 must be invisible at k-1
             assert not (newly & _driver_green(k - 1))
         prev = cur
+
+
+def test_entry_first_import_still_yields_core_order():
+    """The driver smokes entry() before the gate reads queries(); in a
+    single process that import order triggers the registry's circular-
+    import path (queries package partially initialized when the
+    registry's import-time reorder fires), which used to leave the
+    dicts in REGISTRATION order. queries()/oracle_sql() now re-apply
+    the CORE_FIRST ordering at read time — pinned here in a fresh
+    subprocess replicating the driver's exact import sequence."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, ".")
+        # entry()'s import path, exactly: a query module first
+        from pulsar_project_spark.queries.retrieval import q_simple_rag_topk
+        import __spark_entry__ as e
+        names = list(e.queries())
+        onames = list(e.oracle_sql())
+        from pulsar_project_spark.registry import CORE_FIRST
+        assert names[:50] == list(CORE_FIRST), names[:5]
+        assert onames[:50] == list(CORE_FIRST), onames[:5]
+        print("ORDER_OK")
+    """)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd=_REPO)
+    assert out.returncode == 0 and "ORDER_OK" in out.stdout, (
+        out.stdout + out.stderr)
