@@ -2144,3 +2144,106 @@ def q_tx_reorg_purge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# --- Round 9 (continuation): row tracking ------------------------------------
+
+_TX_ROW_TRACKING_SQL = """
+WITH b0 AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 0
+), b1 AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM b0)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 1
+), b2 AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 2
+), allr AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+), live AS (
+  SELECT * FROM allr
+  WHERE o_custkey IS NULL OR o_custkey NOT BETWEEN 2 AND 400
+)
+SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(min(rid) AS BIGINT) AS min_rid,
+       CAST(max(rid) AS BIGINT) AS max_rid
+FROM live
+GROUP BY o_orderkey % 7
+"""
+
+
+@declare("tx_row_tracking_census", oracle=_TX_ROW_TRACKING_SQL)
+def q_tx_row_tracking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (stable row ids across physical rewrites — Delta's
+    row-tracking feature): three tracked appends assign table-unique
+    positional ids (``rids[file] = base`` in the manifest, id = base +
+    ``_metadata.row_index``, ZERO bytes stored); a DV delete then
+    removes rows from the middle of every file WITHOUT shifting ids
+    (the mask is read-time); compaction applies the masks and rewrites
+    — at which point the ids are MATERIALIZED as a physical ``_rid``
+    column, so the positional shifts the rewrite just caused cannot
+    recompute them. The census aggregates sum/min/max of the ids per
+    orderkey bucket: a compaction that recomputed ids positionally
+    (the natural bug) closes the deleted rows' id gaps and breaks
+    ``sum_rid`` immediately. The oracle replays the id arithmetic in
+    pure SQL — batch bases are running counts, within-batch position
+    is row_number over the staged sort order.
+
+    Why this matters at 100 TB: row identity is what lets change
+    feeds, audit diffs, and incremental consumers say "same row,
+    moved" across OPTIMIZE — without it every compaction looks like a
+    full delete+reinsert downstream. Ids are never reused (hwm only
+    grows), racing tracked appends get disjoint ranges (base assigned
+    inside the CAS loop). Reference scope: the reference's in-memory
+    records keep list-position identity (memory.py:63-90); this makes
+    that identity durable and rewrite-stable."""
+    import shutil
+
+    from pulsar_project_spark.sources.tables import load_table
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_tracked,
+        tx_compact,
+        tx_delete_range_dv,
+        tx_init,
+        tx_read_tracked,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("sum_rid", LongType()),
+        StructField("min_rid", LongType()),
+        StructField("max_rid", LongType()),
+    ])
+    path = _rt_path("txlog_row_tracking")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    for r in (0, 1, 2):
+        batch = orders.filter(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == r
+        ).repartition(1).sortWithinPartitions("o_orderkey")
+        tx_append_tracked(batch, path)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_delete_range_dv(spark, path, "o_custkey", 2, 400)
+    tx_compact(spark, path, target_bytes=1 << 30)
+    t = tx_read_tracked(spark, path)
+    return t.groupBy(
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_rid").cast("bigint").alias("sum_rid"),
+        F.min("_rid").cast("bigint").alias("min_rid"),
+        F.max("_rid").cast("bigint").alias("max_rid"),
+    )

@@ -685,3 +685,144 @@ def q_token_budget_mixture_sample(spark: SparkSession,
         .filter(F.col("cum_before") < F.col("b_l"))
         .select("doc_id", "lang", F.col("tok").cast("bigint").alias("tok"))
     )
+
+
+# --- Round 9 (continuation): DSIR importance resampling -----------------------
+
+# Hashed n-gram feature space. 64 buckets keeps the oracle's lambda
+# relation readable; production would use 10^4-10^5 (Xie et al. 2023
+# use 10^4) — still broadcast-sized, nothing else changes.
+_DSIR_B = 64
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(tk) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS gram
+  FROM toks WHERE len(tk) >= 2
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM grams
+),
+seedb AS (
+  SELECT bucket, count(*) AS ct FROM b
+  WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY bucket
+),
+rawb AS (
+  SELECT bucket, count(*) AS cr FROM b
+  WHERE COALESCE(lang, '') <> 'en' OR doc_id % 5 <> 0 GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT COALESCE(sum(ct), 0) FROM seedb) AS t_total,
+         (SELECT COALESCE(sum(cr), 0) FROM rawb) AS r_total
+),
+spine AS (SELECT unnest(range(0, {_DSIR_B})) AS bucket),
+lam AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE))
+                     - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE))
+                     + ln(CAST(r_total + {_DSIR_B} AS DOUBLE))
+                     - ln(CAST(t_total + {_DSIR_B} AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lam_u
+  FROM spine LEFT JOIN seedb USING (bucket) LEFT JOIN rawb USING (bucket), tot
+),
+docb AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b
+  WHERE COALESCE(lang, '') <> 'en' OR doc_id % 5 <> 0
+  GROUP BY doc_id, bucket
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(c * lam_u) AS BIGINT) AS logw_u,
+         CAST(sum(c) AS BIGINT) AS n_grams
+  FROM docb JOIN lam USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, logw_u, n_grams
+FROM scored ORDER BY logw_u DESC, doc_id ASC LIMIT 100
+"""
+
+
+@declare("dsir_importance_select", oracle=_DSIR_SQL)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): select raw-corpus documents whose hashed
+    n-gram feature distribution looks like a small trusted target set.
+    Target seed = every 5th English doc; candidates = everything else.
+    Features are word unigrams+bigrams hashed into {B} buckets with the
+    portable md5 hash; bucket unigram models get add-1 smoothing; each
+    candidate's importance weight is sum_b count_doc[b] * ln(p_hat[b] /
+    q_hat[b]), and the top-100 by weight are selected (stable doc_id
+    tiebreak).
+
+    Cross-engine float parity uses the bm25_scores recipe: the
+    log-ratio is quantized ONCE per bucket to integer micro-units
+    (lambda_u = round(1e6 * (ln(ct+1) - ln(cr+1) + ln(R+B) - ln(T+B))),
+    the subtracted-logs form that cannot overflow at corpus scale), so
+    every doc-level number is an exact BIGINT sum — no float summation
+    order anywhere.
+
+    Scale shape: gram explode is map-side; (doc, bucket) counts partial-
+    aggregate before the shuffle; the lambda relation is B rows →
+    broadcast; the global totals are a 1-row broadcast; selection is
+    TakeOrderedAndProject. At 100 TB the only data-sized shuffle is the
+    (doc_id, bucket) count — bounded by docs x B, not by token count.
+    Reference scope: the reference's keyword pipeline (utils.py:246-316)
+    scores docs against a query; this scores them against a target
+    DISTRIBUTION — the data-curation upgrade of the same surface.
+    """.replace("{B}", str(_DSIR_B))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokenize(clean_string("text")).alias("tk"))
+    unis = toks.select("doc_id", "lang", F.explode("tk").alias("gram"))
+    bis = toks.filter(F.size("tk") >= 2).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(tk) - 2),"
+            " i -> concat_ws(' ', tk[i], tk[i+1]))")).alias("gram"))
+    grams = unis.unionByName(bis)
+    b = grams.select(
+        "doc_id", "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.encode("gram", "utf-8")), 1, 8),
+                   16, 10).cast("bigint"),
+            F.lit(_DSIR_B)).alias("bucket"))
+    is_seed = (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+    is_cand = (F.coalesce(F.col("lang"), F.lit("")) != "en") \
+        | (F.col("doc_id") % 5 != 0)
+    seedb = b.filter(is_seed).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct"))
+    rawb = b.filter(is_cand).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"))
+    tot = seedb.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total")).crossJoin(
+        rawb.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total")))
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("bucket"))
+    lam = (
+        spine.join(F.broadcast(seedb), "bucket", "left")
+        .join(F.broadcast(rawb), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (F.log(F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1)
+                 - F.log(F.coalesce(F.col("cr"), F.lit(0)).cast("double") + 1)
+                 + F.log((F.col("r_total") + _DSIR_B).cast("double"))
+                 - F.log((F.col("t_total") + _DSIR_B).cast("double")))
+                * 1_000_000.0
+            ).cast("bigint").alias("lam_u"),
+        ))
+    docb = b.filter(is_cand).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    scored = (
+        docb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lam_u")).cast("bigint").alias("logw_u"),
+             F.sum("c").cast("bigint").alias("n_grams")))
+    return scored.orderBy(F.desc("logw_u"), F.asc("doc_id")).limit(100)

@@ -56,6 +56,8 @@ NEW_R9: tuple[str, ...] = (
     "streaming_tx_mv_census",          # streaming MV off the CDF (#6)
     "tx_merge_conditional_census",     # three-clause MERGE (Delta form)
     "tx_reorg_purge_census",           # REORG APPLY (PURGE) mapping-debt
+    "tx_row_tracking_census",          # stable row ids across rewrites
+    "dsir_importance_select",          # DSIR data selection (Xie 2023)
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -107,7 +107,9 @@ def _commit(table: str, expected_parent: int | None,
             renames: list | None = None,
             drops: list | None = None,
             types: dict | None = None,
-            add_schema: dict | None = None) -> int:
+            add_schema: dict | None = None,
+            rids: dict | None = None,
+            row_hwm: int | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -128,6 +130,8 @@ def _commit(table: str, expected_parent: int | None,
     parent_drops: list = []
     parent_types: dict = {}
     parent_schema: dict = {}
+    parent_rids: dict = {}
+    parent_hwm: int | None = None
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
@@ -141,6 +145,13 @@ def _commit(table: str, expected_parent: int | None,
             parent_drops = pm.get("drops", [])
             parent_types = pm.get("types", {})
             parent_schema = pm.get("schema", {})
+            # row tracking: base-id map and high-water-mark are TABLE
+            # metadata like constraints — carried forward verbatim
+            # unless the commit explicitly replaces them. Stale entries
+            # for files a commit removed are harmless (readers iterate
+            # the manifest's live file list, never the rids keys).
+            parent_rids = pm.get("rids", {})
+            parent_hwm = pm.get("row_hwm")
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -177,6 +188,12 @@ def _commit(table: str, expected_parent: int | None,
         effective_schema.update(add_schema)
     if effective_schema:
         manifest["schema"] = effective_schema
+    effective_rids = rids if rids is not None else parent_rids
+    if effective_rids:
+        manifest["rids"] = effective_rids
+    effective_hwm = row_hwm if row_hwm is not None else parent_hwm
+    if effective_hwm is not None:
+        manifest["row_hwm"] = effective_hwm
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -389,11 +406,19 @@ def tx_compact(spark: SparkSession, table: str, target_bytes: int,
         replaced: set[str] = set()
         produced: list[str] = []
         staged_schema: dict = {}
+        # row-tracked tables MATERIALIZE ids on rewrite: the bucket is
+        # read with ``_rid`` resolved (base + position, DVs applied) and
+        # staged with the id as a physical column — after this commit
+        # the ids are data, immune to the positional shifts the applied
+        # deletion vectors just caused (Delta row tracking's rule)
+        tracked = bool(snap.get("rids"))
         for bucket in merge_buckets:
             # masked read: compacting a DV'd file APPLIES the deletion
             # vector and drops it — DV compaction, the job that turns
             # merge-on-read debt back into clean files
-            src = _read_files_masked(spark, table, snap, bucket)
+            src = (_read_tracked_files(spark, table, snap, bucket)
+                   if tracked
+                   else _read_files_masked(spark, table, snap, bucket))
             staged_schema.update(_df_schema_map(src))
             produced += _stage_dataframe(src, table, n_files=1)
             replaced.update(bucket)
@@ -437,11 +462,17 @@ def tx_compact(spark: SparkSession, table: str, target_bytes: int,
             stats = _merged_stats(snap, keep, fresh)
         keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
                     if n in keep}
+        new_rids = None
+        if tracked:
+            new_rids = {n: b for n, b in snap["rids"].items() if n in keep}
+            for n in produced:
+                new_rids[n] = None  # ids are materialized in the file
         try:
             return _commit(table, snap["version"], keep + produced,
                            op="compact", stats=stats,
                            dvs=keep_dvs or None,
-                           add_schema=staged_schema)
+                           add_schema=staged_schema,
+                           rids=new_rids)
         except TxConflict:
             continue  # somebody committed: re-plan against their files
     raise TxConflict(f"compaction lost {max_retries} CAS races in {table}")
@@ -884,7 +915,13 @@ def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
                 kept.append(name)
         if not affected:
             return snap["version"]
-        src = _read_files_masked(spark, table, snap, affected)
+        # row-tracked tables: survivors carry their ``_rid`` through the
+        # rewrite (materialized in the produced files), so a COW delete
+        # preserves row identity exactly like a DV delete does
+        tracked = bool(snap.get("rids"))
+        src = (_read_tracked_files(spark, table, snap, affected)
+               if tracked
+               else _read_files_masked(spark, table, snap, affected))
         survivors = src.filter(
             F.col(col).isNull() | ~F.col(col).between(lo, hi))
         produced = _stage_dataframe(survivors, table,
@@ -894,11 +931,17 @@ def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
                  if stat_cols else {})
         keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
                     if n in kept}
+        new_rids = None
+        if tracked:
+            new_rids = {n: b for n, b in snap["rids"].items() if n in kept}
+            for n in produced:
+                new_rids[n] = None  # ids are materialized in the file
         try:
             return _commit(
                 table, snap["version"], kept + produced, op="delete",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None, add_schema=_df_schema_map(survivors))
+                dvs=keep_dvs or None, add_schema=_df_schema_map(survivors),
+                rids=new_rids)
         except TxConflict:
             continue
     raise TxConflict(f"delete lost {max_retries} CAS races in {table}")
@@ -942,7 +985,17 @@ def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
                 kept.append(name)
         if not affected:
             return snap["version"]
-        src = _read_files_masked(spark, table, snap, affected)
+        # row-tracked tables: an UPDATE preserves row identity — the
+        # rewritten rows carry their ``_rid`` (same row, new values),
+        # materialized in the produced files (Delta row tracking's
+        # update rule). ``set_exprs`` may not target the id column.
+        tracked = bool(snap.get("rids"))
+        if tracked and _RID in set_exprs:
+            raise ValueError(f"{table}: {_RID} is managed by row "
+                             "tracking and cannot be SET")
+        src = (_read_tracked_files(spark, table, snap, affected)
+               if tracked
+               else _read_files_masked(spark, table, snap, affected))
         # the match flag is computed on PRE-update values and carried
         # through the projection: re-resolving the WHERE predicate
         # against post-update values would let an update that moves the
@@ -969,11 +1022,17 @@ def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
                  if stat_cols else {})
         keep_dvs = {n: d for n, d in snap.get("dvs", {}).items()
                     if n in kept}
+        new_rids = None
+        if tracked:
+            new_rids = {n: b for n, b in snap["rids"].items() if n in kept}
+            for n in produced:
+                new_rids[n] = None  # ids are materialized in the file
         try:
             return _commit(
                 table, snap["version"], kept + produced, op="update",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None, add_schema=_df_schema_map(updated))
+                dvs=keep_dvs or None, add_schema=_df_schema_map(updated),
+                rids=new_rids)
         except TxConflict:
             continue
     raise TxConflict(f"update lost {max_retries} CAS races in {table}")
@@ -2254,3 +2313,156 @@ def tx_reorg_purge(spark: SparkSession, table: str,
         except TxConflict:
             continue
     raise TxConflict(f"reorg lost {max_retries} CAS races in {table}")
+
+
+# --- Row tracking (stable row IDs across physical rewrites) -------------------
+
+# Logical column every tracked read exposes; a physical column of the
+# same name exists only in files written by a rewrite (compaction),
+# where the id was MATERIALIZED.
+_RID = "_rid"
+
+
+def _parquet_num_rows(path: str) -> int:
+    import pyarrow.parquet as papq
+
+    return papq.read_metadata(path).num_rows
+
+
+def tx_append_tracked(df: DataFrame, table: str, n_files: int | None = None,
+                      max_retries: int = 8,
+                      stat_cols: list[str] | None = None) -> int:
+    """Append with ROW TRACKING (Delta's row-tracking feature): every
+    row gets a table-unique, monotonically-increasing id that survives
+    physical rewrites. An append stores ZERO extra bytes — the manifest
+    maps each fresh file to a base id (``rids[file] = base``) and a
+    tracked read computes ``base + _metadata.row_index``; the manifest
+    ``row_hwm`` is the next id to assign. Rewrites MATERIALIZE ids as a
+    physical ``_rid`` column (see ``tx_compact``), so positional-shift
+    hazards (a compaction that applies a deletion vector, dropping rows
+    from the middle of a file) can never recompute an id: once a file
+    is rewritten its ids are data, not arithmetic. Deleted ids are
+    never reused (the hwm only grows).
+
+    Why it matters at 100 TB: row identity is what lets change-data
+    feeds, incremental MERGE sources, and audit diffs say "this is the
+    SAME row, updated" across compactions — without it every OPTIMIZE
+    looks like a full delete+reinsert to any downstream consumer.
+
+    Base assignment happens inside the CAS loop (the hwm is re-read on
+    every conflict retry), so two racing tracked appends get disjoint
+    id ranges no matter who wins. Reference scope: the reference keeps
+    list-position identity for in-memory records (memory.py:63-90);
+    this is that identity made durable and rewrite-stable.
+    """
+    validated = tx_constraints(table)
+    _enforce_constraints(df, table, validated)
+    new_files = _stage_dataframe(df, table, n_files)
+    counts = {n: _parquet_num_rows(os.path.join(table, n))
+              for n in new_files}
+    fresh_stats = (_collect_file_stats(table, new_files, sorted(stat_cols))
+                   if stat_cols else None)
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        cs = snap.get("constraints", {})
+        if cs != validated:
+            _enforce_constraints(df, table, cs)
+            validated = cs
+        # prune entries for files no longer live, then assign fresh
+        # bases from the snapshot's high-water-mark in staging order
+        rids = {n: b for n, b in snap.get("rids", {}).items()
+                if n in snap["files"]}
+        base = snap.get("row_hwm", 0)
+        for n in new_files:
+            rids[n] = base
+            base += counts[n]
+        try:
+            return _commit(
+                table, snap["version"], snap["files"] + new_files,
+                op="append",
+                stats=(_merged_stats(snap, snap["files"], fresh_stats or {})
+                       if (snap.get("stats") or fresh_stats) else None),
+                dvs=snap.get("dvs"), add_schema=_df_schema_map(df),
+                rids=rids, row_hwm=base)
+        except TxConflict:
+            continue
+    raise TxConflict(f"tracked append lost {max_retries} CAS races in {table}")
+
+
+def _read_tracked_files(spark: SparkSession, table: str, snap: dict,
+                        names: list[str]) -> DataFrame:
+    """Read ``names`` with the ``_rid`` row-id column resolved and the
+    snapshot's deletion vectors applied. One scan: positional files get
+    ``base + _metadata.row_index`` via a broadcast join against the
+    (file → base) manifest map — metadata-sized, one row per file —
+    and materialized files read their physical ``_rid`` column. The DV
+    anti-join runs on the SAME (file, row_index) keys from the same
+    scan, so an id is always computed from the physical position the
+    mask addresses. Raises if any file lacks tracking metadata (it was
+    written by an untracked op — the loud error beats a silent NULL id).
+    """
+    from pyspark.sql import functions as F
+
+    rids = snap.get("rids", {})
+    untracked = [n for n in names if n not in rids]
+    if untracked:
+        raise ValueError(
+            f"{table}: files without row-tracking metadata (written by an "
+            f"untracked op? use tx_append_tracked): {sorted(untracked)[:3]}")
+    positional = {n: b for n, b in rids.items()
+                  if n in names and b is not None}
+    materialized = [n for n in names if rids.get(n) is None]
+    chain = snap.get("renames", [])
+    drops = snap.get("drops", [])
+    if snap.get("types"):
+        rdr = spark.read.schema(_widened_read_schema(table, snap, names))
+    elif (positional and materialized) or chain or drops:
+        rdr = spark.read.option("mergeSchema", "true")
+    else:
+        rdr = spark.read
+    df = rdr.parquet(*(os.path.join(table, n) for n in names))
+    data_cols = [c for c in df.columns if c != _RID]
+    keyed = df.select(
+        "*",
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if positional:
+        bases = spark.createDataFrame(
+            sorted(positional.items()), schema="__file string, __base bigint")
+        keyed = keyed.join(F.broadcast(bases), "__file", "left")
+        rid = F.col("__base") + F.col("__pos")
+        if materialized:
+            rid = F.when(F.col("__base").isNotNull(), rid) \
+                .otherwise(F.col(_RID).cast("bigint"))
+        keyed = keyed.withColumn(_RID, rid).drop("__base")
+    else:
+        keyed = keyed.withColumn(_RID, F.col(_RID).cast("bigint"))
+    dvs = snap.get("dvs", {})
+    dv_files = sorted({dvs[n] for n in names if n in dvs})
+    if dv_files:
+        mask = spark.read.parquet(
+            *(os.path.join(table, d) for d in dv_files)).select(
+            "file", "pos").distinct()
+        keyed = keyed.join(
+            mask,
+            (keyed["__file"] == mask["file"]) & (keyed["__pos"] == mask["pos"]),
+            "left_anti",
+        )
+    out = keyed.select(*data_cols, _RID)
+    out = _apply_renames(out, chain)
+    present = [c for c in drops if c in out.columns and c != _RID]
+    return out.drop(*present) if present else out
+
+
+def tx_read_tracked(spark: SparkSession, table: str,
+                    version: int | None = None) -> DataFrame:
+    """Snapshot read exposing the stable ``_rid`` row id (deletion
+    vectors applied, renames/drops/widening resolved as in ``tx_read``).
+    Ids are stable across DV deletes (positions never shift — the mask
+    is read-time) and across compaction (the rewrite materializes them,
+    see ``tx_compact``); they are never reused after a delete."""
+    snap = tx_snapshot(table, version)
+    if not snap["files"]:
+        raise ValueError(f"version {snap['version']} of {table} is empty")
+    return _read_tracked_files(spark, table, snap, snap["files"])

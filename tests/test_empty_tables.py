@@ -71,6 +71,8 @@ _REPRESENTATIVE = (
     "streaming_tx_mv_census",           # streaming MV over 0-row commits
     "tx_merge_conditional_census",      # MERGE with empty target+source
     "tx_reorg_purge_census",            # reorg of 0-row generations
+    "tx_row_tracking_census",           # tracked appends of 0 rows
+    "dsir_importance_select",           # importance weights over 0 docs
     # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
     # aggregates: on empty input each correctly returns one all-zero
     # row in both engines — zero-rows-out doesn't apply; their

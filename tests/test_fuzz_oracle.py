@@ -136,6 +136,11 @@ _PIPELINE_FUZZED = (
     # tiny fuzz corpora force b_l=0 languages (zero docs selected) and
     # single-lang corpora (the whole budget lands on one partition)
     "token_budget_mixture_sample",
+    # round-9 continuation: DSIR selection — all-'en' fuzz corpora make
+    # every 5th doc seed and the rest candidates; 1-doc corpora have NO
+    # candidates (empty selection), empty-text docs carry zero grams
+    # (absent from the scored relation on both engines)
+    "dsir_importance_select",
     "bpe_token_counts",
     "feature_hash_embeddings",
     "simhash_fingerprints",
@@ -489,6 +494,12 @@ _STAR_FUZZED = (
     # round-6: Q9/Q19 shapes
     "product_type_profit",
     "brand_quantity_revenue",
+    # round-9 continuation: row tracking under fuzz corpora — tiny
+    # custkey alphabet ([0,5]) makes the DV delete hit most rows
+    # (mass-gap materialization) or, when no custkey lands in [2,400]'s
+    # overlap, the no-match early-return branch; single-batch corpora
+    # leave two of the three appends empty (0-row staged files)
+    "tx_row_tracking_census",
     "range_partition_bounds",
     "join_cardinality_forecast",
     "referential_integrity_census",

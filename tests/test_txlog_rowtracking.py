@@ -1,0 +1,191 @@
+"""Row-tracking gates: stable row ids across every physical rewrite
+the tx log performs, id-range disjointness under CAS races, and the
+loud-error contract for untracked files.
+
+The invariant under test (Delta row tracking's rule): an id assigned at
+append time is POSITIONAL (manifest base + ``_metadata.row_index``,
+zero stored bytes) until the first rewrite of its file, at which point
+it is MATERIALIZED as a physical ``_rid`` column — so deletion-vector
+masks applied during compaction (which shift physical positions) can
+never change what a reader sees.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pulsar_project_spark.sources.txlog import (
+    tx_append,
+    tx_append_tracked,
+    tx_compact,
+    tx_delete_range_dv,
+    tx_init,
+    tx_read_tracked,
+    tx_snapshot,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    path = tempfile.mkdtemp(prefix="txrid_")
+    tx_init(path)
+    return path
+
+
+def _mk(spark, lo, hi):
+    # one sorted partition: file position == rank by id
+    return (spark.range(lo, hi).selectExpr("id AS k", "id * 3 AS v")
+            .repartition(1).sortWithinPartitions("k"))
+
+
+def _ids(spark, table, version=None):
+    rows = tx_read_tracked(spark, table, version).select("_rid", "k").collect()
+    return {r["k"]: r["_rid"] for r in rows}
+
+
+def test_append_assigns_contiguous_positional_ids(spark, table):
+    tx_append_tracked(_mk(spark, 0, 5), table)
+    tx_append_tracked(_mk(spark, 10, 15), table)
+    ids = _ids(spark, table)
+    assert [ids[k] for k in range(0, 5)] == [0, 1, 2, 3, 4]
+    assert [ids[k] for k in range(10, 15)] == [5, 6, 7, 8, 9]
+    snap = tx_snapshot(table)
+    assert snap["row_hwm"] == 10
+    assert sorted(snap["rids"].values()) == [0, 5]
+
+
+def test_dv_delete_keeps_survivor_ids(spark, table):
+    tx_append_tracked(_mk(spark, 0, 10), table)
+    before = _ids(spark, table)
+    tx_delete_range_dv(spark, table, "k", 3, 6)
+    after = _ids(spark, table)
+    assert set(after) == {0, 1, 2, 7, 8, 9}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_compaction_materializes_ids_with_gaps(spark, table):
+    tx_append_tracked(_mk(spark, 0, 6), table)
+    tx_append_tracked(_mk(spark, 6, 12), table)
+    tx_delete_range_dv(spark, table, "k", 4, 8)  # middle of both files
+    before = _ids(spark, table)
+    v = tx_compact(spark, table, target_bytes=1 << 30)
+    snap = tx_snapshot(table, v)
+    assert len(snap["files"]) == 1
+    # the produced file's ids are materialized, not positional
+    assert snap["rids"] == {snap["files"][0]: None}
+    assert snap["row_hwm"] == 12  # hwm survives the rewrite
+    after = _ids(spark, table)
+    assert after == before  # gaps where 4..8 were — NOT re-closed
+    assert sorted(after.values()) == [0, 1, 2, 3, 9, 10, 11]
+
+
+def test_ids_never_reused_after_delete_and_compact(spark, table):
+    tx_append_tracked(_mk(spark, 0, 5), table)
+    tx_delete_range_dv(spark, table, "k", 0, 4)  # delete everything
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_append_tracked(_mk(spark, 100, 103), table)
+    ids = _ids(spark, table)
+    # fresh rows continue from the hwm — deleted ids 0..4 stay retired
+    assert sorted(ids.values()) == [5, 6, 7]
+
+
+def test_time_travel_reads_old_positional_generation(spark, table):
+    tx_append_tracked(_mk(spark, 0, 6), table)
+    v1 = tx_snapshot(table)["version"]
+    tx_delete_range_dv(spark, table, "k", 1, 2)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    # the pinned old snapshot still computes ids positionally
+    old = _ids(spark, table, version=v1)
+    assert old == {k: k for k in range(6)}
+    new = _ids(spark, table)
+    assert new == {0: 0, 3: 3, 4: 4, 5: 5}
+
+
+def test_untracked_file_raises_loudly(spark, table):
+    tx_append_tracked(_mk(spark, 0, 3), table)
+    tx_append(spark.range(3).selectExpr("id AS k", "id AS v"), table)
+    with pytest.raises(ValueError, match="row-tracking metadata"):
+        tx_read_tracked(spark, table).collect()
+
+
+def test_racing_tracked_appends_get_disjoint_ranges(spark, table):
+    """Simulate the CAS race: both writers stage against the same
+    snapshot; the loser's retry must re-read the winner's hwm."""
+    from pulsar_project_spark.sources import txlog as t
+
+    # writer A commits first; writer B's first CAS attempt loses and
+    # retries against A's snapshot (tx_append_tracked re-reads the hwm
+    # inside the loop, so this is exercised by just running them
+    # back-to-back plus forcing a conflict via a pre-claimed version)
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    snap = tx_snapshot(table)
+    # claim the next version out from under a tracked append
+    t._commit(table, snap["version"], snap["files"], op="noop")
+    tx_append_tracked(_mk(spark, 10, 14), table)
+    ids = _ids(spark, table)
+    assert sorted(ids.values()) == list(range(8))
+    assert tx_snapshot(table)["row_hwm"] == 8
+
+
+def test_mixed_positional_and_materialized_generations(spark, table):
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    tx_compact(spark, table, target_bytes=1)  # no-op: single file
+    tx_append_tracked(_mk(spark, 10, 14), table)
+    tx_append_tracked(_mk(spark, 20, 24), table)
+    tx_delete_range_dv(spark, table, "k", 10, 11)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_append_tracked(_mk(spark, 30, 34), table)  # positional atop materialized
+    ids = _ids(spark, table)
+    assert {k: ids[k] for k in range(0, 4)} == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert {k: ids[k] for k in (12, 13)} == {12: 6, 13: 7}
+    assert {k: ids[k] for k in range(30, 34)} == {30: 12, 31: 13, 32: 14, 33: 15}
+
+
+def test_cow_delete_preserves_survivor_ids(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_delete_range
+
+    tx_append_tracked(_mk(spark, 0, 10), table)
+    before = _ids(spark, table)
+    tx_delete_range(spark, table, "k", 3, 6)  # COW rewrite, not DV
+    after = _ids(spark, table)
+    assert set(after) == {0, 1, 2, 7, 8, 9}
+    assert all(after[k] == before[k] for k in after)
+    snap = tx_snapshot(table)
+    # the rewrite materialized the survivors' ids
+    assert set(snap["rids"]) == set(snap["files"])
+    assert list(snap["rids"].values()) == [None] * len(snap["files"])
+
+
+def test_cow_update_keeps_row_identity(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_read_tracked, tx_update
+
+    tx_append_tracked(_mk(spark, 0, 8), table)
+    before = _ids(spark, table)
+    tx_update(spark, table, "k", 2, 5, {"v": "v * 100"})
+    rows = tx_read_tracked(spark, table).select("_rid", "k", "v").collect()
+    after = {r["k"]: r["_rid"] for r in rows}
+    vals = {r["k"]: r["v"] for r in rows}
+    assert after == before  # same rows, same ids — updated in place
+    assert vals == {k: (k * 300 if 2 <= k <= 5 else k * 3) for k in range(8)}
+
+
+def test_update_cannot_set_the_id_column(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_update
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    with pytest.raises(ValueError, match="managed by row tracking"):
+        tx_update(spark, table, "k", 0, 3, {"_rid": "_rid + 1000"})
+
+
+def test_tracked_append_records_prunable_stats(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_read_pruned
+
+    tx_append_tracked(_mk(spark, 0, 10), table, stat_cols=["k"])
+    tx_append_tracked(_mk(spark, 100, 110), table, stat_cols=["k"])
+    snap = tx_snapshot(table)
+    assert all("k" in s for s in snap["stats"].values())
+    pruned, n_read, n_total = tx_read_pruned(spark, table, "k", 0, 9)
+    assert (n_read, n_total) == (1, 2)  # bounds skipped the high file
+    assert pruned.count() == 10

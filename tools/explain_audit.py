@@ -59,6 +59,7 @@ ALLOWED_NESTED_LOOP = {
     "ivfpq_adc_topk",            # 8-row centroid broadcast crossJoin (kmeans)
     "ivfpq_rerank_topk",         # same 8-row centroid crossJoin feeds stage 1
     "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
+    "dsir_importance_select",    # 1-row gram-totals broadcast crossJoin
 }
 
 
