@@ -2247,3 +2247,118 @@ def q_tx_row_tracking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_rid").cast("bigint").alias("min_rid"),
         F.max("_rid").cast("bigint").alias("max_rid"),
     )
+
+
+_TX_KEYLESS_CDC_SQL = """
+WITH b0 AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 0
+), b1 AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (SELECT count(*) FROM b0)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 1
+), b2 AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 2
+), base AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+), changes AS (
+  SELECT rid, cents, 'insert' AS change_type FROM b2
+  UNION ALL
+  SELECT rid, cents, 'delete' FROM base
+  WHERE o_custkey BETWEEN 2 AND 150
+  UNION ALL
+  SELECT rid, cents, 'update_pre' FROM base
+  WHERE o_custkey BETWEEN 100 AND 400
+    AND NOT o_custkey BETWEEN 2 AND 150 AND cents IS NOT NULL
+  UNION ALL
+  SELECT rid, cents * 2 + 5, 'update_post' FROM base
+  WHERE o_custkey BETWEEN 100 AND 400
+    AND NOT o_custkey BETWEEN 2 AND 150 AND cents IS NOT NULL
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(rid) AS BIGINT) AS sum_rid
+FROM changes
+GROUP BY change_type
+"""
+
+
+@declare("tx_keyless_cdc_census", oracle=_TX_KEYLESS_CDC_SQL)
+def q_tx_keyless_cdc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS CDC — the row-tracking payoff (``tx_changes_by_rid``):
+    a typed change feed for a table with no primary key. Two tracked
+    appends pin the ``v_from`` snapshot; a COW UPDATE (cents := 2c+5
+    where custkey in [100,400]) rewrites files WITHOUT changing row
+    identity; a DV delete (custkey in [2,150]) masks rows without
+    moving any; a third tracked append inserts fresh rows. The
+    endpoint diff joined on ``_rid`` must then report: the third
+    batch as inserts, the deleted range as deletes carrying the
+    ORIGINAL (v_from) image even where the interim update also touched
+    them (endpoint semantics), and the updated-but-not-deleted rows as
+    update_pre/update_post pairs under the SAME id — which only holds
+    if ids survived the COW rewrite. The oracle replays ids and DML in
+    pure SQL; sum_rid per change class pins identity exactly.
+
+    Scale shape: the diff is one hash join on a dense 8-byte id; the
+    DML is bounds-pruned (tracked appends record custkey stats).
+    Without row tracking this feed would key on ALL columns and
+    report every update as delete+insert and every OPTIMIZE as full
+    churn — the difference between an incremental MERGE consumer
+    reading O(changes) and re-reading the table."""
+    import shutil
+
+    from pulsar_project_spark.sources.tables import load_table
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_tracked,
+        tx_changes_by_rid,
+        tx_delete_range_dv,
+        tx_init,
+        tx_latest_version,
+        tx_snapshot,
+        tx_update,
+    )
+
+    empty_schema = StructType([
+        StructField("change_type", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("sum_rid", LongType()),
+    ])
+    path = _rt_path("txlog_keyless_cdc")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    for r in (0, 1):
+        batch = orders.filter(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == r
+        ).repartition(1).sortWithinPartitions("o_orderkey")
+        tx_append_tracked(batch, path, stat_cols=["o_custkey"])
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    v_from = tx_latest_version(path)
+    tx_update(spark, path, "o_custkey", 100, 400, {"cents": "cents * 2 + 5"})
+    tx_delete_range_dv(spark, path, "o_custkey", 2, 150)
+    b2 = orders.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(3)) == 2
+    ).repartition(1).sortWithinPartitions("o_orderkey")
+    tx_append_tracked(b2, path, stat_cols=["o_custkey"])
+    ch = tx_changes_by_rid(spark, path, v_from)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum("_rid").cast("bigint").alias("sum_rid"),
+    )

@@ -58,6 +58,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_reorg_purge_census",           # REORG APPLY (PURGE) mapping-debt
     "tx_row_tracking_census",          # stable row ids across rewrites
     "dsir_importance_select",          # DSIR data selection (Xie 2023)
+    "tx_keyless_cdc_census",           # keyless CDC via row identity
 )
 
 RECERTS_R9: tuple[str, ...] = (

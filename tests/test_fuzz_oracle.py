@@ -500,6 +500,11 @@ _STAR_FUZZED = (
     # overlap, the no-match early-return branch; single-batch corpora
     # leave two of the three appends empty (0-row staged files)
     "tx_row_tracking_census",
+    # keyless CDC: fuzz custkeys ([0,5]) land entirely inside the
+    # delete range's overlap — most of v_from deletes, updates are
+    # empty (custkey never reaches [100,400]), and 1-batch corpora
+    # leave whole change classes absent
+    "tx_keyless_cdc_census",
     "range_partition_bounds",
     "join_cardinality_forecast",
     "referential_integrity_census",

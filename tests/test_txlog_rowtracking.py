@@ -189,3 +189,74 @@ def test_tracked_append_records_prunable_stats(spark, table):
     pruned, n_read, n_total = tx_read_pruned(spark, table, "k", 0, 9)
     assert (n_read, n_total) == (1, 2)  # bounds skipped the high file
     assert pruned.count() == 10
+
+
+# --- keyless CDC (tx_changes_by_rid) ------------------------------------------
+
+
+def _changes(spark, table, v_from, v_to=None):
+    from pulsar_project_spark.sources.txlog import tx_changes_by_rid
+
+    rows = tx_changes_by_rid(spark, table, v_from, v_to).collect()
+    return sorted((r["_change_type"], r["_rid"], r["k"], r["v"]) for r in rows)
+
+
+def test_keyless_cdc_compaction_is_silent(spark, table):
+    tx_append_tracked(_mk(spark, 0, 5), table)
+    tx_append_tracked(_mk(spark, 5, 10), table)
+    v_from = tx_snapshot(table)["version"]
+    tx_compact(spark, table, target_bytes=1 << 30)
+    assert _changes(spark, table, v_from) == []
+
+
+def test_keyless_cdc_update_reports_same_row(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_update
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    v_from = tx_snapshot(table)["version"]
+    tx_update(spark, table, "k", 1, 2, {"v": "v + 1000"})
+    got = _changes(spark, table, v_from)
+    assert got == sorted([
+        ("update_pre", 1, 1, 3), ("update_post", 1, 1, 1003),
+        ("update_pre", 2, 2, 6), ("update_post", 2, 2, 1006),
+    ])
+
+
+def test_keyless_cdc_endpoint_semantics(spark, table):
+    """Inserted-then-deleted is silent; updated-then-deleted is a
+    delete carrying the v_from image."""
+    from pulsar_project_spark.sources.txlog import tx_update
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    v_from = tx_snapshot(table)["version"]
+    tx_append_tracked(_mk(spark, 10, 12), table)   # insert...
+    tx_delete_range_dv(spark, table, "k", 10, 11)  # ...then delete: silent
+    tx_update(spark, table, "k", 2, 3, {"v": "v + 1000"})
+    tx_delete_range_dv(spark, table, "k", 3, 3)    # updated then deleted
+    got = _changes(spark, table, v_from)
+    assert got == sorted([
+        ("update_pre", 2, 2, 6), ("update_post", 2, 2, 1006),
+        ("delete", 3, 3, 9),  # pre-image is the v_from value, not 1009
+    ])
+
+
+def test_keyless_cdc_from_empty_table_is_all_inserts(spark, table):
+    tx_append_tracked(_mk(spark, 0, 3), table)
+    got = _changes(spark, table, 0)
+    assert got == sorted([
+        ("insert", 0, 0, 0), ("insert", 1, 1, 3), ("insert", 2, 2, 6)])
+
+
+def test_keyless_cdc_sees_added_column_as_null_pre(spark, table):
+    from pyspark.sql import functions as F
+
+    tx_append_tracked(_mk(spark, 0, 2), table)
+    v_from = tx_snapshot(table)["version"]
+    wide = (_mk(spark, 10, 12).withColumn("extra", F.col("k") * 7)
+            .repartition(1).sortWithinPartitions("k"))
+    tx_append_tracked(wide, table)
+    from pulsar_project_spark.sources.txlog import tx_changes_by_rid
+
+    rows = tx_changes_by_rid(spark, table, v_from).collect()
+    got = sorted((r["_change_type"], r["k"], r["extra"]) for r in rows)
+    assert got == [("insert", 10, 70), ("insert", 11, 77)]
