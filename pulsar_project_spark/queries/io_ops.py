@@ -2362,3 +2362,85 @@ def q_tx_keyless_cdc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.sum("_rid").cast("bigint").alias("sum_rid"),
     )
+
+
+_GEN_DAY_US = 86_400_000_000
+_GEN_TS_LO = 19_731 * _GEN_DAY_US + 3_600_000_000   # mid-day window edges:
+_GEN_TS_HI = 19_735 * _GEN_DAY_US + 7_200_000_000   # derivation must floor
+
+_TX_GENERATED_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(epoch_us(ts) // {_GEN_DAY_US}) AS BIGINT) AS sum_day
+FROM events
+WHERE epoch_us(ts) BETWEEN {_GEN_TS_LO} AND {_GEN_TS_HI}
+GROUP BY event_type
+"""
+
+
+@declare("tx_generated_column_census", oracle=_TX_GENERATED_SQL)
+def q_tx_generated_column_census(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS with derived-predicate pruning (Delta's
+    generated-column partition pruning): the table declares
+    ``day GENERATED ALWAYS AS (ts_us div 86400000000)`` BEFORE any
+    write; the append supplies only raw events (no day column), so the
+    writer COMPUTES it, clusters by it, and records per-file day
+    bounds. The read then filters on the BASE column ``ts_us`` — which
+    has NO recorded stats at all — and still skips files, because the
+    monotone generator lets the planner derive day bounds from the
+    ts_us range ([lo div K, hi div K]). The census sums the generated
+    day values too, certifying the write-time computation against the
+    oracle's direct expression, and the window edges sit mid-day so
+    the floor in the derivation is load-bearing. The files-actually-
+    skipped property and the supplied-value validation (a wrong day is
+    rejected like a CHECK violation) are pinned in
+    tests/test_txlog_rowtracking.py.
+
+    Scale shape: at 100 TB every query naturally filters raw
+    timestamps while layout/stats track the day bucket — derivation is
+    what keeps those queries planning-time prunable WITHOUT asking
+    users to rewrite predicates, and declaring the generator costs
+    zero data movement."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_init,
+        tx_read_pruned,
+        tx_set_generated,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("sum_day", LongType()),
+    ])
+    path = _rt_path("txlog_generated")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    tx_set_generated(path, "day", "ts_us", _GEN_DAY_US)
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append_clustered(ev, path, ["day"], n_files=4)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    try:
+        pruned, _n_read, _n_total = tx_read_pruned(
+            spark, path, "ts_us", _GEN_TS_LO, _GEN_TS_HI)
+    except ValueError:
+        # derived bounds PROVED no file intersects the window — a valid
+        # outcome for a corpus living entirely outside it
+        return spark.createDataFrame([], empty_schema)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.sum("day").cast("bigint").alias("sum_day"),
+    )

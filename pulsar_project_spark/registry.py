@@ -59,6 +59,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_row_tracking_census",          # stable row ids across rewrites
     "dsir_importance_select",          # DSIR data selection (Xie 2023)
     "tx_keyless_cdc_census",           # keyless CDC via row identity
+    "tx_generated_column_census",      # generated cols, derived pruning
 )
 
 RECERTS_R9: tuple[str, ...] = (

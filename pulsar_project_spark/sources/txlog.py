@@ -109,7 +109,8 @@ def _commit(table: str, expected_parent: int | None,
             types: dict | None = None,
             add_schema: dict | None = None,
             rids: dict | None = None,
-            row_hwm: int | None = None) -> int:
+            row_hwm: int | None = None,
+            generated: dict | None = None) -> int:
     """Atomically commit ``files`` as version expected_parent+1.
 
     Write the manifest fully (fsync'd) to a dot-tmp name, then
@@ -132,6 +133,7 @@ def _commit(table: str, expected_parent: int | None,
     parent_schema: dict = {}
     parent_rids: dict = {}
     parent_hwm: int | None = None
+    parent_generated: dict = {}
     if expected_parent is not None:
         try:
             with open(_manifest_path(table, expected_parent)) as fh:
@@ -152,6 +154,7 @@ def _commit(table: str, expected_parent: int | None,
             # the manifest's live file list, never the rids keys).
             parent_rids = pm.get("rids", {})
             parent_hwm = pm.get("row_hwm")
+            parent_generated = pm.get("generated", {})
         except FileNotFoundError:
             # vacuum dropped the parent manifest; monotonicity then
             # rests on the wall clock alone (documented in tx_vacuum)
@@ -194,6 +197,10 @@ def _commit(table: str, expected_parent: int | None,
     effective_hwm = row_hwm if row_hwm is not None else parent_hwm
     if effective_hwm is not None:
         manifest["row_hwm"] = effective_hwm
+    effective_generated = (generated if generated is not None
+                           else parent_generated)
+    if effective_generated:
+        manifest["generated"] = effective_generated
     if txn is not None:
         manifest["txn"] = txn
     if stats is not None:
@@ -248,12 +255,20 @@ def tx_append(df: DataFrame, table: str, n_files: int | None = None,
     Stage once, then CAS-commit with rebase on conflict (an append
     composes with any concurrent commit — the file list is re-read and
     the new files re-added on top). CHECK constraints are enforced on
-    the incoming rows before a byte is staged."""
+    the incoming rows before a byte is staged; generated columns are
+    computed/validated first (``_apply_generated``)."""
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
     new_files = _stage_dataframe(df, table, n_files)
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            # a generator landed mid-flight: the staged files were not
+            # written under it and cannot rebase — caller retries whole
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
         # a constraint committed between our validation and a conflict
         # retry must still bind this write (ADVICE r8 TOCTOU): re-check
         # whenever the snapshot's set differs from the one we validated
@@ -868,11 +883,31 @@ def tx_read_pruned(spark: SparkSession, table: str, col: str,
     # Bounds are resolved through the rename chain (_file_bounds), so
     # pre-rename generations keep skipping under the logical name.
     nlo, nhi = _stat_value(lo), _stat_value(hi)
+    # DERIVED predicates: a range on the BASE of a generated column
+    # implies a range on the generated column (g = base div K is
+    # monotone over nonnegative values — guarded below, since Spark's
+    # ``div`` truncates toward zero while the derivation floors), so a
+    # file whose GENERATED-column bounds are disjoint skips even when
+    # the base column has no recorded stats at all. This is Delta's
+    # generated-column partition-pruning rule on manifest bounds.
+    checks = [(col, nlo, nhi)]
+    if (isinstance(nlo, int) and isinstance(nhi, int)
+            and not isinstance(nlo, bool) and not isinstance(nhi, bool)
+            and nlo >= 0):
+        for g, spec in snap.get("generated", {}).items():
+            if spec.get("base") == col and int(spec.get("div", 0)) >= 1:
+                k = int(spec["div"])
+                checks.append((g, nlo // k, nhi // k))
     chosen = []
     for name in snap["files"]:
-        b = _file_bounds(stats.get(name, {}), col, chain)
-        if (b is None or nlo is None or nhi is None
-                or not (b[0] > nhi or b[1] < nlo)):
+        skip = False
+        for c, clo, chi in checks:
+            b = _file_bounds(stats.get(name, {}), c, chain)
+            if (b is not None and clo is not None and chi is not None
+                    and (b[0] > chi or b[1] < clo)):
+                skip = True
+                break
+        if not skip:
             chosen.append(name)
     if not chosen:
         raise ValueError(
@@ -1153,6 +1188,8 @@ def tx_append_clustered(df: DataFrame, table: str,
     Re-speccing a 100 TB table therefore costs nothing for existing
     data — old generations stay readable and prunable under the bounds
     they were written with; only new files get the new clustering."""
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)  # may ADD the cluster col
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
     out = (df.repartitionByRange(n_files, *cluster_cols)
@@ -1161,6 +1198,9 @@ def tx_append_clustered(df: DataFrame, table: str,
     fresh = _collect_file_stats(table, new_files, list(cluster_cols))
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
         cs = snap.get("constraints", {})
         if cs != validated:  # constraint landed mid-retry (TOCTOU)
             _enforce_constraints(df, table, cs)
@@ -2355,6 +2395,8 @@ def tx_append_tracked(df: DataFrame, table: str, n_files: int | None = None,
     list-position identity for in-memory records (memory.py:63-90);
     this is that identity made durable and rewrite-stable.
     """
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
     new_files = _stage_dataframe(df, table, n_files)
@@ -2364,6 +2406,9 @@ def tx_append_tracked(df: DataFrame, table: str, n_files: int | None = None,
                    if stat_cols else None)
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
         cs = snap.get("constraints", {})
         if cs != validated:
             _enforce_constraints(df, table, cs)
@@ -2560,3 +2605,74 @@ def tx_changes_by_rid(spark: SparkSession, table: str,
         *(F.col(f"__n_{c}").alias(c) for c in data_cols),
         F.lit("update_post").alias("_change_type"))
     return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
+# --- Generated columns (write-time compute, derived-predicate pruning) --------
+
+
+def tx_generated(table: str, version: int | None = None) -> dict:
+    """The snapshot's generated-column map: {col: {"base": b, "div": K}}
+    — col is ALWAYS ``b div K``. The grammar is deliberately this one
+    monotone form (epoch→day/hour bucketing, id→shard), because
+    monotonicity is what makes predicate DERIVATION sound (see
+    ``tx_read_pruned``); Delta's full expression grammar derives only
+    for the same family of monotone generators."""
+    return tx_snapshot(table, version).get("generated", {})
+
+
+def tx_set_generated(table: str, col: str, base: str, div: int,
+                     max_retries: int = 8) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS (``base`` div ``div``).
+    Metadata-only commit; binds every subsequent write (computed when
+    absent, VALIDATED when supplied — a wrong supplied value is
+    rejected like a CHECK violation). Generations written before the
+    declaration simply lack the column (ADD COLUMN semantics: they
+    read as NULL); at 100 TB declaring a generator costs zero data
+    movement, exactly like partition-spec evolution."""
+    if int(div) < 1:
+        raise ValueError(f"generated divisor must be >= 1, got {div}")
+    if col == base:
+        raise ValueError(f"generated column {col} cannot be its own base")
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        gens = dict(snap.get("generated", {}))
+        if base in gens:
+            raise ValueError(
+                f"{table}: base {base} is itself generated — chains "
+                "would make derivation order-dependent")
+        gens[col] = {"base": base, "div": int(div)}
+        try:
+            return _commit(table, snap["version"], snap["files"],
+                           op="set-generated", stats=snap.get("stats"),
+                           dvs=snap.get("dvs"), generated=gens)
+        except TxConflict:
+            continue
+    raise TxConflict(f"set-generated lost {max_retries} CAS races in {table}")
+
+
+def _apply_generated(df: DataFrame, table: str, gens: dict) -> DataFrame:
+    """Apply the generator map to a write: compute each generated
+    column when absent; when the writer SUPPLIED it, validate equality
+    (null-safe) and reject mismatches — Delta's generated-column
+    contract. One filter+limit per enforcement, over the write only."""
+    from pyspark.sql import functions as F
+
+    if not gens:
+        return df
+    for col, spec in sorted(gens.items()):
+        base, k = spec["base"], int(spec["div"])
+        if base not in df.columns:
+            raise TxConstraintViolation(
+                f"{table}: write lacks {base}, the base of generated "
+                f"column {col}")
+        expr = F.expr(f"{base} div {k}")
+        if col in df.columns:
+            bad = df.filter(~F.col(col).eqNullSafe(expr)).limit(1)
+            if not bad.isEmpty():
+                raise TxConstraintViolation(
+                    f"{table}: supplied value for generated column "
+                    f"{col} <> {base} div {k} — first offending row: "
+                    f"{bad.first().asDict()}")
+        else:
+            df = df.withColumn(col, expr)
+    return df

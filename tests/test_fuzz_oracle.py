@@ -227,6 +227,11 @@ _events_strategy = st.lists(
 )
 
 _EVENTS_FUZZED = (
+    # round-9 continuation: generated columns under fuzz — NULL ts rows
+    # generate NULL days (clustered to one range partition), and the
+    # 18-day 2024 span straddles the census window's edge so both the
+    # proved-empty ValueError branch and partial overlaps are hit
+    "tx_generated_column_census",
     # round-7: fuzz hits the short-history branches (n_terms < 8) and
     # NULL value/ts/user rows the real corpus is too clean to produce
     "user_value_ewma_dyadic",

@@ -260,3 +260,101 @@ def test_keyless_cdc_sees_added_column_as_null_pre(spark, table):
     rows = tx_changes_by_rid(spark, table, v_from).collect()
     got = sorted((r["_change_type"], r["k"], r["extra"]) for r in rows)
     assert got == [("insert", 10, 70), ("insert", 11, 77)]
+
+
+# --- generated columns ---------------------------------------------------------
+
+
+def test_generated_column_computed_and_derivation_prunes(spark, table):
+    from pyspark.sql import functions as F
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_read_pruned,
+        tx_set_generated,
+    )
+
+    tx_set_generated(table, "day", "ts", 100)
+    ev = spark.range(0, 1000).selectExpr("id AS ts", "id * 2 AS v")
+    tx_append_clustered(ev, table, ["day"], n_files=5)
+    snap = tx_snapshot(table)
+    # stats exist for day (the cluster col) but NOT for ts
+    assert all("day" in s and "ts" not in s for s in snap["stats"].values())
+    # filter on the BASE column: derived day bounds must skip files
+    # (5 range partitions over days 0..9 → ~2 days per file, so a
+    # single-day window touches exactly one file)
+    pruned, n_read, n_total = tx_read_pruned(spark, table, "ts", 100, 199)
+    assert n_total == 5 and n_read == 1
+    rows = pruned.select("ts", "day").collect()
+    assert len(rows) == 100
+    assert all(r["day"] == r["ts"] // 100 for r in rows)
+
+
+def test_generated_column_mid_day_window_floors(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_read_pruned,
+        tx_set_generated,
+    )
+
+    tx_set_generated(table, "day", "ts", 100)
+    ev = spark.range(0, 1000).selectExpr("id AS ts", "id AS v")
+    tx_append_clustered(ev, table, ["day"], n_files=10)
+    # [250, 349] spans day buckets 2 and 3 — a ceil/round bug in the
+    # derivation would read one bucket too few or too many
+    pruned, n_read, n_total = tx_read_pruned(spark, table, "ts", 250, 349)
+    assert (n_read, n_total) == (2, 10)
+    assert pruned.count() == 100
+
+
+def test_generated_column_wrong_supplied_value_rejected(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        TxConstraintViolation,
+        tx_set_generated,
+    )
+
+    tx_set_generated(table, "day", "ts", 100)
+    bad = spark.range(0, 5).selectExpr("id AS ts", "id AS day")  # day != ts div 100
+    with pytest.raises(TxConstraintViolation, match="generated column"):
+        tx_append_tracked(bad, table)
+    ok = spark.range(0, 5).selectExpr("id AS ts", "id div 100 AS day")
+    tx_append_tracked(ok, table)  # correct supplied values pass
+
+
+def test_generated_column_declared_mid_race_conflicts(spark, table):
+    from pulsar_project_spark.sources import txlog as t
+    from pulsar_project_spark.sources.txlog import TxConflict, tx_set_generated
+
+    tx_append(spark.range(3).selectExpr("id AS ts", "id AS v"), table)
+
+    orig = t.tx_snapshot
+
+    calls = {"n": 0}
+
+    def racing_snapshot(tbl, version=None):
+        # tx_append reads the snapshot three times: tx_generated,
+        # tx_constraints, then the CAS-loop read. Land the generator
+        # just before the LOOP read — i.e. after the append captured
+        # its (empty) generator map and staged its files.
+        if tbl == table and version is None:
+            calls["n"] += 1
+            if calls["n"] == 3:
+                t.tx_snapshot = orig
+                tx_set_generated(table, "day", "ts", 100)
+        return orig(tbl, version)
+
+    t.tx_snapshot = racing_snapshot
+    try:
+        with pytest.raises(TxConflict, match="generated-column set changed"):
+            tx_append(spark.range(3, 6).selectExpr("id AS ts", "id AS v"),
+                      table)
+    finally:
+        t.tx_snapshot = orig
+
+
+def test_generator_chain_rejected(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_set_generated
+
+    tx_set_generated(table, "day", "ts", 100)
+    with pytest.raises(ValueError, match="itself generated"):
+        tx_set_generated(table, "week", "day", 7)
