@@ -320,3 +320,38 @@ def q_streaming_tx_mv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_project_spark.streaming.pipeline import run_streaming_tx_mv
 
     return run_streaming_tx_mv(spark, sf_dir)
+
+
+_TX_TRACKED_SINK_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '__row_ids__', n, (n * (n - 1)) // 2, n - 1
+FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+WHERE n > 0
+"""
+
+
+@declare("streaming_tx_tracked_sink_census", oracle=_TX_TRACKED_SINK_SQL)
+def q_streaming_tx_tracked_sink_census(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Exactly-once streaming landing into a ROW-TRACKED tx table —
+    the second full-oracle streaming query. Beyond the exactly-once
+    census (whose per-type counts a doubled batch would break), the
+    ID-ALGEBRA row pins identity assignment itself without depending
+    on batch boundaries: ids are {0..n-1} as a multiset iff every row
+    landed exactly once AND no replay burned id range, so the oracle
+    can state sum(_rid) = n(n-1)/2 and max(_rid) = n-1 in closed form.
+    The run restarts the stream against its checkpoint and
+    force-replays batch 0's commit; both must leave version AND
+    row_hwm untouched (asserted in the runner) before the census is
+    even computed. See ``run_streaming_tx_tracked_sink``."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_tx_tracked_sink,
+    )
+
+    return run_streaming_tx_tracked_sink(spark, sf_dir)

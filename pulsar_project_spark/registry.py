@@ -60,6 +60,7 @@ NEW_R9: tuple[str, ...] = (
     "dsir_importance_select",          # DSIR data selection (Xie 2023)
     "tx_keyless_cdc_census",           # keyless CDC via row identity
     "tx_generated_column_census",      # generated cols, derived pruning
+    "streaming_tx_tracked_sink_census",  # exactly-once tracked landing
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -2676,3 +2676,58 @@ def _apply_generated(df: DataFrame, table: str, gens: dict) -> DataFrame:
         else:
             df = df.withColumn(col, expr)
     return df
+
+
+def tx_append_tracked_txn(df: DataFrame, table: str, app: str, batch: int,
+                          n_files: int | None = None,
+                          max_retries: int = 8) -> int:
+    """EXACTLY-ONCE tracked append: ``tx_append_txn``'s idempotent
+    (app, batch) writer-transaction key composed with row tracking —
+    the streaming-sink form. A replayed micro-batch returns the
+    original commit BEFORE staging anything, so replay can neither
+    double-append rows nor burn id range (the hwm moves only inside
+    the winning commit's CAS); a crash-after-stage leaks only
+    unreferenced orphan files (no ids — ids exist solely in the
+    manifest). Together with ``tx_changes_by_rid`` this gives a
+    streaming landing zone whose rows carry durable identity from
+    their very first commit."""
+    done = tx_txn_version(table, app, batch)
+    if done is not None:
+        return done
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)
+    validated = tx_constraints(table)
+    _enforce_constraints(df, table, validated)
+    new_files = _stage_dataframe(df, table, n_files)
+    counts = {n: _parquet_num_rows(os.path.join(table, n))
+              for n in new_files}
+    for _ in range(max_retries):
+        done = tx_txn_version(table, app, batch)
+        if done is not None:
+            return done  # concurrent replay won; our files are orphans
+        snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
+        cs = snap.get("constraints", {})
+        if cs != validated:
+            _enforce_constraints(df, table, cs)
+            validated = cs
+        rids = {n: b for n, b in snap.get("rids", {}).items()
+                if n in snap["files"]}
+        base = snap.get("row_hwm", 0)
+        for n in new_files:
+            rids[n] = base
+            base += counts[n]
+        try:
+            return _commit(
+                table, snap["version"], snap["files"] + new_files,
+                op="append", txn={"app": app, "batch": batch},
+                stats=(_merged_stats(snap, snap["files"], {})
+                       if snap.get("stats") else None),
+                dvs=snap.get("dvs"), add_schema=_df_schema_map(df),
+                rids=rids, row_hwm=base)
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"tracked txn append lost {max_retries} CAS races in {table}")

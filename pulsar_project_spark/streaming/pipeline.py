@@ -1372,3 +1372,102 @@ def run_streaming_tx_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("cents").cast("bigint").alias("total_cents"))
         .filter(F.col("n_events") != 0)
     )
+
+
+def run_streaming_tx_tracked_sink(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming landing into a ROW-TRACKED tx table
+    (``tx_append_tracked_txn``): each micro-batch's rows get durable
+    ids from their very first commit, the replay of a committed batch
+    is a no-op that neither double-appends nor burns id range, and the
+    census carries an ID-ALGEBRA row that makes exactly-once checkable
+    by hash WITHOUT depending on how the stream split batches: if and
+    only if every row landed exactly once, the id multiset is exactly
+    {0..n-1}, so count = n, sum(_rid) = n(n-1)/2 and max(_rid) = n-1.
+    A doubled batch inflates the sum; a lost one truncates it; an
+    id-burning replay shifts the max — any of the three breaks the
+    oracle hash. (At extreme scale the n^2/2 sum would outgrow int64
+    around 4e9 rows — production would fold ids modulo a prime; the
+    census documents the exact form the oracle replays.)"""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_tracked_txn,
+        tx_init,
+        tx_read_tracked,
+        tx_snapshot,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{os.getpid()}",
+        "tx_tracked_stream")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base)
+    tx_init(table)
+
+    app = "events_tracked_landing"
+    ev = events_stream(spark, sf_dir)
+    proj = ev.select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        tx_append_tracked_txn(bdf, table, app=app, batch=batch_id,
+                              n_files=4)
+
+    def drain_once() -> None:
+        q = (
+            proj.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    drain_once()  # restart, same checkpoint: no new files, no commits
+    snap = tx_snapshot(table)
+    v_after, hwm_after = snap["version"], snap.get("row_hwm", 0)
+    if snap["files"]:
+        # executor-crash replay under batch 0's txn id: must be a no-op
+        # for BOTH the file list and the id high-water-mark
+        replay_payload = tx_read_tracked(spark, table).drop("_rid")
+        tx_append_tracked_txn(replay_payload, table, app=app, batch=0,
+                              n_files=1)
+        snap2 = tx_snapshot(table)
+        if snap2["version"] != v_after:
+            raise AssertionError("replayed batch 0 was not deduplicated")
+        if snap2.get("row_hwm", 0) != hwm_after:
+            raise AssertionError("replayed batch 0 burned id range")
+
+    empty = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("last_us", LongType()),
+    ])
+    if not tx_snapshot(table)["files"]:
+        return spark.createDataFrame([], empty)
+    t = tx_read_tracked(spark, table)
+    census = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.max("ts_us").alias("last_us"),
+    )
+    # the ID-ALGEBRA row: (n, sum of ids, max id) under the census's
+    # column names — the oracle replays it as (n, n(n-1)/2, n-1)
+    ids = (
+        t.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_rid").cast("bigint").alias("total_cents"),
+            F.max("_rid").cast("bigint").alias("last_us"),
+        )
+        .withColumn("event_type", F.lit("__row_ids__"))
+        .select("event_type", "n_events", "total_cents", "last_us")
+        .filter(F.col("n_events") > 0)
+    )
+    return census.unionByName(ids)

@@ -358,3 +358,34 @@ def test_generator_chain_rejected(spark, table):
     tx_set_generated(table, "day", "ts", 100)
     with pytest.raises(ValueError, match="itself generated"):
         tx_set_generated(table, "week", "day", 7)
+
+
+# --- exactly-once tracked append ----------------------------------------------
+
+
+def test_tracked_txn_replay_is_noop_and_burns_no_ids(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_append_tracked_txn
+
+    v1 = tx_append_tracked_txn(_mk(spark, 0, 5), table, app="a", batch=0)
+    v2 = tx_append_tracked_txn(_mk(spark, 5, 9), table, app="a", batch=1)
+    hwm = tx_snapshot(table)["row_hwm"]
+    assert hwm == 9
+    # replay batch 0 with a DIFFERENT payload: must return the original
+    # commit and leave version + hwm + ids untouched
+    before = _ids(spark, table)
+    got = tx_append_tracked_txn(_mk(spark, 100, 200), table,
+                                app="a", batch=0)
+    assert got == v1
+    snap = tx_snapshot(table)
+    assert snap["version"] == v2
+    assert snap["row_hwm"] == hwm
+    assert _ids(spark, table) == before
+
+
+def test_tracked_txn_different_apps_are_independent(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_append_tracked_txn
+
+    tx_append_tracked_txn(_mk(spark, 0, 3), table, app="a", batch=0)
+    tx_append_tracked_txn(_mk(spark, 10, 13), table, app="b", batch=0)
+    ids = _ids(spark, table)
+    assert sorted(ids.values()) == list(range(6))
