@@ -162,3 +162,44 @@ def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.filter(F.col("n").isNotNull()).select(
         "day", "event_type", F.col("n").cast("bigint").alias("n")
     )
+
+
+# --- Round 9 (continuation): k-anonymity governance census --------------------
+
+_K_ANON = 5
+
+_K_ANON_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(*) < {_K_ANON} AS at_risk
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority,
+         year(o_orderdate) * 100 + month(o_orderdate)
+"""
+
+
+@declare("k_anonymity_census", oracle=_K_ANON_SQL)
+def q_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002) — the data-governance gate a
+    training-data pipeline runs before release: group the corpus by
+    its quasi-identifier tuple (here order status x priority x month)
+    and flag every cell whose population is below k={_K_ANON} — the
+    cells where a joined external dataset could re-identify
+    individuals, which a release either suppresses or generalizes.
+    NULL quasi-identifiers form their own cells (SQL grouping), which
+    is the conservative reading: unknown attributes still partition
+    the population.
+
+    Scale shape: one partial-aggregated groupBy over a pruned
+    three-column projection; output is bounded by the quasi-id domain
+    (|status| x |priority| x months), not the row count — at 100 TB
+    the audit costs one scan and returns kilobytes. The flag rides in
+    the relation so downstream suppression is a semi-join, not a
+    second scan.""".replace("{_K_ANON}", str(_K_ANON))
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    return orders.groupBy("o_orderstatus", "o_orderpriority", ym).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) < _K_ANON).alias("at_risk"),
+    )

@@ -61,6 +61,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_keyless_cdc_census",           # keyless CDC via row identity
     "tx_generated_column_census",      # generated cols, derived pruning
     "streaming_tx_tracked_sink_census",  # exactly-once tracked landing
+    "k_anonymity_census",              # governance: quasi-id cell audit
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -510,6 +510,9 @@ _STAR_FUZZED = (
     # empty (custkey never reaches [100,400]), and 1-batch corpora
     # leave whole change classes absent
     "tx_keyless_cdc_census",
+    # k-anonymity: tiny fuzz corpora make EVERY quasi-id cell at-risk
+    # (n < k), exercising the flag's boundary on both engines
+    "k_anonymity_census",
     "range_partition_bounds",
     "join_cardinality_forecast",
     "referential_integrity_census",
