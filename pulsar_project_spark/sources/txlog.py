@@ -616,7 +616,11 @@ def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
         snap = tx_snapshot(table)
         if not snap["files"]:
             return snap["version"]
-        df = tx_read(spark, table, snap["version"])
+        # row-tracked tables: the rewrite MATERIALIZES ids (same rule
+        # as compaction) — the _rid column rides through the Z-shuffle
+        tracked = bool(snap.get("rids"))
+        df = (_read_tracked_files(spark, table, snap, snap["files"])
+              if tracked else tx_read(spark, table, snap["version"]))
         bounds = df.agg(
             F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
             F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
@@ -653,7 +657,9 @@ def tx_optimize_zorder(spark: SparkSession, table: str, col_a: str,
         try:
             return _commit(table, snap["version"], produced,
                            op="optimize-zorder", stats=stats,
-                           add_schema=_df_schema_map(df))
+                           add_schema=_df_schema_map(df),
+                           rids=({n: None for n in produced}
+                                 if tracked else None))
         except TxConflict:
             continue  # staged files orphaned; vacuum reclaims them
     raise TxConflict(f"optimize lost {max_retries} CAS races in {table}")
@@ -1119,14 +1125,55 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
                 affected.append(name)
             else:
                 kept.append(name)
-        if affected:
+        # row-tracked tables: MERGE preserves identity for replaced
+        # rows (same key, same _rid — Delta row tracking's update rule)
+        # and assigns FRESH ids to genuine inserts, which land in their
+        # own positionally-tracked files; carried survivors materialize
+        # their ids through the rewrite like compaction does.
+        tracked = bool(snap.get("rids"))
+        new_rids = None
+        hwm = None
+        if tracked:
+            if affected:
+                src = _read_tracked_files(spark, table, snap, affected)
+                survivors = src.join(updates.select(key_col), key_col,
+                                     "left_anti")
+                old_ids = src.select(key_col, _RID)
+                replaced = updates.join(old_ids, key_col, "inner")
+                mat = survivors.unionByName(replaced,
+                                            allowMissingColumns=True)
+                inserts = updates.join(old_ids.select(key_col), key_col,
+                                       "left_anti")
+            else:
+                mat = None
+                inserts = updates
+            produced = ([] if mat is None else _stage_dataframe(
+                mat, table, n_files=max(1, len(affected))))
+            ins_files = _stage_dataframe(inserts, table, n_files=1)
+            ins_counts = {n: _parquet_num_rows(os.path.join(table, n))
+                          for n in ins_files}
+            # zero-row staged files carry nothing — leave them as
+            # vacuum-able orphans rather than minting empty id ranges
+            ins_files = [n for n in ins_files if ins_counts[n] > 0]
+            new_rids = {n: b for n, b in snap.get("rids", {}).items()
+                        if n in kept}
+            for n in produced:
+                new_rids[n] = None  # materialized
+            hwm = snap.get("row_hwm", 0)
+            for n in ins_files:
+                new_rids[n] = hwm
+                hwm += ins_counts[n]
+            produced = produced + ins_files
+            merged = mat if mat is not None else inserts
+        elif affected:
             src = _read_files_masked(spark, table, snap, affected)
             merged = src.join(updates.select(key_col), key_col,
                               "left_anti").unionByName(updates)
+            produced = _stage_dataframe(
+                merged, table, n_files=max(1, len(affected)))
         else:
             merged = updates
-        produced = _stage_dataframe(
-            merged, table, n_files=max(1, len(affected)) if affected else 1)
+            produced = _stage_dataframe(merged, table, n_files=1)
         stat_cols = sorted({c for s in stats.values() for c in s})
         fresh = (_collect_file_stats(table, produced, stat_cols)
                  if stat_cols else {})
@@ -1136,7 +1183,8 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             return _commit(
                 table, snap["version"], kept + produced, op="merge",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None, add_schema=_df_schema_map(merged))
+                dvs=keep_dvs or None, add_schema=_df_schema_map(merged),
+                rids=new_rids, row_hwm=hwm)
         except TxConflict:
             continue
     raise TxConflict(f"merge lost {max_retries} CAS races in {table}")
@@ -1173,7 +1221,13 @@ def tx_clone(src: str, dst: str, version: int | None = None) -> int:
                    renames=snap.get("renames", []),
                    drops=snap.get("drops", []),
                    types=snap.get("types", {}),
-                   add_schema=snap.get("schema", {}))
+                   add_schema=snap.get("schema", {}),
+                   # row tracking clones too: bases keep resolving ids,
+                   # and the hwm MUST come along or the clone's next
+                   # tracked append would reissue ids from zero
+                   rids=snap.get("rids", {}),
+                   row_hwm=snap.get("row_hwm"),
+                   generated=snap.get("generated", {}))
 
 
 def tx_append_clustered(df: DataFrame, table: str,
@@ -1533,10 +1587,15 @@ def tx_restore(table: str, version: int, max_retries: int = 8) -> int:
         if cur["version"] == version:
             return version
         try:
+            # row tracking: the restored files' id bases come back with
+            # them; the hwm does NOT roll back (carry-forward keeps the
+            # CURRENT one, which is >= the old by monotonicity), so ids
+            # burned by the undone commits are never reissued
             return _commit(table, cur["version"], list(snap_old["files"]),
                            op=f"restore:v{version}",
                            stats=snap_old.get("stats"),
-                           dvs=snap_old.get("dvs"))
+                           dvs=snap_old.get("dvs"),
+                           rids=snap_old.get("rids", {}))
         except TxConflict:
             continue
     raise TxConflict(f"restore lost {max_retries} CAS races in {table}")
@@ -2189,9 +2248,19 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                 affected.append(name)
             else:
                 kept.append(name)
+        # row-tracked tables: updated/carried rows keep their _rid
+        # (materialized through the rewrite); genuine inserts land in
+        # their own positionally-tracked files with fresh ids
+        tracked = bool(snap.get("rids"))
+        if tracked and when_matched_set and _RID in when_matched_set:
+            raise ValueError(f"{table}: {_RID} is managed by row "
+                             "tracking and cannot be SET")
         parts = []
+        ins_part = None  # tracked mode: inserts staged separately
         if affected:
-            tgt = _read_files_masked(spark, table, snap, affected)
+            tgt = (_read_tracked_files(spark, table, snap, affected)
+                   if tracked
+                   else _read_files_masked(spark, table, snap, affected))
             tgt_cols = tgt.columns
             j = tgt.join(
                 src_pref,
@@ -2217,19 +2286,49 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                     "left_anti",
                 ).select(*(F.col("__s_" + c).alias(c)
                            for c in source.columns))
-                parts.append(inserts)
+                if tracked:
+                    ins_part = inserts
+                else:
+                    parts.append(inserts)
         elif insert_not_matched:
             # no file can contain a matching key: every source row
             # is an insert
-            parts.append(source)
-        if not parts:
+            if tracked:
+                ins_part = source
+            else:
+                parts.append(source)
+        if not parts and ins_part is None:
             return snap["version"]  # delete/update merge with no overlap
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        _enforce_constraints(merged, table, snap.get("constraints", {}))
-        produced = _stage_dataframe(
-            merged, table, n_files=max(1, len(affected)) if affected else 1)
+        merged = None
+        for p in parts:
+            merged = p if merged is None else merged.unionByName(p)
+        cs = snap.get("constraints", {})
+        if merged is not None:
+            _enforce_constraints(merged, table, cs)
+        if ins_part is not None:
+            _enforce_constraints(ins_part, table, cs)
+        produced = ([] if merged is None else _stage_dataframe(
+            merged, table,
+            n_files=max(1, len(affected)) if affected else 1))
+        new_rids = None
+        hwm = None
+        if tracked:
+            new_rids = {n: b for n, b in snap.get("rids", {}).items()
+                        if n in kept}
+            for n in produced:
+                new_rids[n] = None  # materialized
+            hwm = snap.get("row_hwm", 0)
+            if ins_part is not None:
+                ins_files = _stage_dataframe(ins_part, table, n_files=1)
+                ins_counts = {n: _parquet_num_rows(os.path.join(table, n))
+                              for n in ins_files}
+                ins_files = [n for n in ins_files if ins_counts[n] > 0]
+                for n in ins_files:
+                    new_rids[n] = hwm
+                    hwm += ins_counts[n]
+                produced = produced + ins_files
+        elif ins_part is not None:  # unreachable, kept for symmetry
+            produced += _stage_dataframe(ins_part, table, n_files=1)
         stat_cols = sorted({c for s in stats.values() for c in s
                             if not c.startswith(_BLOOM_PREFIX)})
         fresh = (_collect_file_stats(table, produced, stat_cols)
@@ -2240,7 +2339,10 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             return _commit(
                 table, snap["version"], kept + produced, op="merge",
                 stats=_merged_stats(snap, kept, fresh) if stats else None,
-                dvs=keep_dvs or None, add_schema=_df_schema_map(merged))
+                dvs=keep_dvs or None,
+                add_schema=_df_schema_map(
+                    merged if merged is not None else ins_part),
+                rids=new_rids, row_hwm=hwm)
         except TxConflict:
             continue
     raise TxConflict(f"merge lost {max_retries} CAS races in {table}")
@@ -2319,7 +2421,13 @@ def tx_reorg_purge(spark: SparkSession, table: str,
                                drops=[], types={})
             except TxConflict:
                 continue
-        src = _read_files_masked(spark, table, snap, lagging)
+        # row-tracked tables: the purge rewrite MATERIALIZES ids, the
+        # same rule as compaction/OPTIMIZE (tracked read applies masks
+        # on the same positions it resolves ids from)
+        tracked = bool(snap.get("rids"))
+        src = (_read_tracked_files(spark, table, snap, lagging)
+               if tracked
+               else _read_files_masked(spark, table, snap, lagging))
         produced = _stage_dataframe(
             src, table, n_files=max(1, len(lagging) // 2))
         # stats + blooms rebuilt under LOGICAL names for the outputs
@@ -2345,11 +2453,17 @@ def tx_reorg_purge(spark: SparkSession, table: str,
                     fresh.setdefault(n, {})[_BLOOM_PREFIX + col] = blooms[n]
             stats = _merged_stats(snap, clean, fresh)
         keep_dvs = {n: d for n, d in dvs.items() if n in clean}
+        new_rids = None
+        if tracked:
+            new_rids = {n: b for n, b in snap["rids"].items() if n in clean}
+            for n in produced:
+                new_rids[n] = None  # ids are materialized in the file
         try:
             return _commit(table, snap["version"], clean + produced,
                            op="reorg-purge", stats=stats,
                            dvs=keep_dvs or None, renames=[], drops=[],
-                           types={}, add_schema=_df_schema_map(src))
+                           types={}, add_schema=_df_schema_map(src),
+                           rids=new_rids)
         except TxConflict:
             continue
     raise TxConflict(f"reorg lost {max_retries} CAS races in {table}")

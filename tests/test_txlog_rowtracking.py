@@ -389,3 +389,116 @@ def test_tracked_txn_different_apps_are_independent(spark, table):
     tx_append_tracked_txn(_mk(spark, 10, 13), table, app="b", batch=0)
     ids = _ids(spark, table)
     assert sorted(ids.values()) == list(range(6))
+
+
+# --- composition: every remaining rewrite path preserves identity --------------
+
+
+def test_zorder_on_tracked_table_preserves_ids(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_optimize_zorder
+
+    tx_append_tracked(_mk(spark, 0, 20), table)
+    tx_delete_range_dv(spark, table, "k", 5, 8)
+    before = _ids(spark, table)
+    tx_optimize_zorder(spark, table, "k", "v", n_files=3)
+    assert _ids(spark, table) == before
+    snap = tx_snapshot(table)
+    assert list(snap["rids"].values()) == [None] * len(snap["files"])
+    assert snap["row_hwm"] == 20
+
+
+def test_restore_brings_ids_back_and_hwm_stays_monotone(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_restore
+
+    tx_append_tracked(_mk(spark, 0, 5), table)
+    v_good = tx_snapshot(table)["version"]
+    good = _ids(spark, table)
+    tx_append_tracked(_mk(spark, 100, 105), table)  # ids 5..9 (burned)
+    tx_restore(table, v_good)
+    assert _ids(spark, table) == good
+    # hwm did NOT roll back: the next append continues past the
+    # undone commit's range — no id is ever reissued
+    assert tx_snapshot(table)["row_hwm"] == 10
+    tx_append_tracked(_mk(spark, 200, 202), table)
+    ids = _ids(spark, table)
+    assert sorted(ids[k] for k in (200, 201)) == [10, 11]
+
+
+def test_clone_carries_ids_and_hwm(spark, table):
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import tx_clone
+
+    tx_append_tracked(_mk(spark, 0, 6), table)
+    tx_delete_range_dv(spark, table, "k", 1, 2)
+    dst = _tf.mkdtemp(prefix="txrid_clone_")
+    tx_clone(table, dst)
+    assert _ids(spark, dst) == _ids(spark, table)
+    tx_append_tracked(_mk(spark, 50, 53), dst)
+    ids = _ids(spark, dst)
+    # the clone's fresh ids continue from the SOURCE hwm, not zero
+    assert sorted(ids[k] for k in (50, 51, 52)) == [6, 7, 8]
+
+
+def test_reorg_purge_on_tracked_renamed_table(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_read_tracked,
+        tx_rename_column,
+        tx_reorg_purge,
+    )
+
+    tx_append_tracked(_mk(spark, 0, 6), table)
+    before = _ids(spark, table)
+    tx_rename_column(table, "v", "val")
+    tx_reorg_purge(spark, table)
+    snap = tx_snapshot(table)
+    assert not snap.get("renames")  # debt retired
+    rows = tx_read_tracked(spark, table).select("_rid", "k", "val").collect()
+    assert {r["k"]: r["_rid"] for r in rows} == before
+    assert all(r["val"] == r["k"] * 3 for r in rows)
+
+
+def test_merge_upsert_tracked_keeps_ids_for_replacements(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_merge_upsert,
+        tx_read_tracked,
+    )
+
+    tx_append_tracked(_mk(spark, 0, 6), table, stat_cols=["k"])
+    before = _ids(spark, table)
+    updates = (spark.range(4, 9)
+               .selectExpr("id AS k", "id * 1000 AS v"))  # 4,5 replace; 6-8 insert
+    tx_merge_upsert(spark, table, updates, "k")
+    rows = tx_read_tracked(spark, table).select("_rid", "k", "v").collect()
+    ids = {r["k"]: r["_rid"] for r in rows}
+    vals = {r["k"]: r["v"] for r in rows}
+    # replaced rows keep identity, untouched rows keep identity
+    assert {k: ids[k] for k in range(6)} == before
+    assert vals[4] == 4000 and vals[5] == 5000 and vals[3] == 9
+    # inserts get fresh ids from the hwm
+    assert sorted(ids[k] for k in (6, 7, 8)) == [6, 7, 8]
+    assert tx_snapshot(table)["row_hwm"] == 9
+
+
+def test_conditional_merge_tracked_identity(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_merge,
+        tx_read_tracked,
+    )
+
+    tx_append_tracked(_mk(spark, 0, 6), table, stat_cols=["k"])
+    before = _ids(spark, table)
+    src = spark.range(3, 8).selectExpr("id AS k", "id * 10 AS v")
+    # WHEN MATCHED AND v < 15 THEN UPDATE SET v = v + __s_v
+    tx_merge(spark, table, src, "k",
+             when_matched_set={"v": "v + __s_v"},
+             matched_condition="v < 15")
+    rows = tx_read_tracked(spark, table).select("_rid", "k", "v").collect()
+    ids = {r["k"]: r["_rid"] for r in rows}
+    vals = {r["k"]: r["v"] for r in rows}
+    # matched rows (updated AND unchanged) keep identity
+    assert {k: ids[k] for k in range(6)} == before
+    # k=3 (v=9<15): updated to 9+30; k=4 (v=12<15): 12+40; k=5 (v=15): carried
+    assert vals[3] == 39 and vals[4] == 52 and vals[5] == 15
+    # inserts (k=6,7) got fresh ids
+    assert sorted(ids[k] for k in (6, 7)) == [6, 7]
