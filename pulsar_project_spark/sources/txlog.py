@@ -1502,11 +1502,23 @@ def tx_table_changes(spark: SparkSession, table: str,
     final_chain = final_snap.get("renames", [])
     final_drops = final_snap.get("drops", [])
     for snap, names, w, v in sides:
-        part = _apply_renames(_read_files_masked(spark, table, snap, names),
-                              final_chain)
+        # tracked tables mix positional files (no physical _rid) with
+        # materialized ones inside a single side — union their schemas
+        part = _apply_renames(
+            _read_files_masked(spark, table, snap, names,
+                               merge_schema=bool(snap.get("rids"))),
+            final_chain)
         gone = [c for c in final_drops if c in part.columns]
         if gone:
             part = part.drop(*gone)
+        # row-tracked tables: files written by a rewrite carry the
+        # materialized _rid as a PHYSICAL column, files written by
+        # appends don't — the VALUE feed is identity-agnostic by
+        # design (tx_changes_by_rid is the identity feed), so drop it
+        # rather than let mixed generations break the union or make
+        # every materialization boundary look like a data change
+        if _RID in part.columns:
+            part = part.drop(_RID)
         parts.append(
             part.withColumn("_commit_version", F.lit(v).cast("int"))
             .withColumn("_w", F.lit(w).cast("long")))

@@ -502,3 +502,26 @@ def test_conditional_merge_tracked_identity(spark, table):
     assert vals[3] == 39 and vals[4] == 52 and vals[5] == 15
     # inserts (k=6,7) got fresh ids
     assert sorted(ids[k] for k in (6, 7)) == [6, 7]
+
+
+def test_value_cdf_on_tracked_table_across_materialization(spark, table):
+    """tx_table_changes (the identity-AGNOSTIC value feed) on a
+    tracked table whose window spans a materialization boundary: the
+    physical _rid column added by the compaction rewrite must neither
+    break the union (mixed generations in one side) nor surface in the
+    feed, and the compaction itself stays silent."""
+    from pulsar_project_spark.sources.txlog import tx_table_changes
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    v_from = tx_snapshot(table)["version"]
+    tx_append_tracked(_mk(spark, 4, 8), table)
+    tx_compact(spark, table, target_bytes=1 << 30)  # materializes _rid
+    from pulsar_project_spark.sources.txlog import tx_delete_range
+
+    tx_delete_range(spark, table, "k", 5, 6)  # COW on a materialized file
+    ch = tx_table_changes(spark, table, v_from)
+    assert "_rid" not in ch.columns
+    got = sorted((r["_change_type"], r["k"]) for r in ch.collect())
+    assert got == sorted([
+        ("insert", 4), ("insert", 5), ("insert", 6), ("insert", 7),
+        ("delete", 5), ("delete", 6)])
