@@ -310,6 +310,12 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
     drops = snap.get("drops", [])
     if chain or drops:
         merge_schema = True  # generations differ by column NAME/presence
+    if snap.get("rids"):
+        # row-tracked tables mix positional files with materialized
+        # ones (physical _rid column) — union the generations' schemas;
+        # the internal id column is dropped below (this is the VALUES
+        # view; tx_read_tracked is the identity view)
+        merge_schema = True
     # ALTER COLUMN TYPE (widening): generations written before the
     # widen carry the narrow physical type, which parquet mergeSchema
     # refuses to reconcile — so a widened table reads under an EXPLICIT
@@ -360,6 +366,8 @@ def _read_files_masked(spark: SparkSession, table: str, snap: dict,
         out = out.unionByName(p, allowMissingColumns=merge_schema)
     out = _apply_renames(out, chain)
     present = [c for c in drops if c in out.columns]
+    if snap.get("rids") and _RID in out.columns:
+        present = present + [_RID]
     return out.drop(*present) if present else out
 
 

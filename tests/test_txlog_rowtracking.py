@@ -525,3 +525,17 @@ def test_value_cdf_on_tracked_table_across_materialization(spark, table):
     assert got == sorted([
         ("insert", 4), ("insert", 5), ("insert", 6), ("insert", 7),
         ("delete", 5), ("delete", 6)])
+
+
+def test_plain_tx_read_presents_values_view_on_tracked_tables(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_read
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    tx_compact(spark, table, target_bytes=1)      # no-op (single file)
+    tx_append_tracked(_mk(spark, 4, 8), table)
+    tx_delete_range_dv(spark, table, "k", 1, 1)
+    tx_compact(spark, table, target_bytes=1 << 30)  # materializes _rid
+    tx_append_tracked(_mk(spark, 8, 10), table)     # positional again
+    df = tx_read(spark, table)  # mixed generations: values view
+    assert sorted(df.columns) == ["k", "v"]
+    assert sorted(r["k"] for r in df.collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
