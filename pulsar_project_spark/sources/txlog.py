@@ -1258,6 +1258,8 @@ def tx_append_clustered(df: DataFrame, table: str,
            .sortWithinPartitions(*cluster_cols))
     new_files = _stage_dataframe(out, table, n_files=None)
     fresh = _collect_file_stats(table, new_files, list(cluster_cols))
+    counts = {n: _parquet_num_rows(os.path.join(table, n))
+              for n in new_files}
     for _ in range(max_retries):
         snap = tx_snapshot(table)
         if snap.get("generated", {}) != gens:
@@ -1267,12 +1269,14 @@ def tx_append_clustered(df: DataFrame, table: str,
         if cs != validated:  # constraint landed mid-retry (TOCTOU)
             _enforce_constraints(df, table, cs)
             validated = cs
+        new_rids, hwm = _tracked_append_rids(snap, new_files, counts)
         try:
             return _commit(
                 table, snap["version"], snap["files"] + new_files,
                 op="append-clustered",
                 stats=_merged_stats(snap, snap["files"], fresh),
-                add_schema=_df_schema_map(df))
+                add_schema=_df_schema_map(df),
+                rids=new_rids, row_hwm=hwm)
         except TxConflict:
             continue
     raise TxConflict(
@@ -1742,6 +1746,8 @@ def tx_append_bloomed(df: DataFrame, table: str, bloom_col: str,
     negatives by construction (every stored value was inserted), so
     correctness never depends on the filter; the residual predicate
     re-applies exactness."""
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
     new_files = _stage_dataframe(df, table, n_files)
@@ -1752,18 +1758,25 @@ def tx_append_bloomed(df: DataFrame, table: str, bloom_col: str,
         ent = dict(bounds.get(n, {}))
         ent[_BLOOM_PREFIX + bloom_col] = blooms[n]
         fresh[n] = ent
+    counts = {n: _parquet_num_rows(os.path.join(table, n))
+              for n in new_files}
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
         cs = snap.get("constraints", {})
         if cs != validated:  # constraint landed mid-retry (TOCTOU)
             _enforce_constraints(df, table, cs)
             validated = cs
+        new_rids, hwm = _tracked_append_rids(snap, new_files, counts)
         try:
             return _commit(
                 table, snap["version"], snap["files"] + new_files,
                 op="append-bloomed",
                 stats=_merged_stats(snap, snap["files"], fresh),
-                dvs=snap.get("dvs"), add_schema=_df_schema_map(df))
+                dvs=snap.get("dvs"), add_schema=_df_schema_map(df),
+                rids=new_rids, row_hwm=hwm)
         except TxConflict:
             continue
     raise TxConflict(
@@ -2501,6 +2514,23 @@ def _parquet_num_rows(path: str) -> int:
     import pyarrow.parquet as papq
 
     return papq.read_metadata(path).num_rows
+
+
+def _tracked_append_rids(snap: dict, new_files: list[str],
+                         counts: dict) -> tuple[dict | None, int | None]:
+    """Positional id-base assignment for an append onto a TRACKED
+    table: (rids-with-new-bases, new-hwm), or (None, None) when the
+    table isn't tracked (plain appends on plain tables stay plain).
+    Call inside the CAS loop — the hwm must come from the snapshot
+    each retry so racing appends get disjoint ranges."""
+    if not snap.get("rids"):
+        return None, None
+    rids = {n: b for n, b in snap["rids"].items() if n in snap["files"]}
+    base = snap.get("row_hwm", 0)
+    for n in new_files:
+        rids[n] = base
+        base += counts[n]
+    return rids, base
 
 
 def tx_append_tracked(df: DataFrame, table: str, n_files: int | None = None,

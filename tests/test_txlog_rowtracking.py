@@ -539,3 +539,30 @@ def test_plain_tx_read_presents_values_view_on_tracked_tables(spark, table):
     df = tx_read(spark, table)  # mixed generations: values view
     assert sorted(df.columns) == ["k", "v"]
     assert sorted(r["k"] for r in df.collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_clustered_and_bloomed_appends_track_on_tracked_tables(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_bloomed,
+        tx_append_clustered,
+    )
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    tx_append_clustered(
+        spark.range(10, 16).selectExpr("id AS k", "id AS v"),
+        table, ["k"], n_files=2)
+    tx_append_bloomed(
+        spark.range(20, 23).selectExpr("id AS k", "id AS v"),
+        table, bloom_col="k")
+    ids = _ids(spark, table)
+    assert sorted(ids.values()) == list(range(13))
+    assert tx_snapshot(table)["row_hwm"] == 13
+    # and on an UNTRACKED table the same appends stay plain
+    import tempfile as _tf
+
+    plain = _tf.mkdtemp(prefix="txplain_")
+    tx_init(plain)
+    tx_append_clustered(
+        spark.range(3).selectExpr("id AS k", "id AS v"),
+        plain, ["k"], n_files=1)
+    assert "rids" not in tx_snapshot(plain)
