@@ -2012,6 +2012,10 @@ def tx_rename_column(table: str, old: str, new: str,
     retires the mapping debt over time, exactly like DV debt. Renaming
     onto an existing rename target is rejected (that would merge two
     columns, not rename one)."""
+    if new == _RID or old == _RID:
+        raise ValueError(
+            f"{_RID} is reserved for row tracking and cannot be renamed "
+            "or renamed onto")
     for _ in range(max_retries):
         snap = tx_snapshot(table)
         chain = [list(p) for p in snap.get("renames", [])]
@@ -2797,6 +2801,10 @@ def tx_set_generated(table: str, col: str, base: str, div: int,
         raise ValueError(f"generated divisor must be >= 1, got {div}")
     if col == base:
         raise ValueError(f"generated column {col} cannot be its own base")
+    if _RID in (col, base):
+        raise ValueError(
+            f"{_RID} is reserved for row tracking and cannot be "
+            "generated or used as a generator base")
     for _ in range(max_retries):
         snap = tx_snapshot(table)
         gens = dict(snap.get("generated", {}))

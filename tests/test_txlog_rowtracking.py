@@ -566,3 +566,20 @@ def test_clustered_and_bloomed_appends_track_on_tracked_tables(spark, table):
         spark.range(3).selectExpr("id AS k", "id AS v"),
         plain, ["k"], n_files=1)
     assert "rids" not in tx_snapshot(plain)
+
+
+def test_rid_is_a_reserved_name(spark, table):
+    from pulsar_project_spark.sources.txlog import (
+        tx_rename_column,
+        tx_set_generated,
+    )
+
+    tx_append_tracked(_mk(spark, 0, 3), table)
+    with pytest.raises(ValueError, match="reserved"):
+        tx_rename_column(table, "v", "_rid")
+    with pytest.raises(ValueError, match="reserved"):
+        tx_rename_column(table, "_rid", "rowid")
+    with pytest.raises(ValueError, match="reserved"):
+        tx_set_generated(table, "_rid", "k", 10)
+    with pytest.raises(ValueError, match="reserved"):
+        tx_set_generated(table, "bucket", "_rid", 10)
