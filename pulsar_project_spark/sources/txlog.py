@@ -1947,6 +1947,7 @@ def tx_detail(spark: SparkSession, table: str,
     snap = tx_snapshot(table, version)
     stats = snap.get("stats", {})
     dvs = snap.get("dvs", {})
+    rids = snap.get("rids", {})
     rows = []
     for name in snap["files"]:
         path = os.path.join(table, name)
@@ -1958,6 +1959,11 @@ def tx_detail(spark: SparkSession, table: str,
             sum(1 for c in st if not c.startswith(_BLOOM_PREFIX)),
             sum(1 for c in st if c.startswith(_BLOOM_PREFIX)),
             name in dvs,
+            # row tracking: 'positional'/'materialized' per file on a
+            # tracked table, '' on plain ones — tells the operator at a
+            # glance how much id debt compaction would retire
+            ("" if name not in rids
+             else "materialized" if rids[name] is None else "positional"),
         ))
     schema = StructType([
         StructField("file", StringType(), False),
@@ -1966,9 +1972,11 @@ def tx_detail(spark: SparkSession, table: str,
         StructField("stat_cols", IntegerType(), False),
         StructField("bloom_cols", IntegerType(), False),
         StructField("has_dv", StringType(), False),
+        StructField("row_ids", StringType(), False),
     ])
     return spark.createDataFrame(
-        [(f, b, n, s, bl, str(d).lower()) for f, b, n, s, bl, d in rows],
+        [(f, b, n, s, bl, str(d).lower(), r)
+         for f, b, n, s, bl, d, r in rows],
         schema)
 
 

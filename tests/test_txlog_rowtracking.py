@@ -583,3 +583,14 @@ def test_rid_is_a_reserved_name(spark, table):
         tx_set_generated(table, "_rid", "k", 10)
     with pytest.raises(ValueError, match="reserved"):
         tx_set_generated(table, "bucket", "_rid", 10)
+
+
+def test_tx_detail_reports_row_id_state(spark, table):
+    from pulsar_project_spark.sources.txlog import tx_detail
+
+    tx_append_tracked(_mk(spark, 0, 4), table)
+    tx_append_tracked(_mk(spark, 4, 8), table)
+    tx_compact(spark, table, target_bytes=1 << 30)
+    tx_append_tracked(_mk(spark, 8, 12), table)
+    states = sorted(r["row_ids"] for r in tx_detail(spark, table).collect())
+    assert states == ["materialized", "positional"]
