@@ -2761,26 +2761,28 @@ def tx_changes_by_rid(spark: SparkSession, table: str,
     for c in data_cols:
         eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
         same = eq if same is None else (same & eq)
-    ins = j.filter(F.col("__orid").isNull()).select(
-        F.col("__nrid").alias(_RID),
-        *(F.col(f"__n_{c}").alias(c) for c in data_cols),
-        F.lit("insert").alias("_change_type"))
-    dele = j.filter(F.col("__nrid").isNull()).select(
-        F.col("__orid").alias(_RID),
-        *(F.col(f"__o_{c}").alias(c) for c in data_cols),
-        F.lit("delete").alias("_change_type"))
-    both = j.filter(F.col("__orid").isNotNull()
-                    & F.col("__nrid").isNotNull())
-    changed = both if same is None else both.filter(~same)
-    pre = changed.select(
-        F.col("__orid").alias(_RID),
-        *(F.col(f"__o_{c}").alias(c) for c in data_cols),
-        F.lit("update_pre").alias("_change_type"))
-    post = changed.select(
-        F.col("__nrid").alias(_RID),
-        *(F.col(f"__n_{c}").alias(c) for c in data_cols),
-        F.lit("update_post").alias("_change_type"))
-    return ins.unionByName(dele).unionByName(pre).unionByName(post)
+    if same is None:  # id-only table: presence IS the value
+        same = F.lit(True)
+
+    def _tag(side: str, label: str):
+        rid = "__orid" if side == "o" else "__nrid"
+        return F.struct(
+            F.col(rid).alias(_RID),
+            *(F.col(f"__{side}_{c}").alias(c) for c in data_cols),
+            F.lit(label).alias("_change_type"))
+
+    # ONE pass over the join: each row yields 0, 1 or 2 tagged change
+    # structs (a 4-way filtered union would evaluate the join four
+    # times — at 100 TB that's three redundant shuffles)
+    first = (F.when(F.col("__orid").isNull(), _tag("n", "insert"))
+             .when(F.col("__nrid").isNull(), _tag("o", "delete"))
+             .when(~same, _tag("o", "update_pre")))
+    second = F.when(F.col("__orid").isNotNull()
+                    & F.col("__nrid").isNotNull() & ~same,
+                    _tag("n", "update_post"))
+    return (j.select(F.explode(F.array(first, second)).alias("__e"))
+            .filter(F.col("__e").isNotNull())
+            .select("__e.*"))
 
 
 # --- Generated columns (write-time compute, derived-predicate pruning) --------
