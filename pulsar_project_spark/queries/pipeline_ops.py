@@ -780,13 +780,17 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", tokenize(clean_string("text")).alias("tk"))
-    unis = toks.select("doc_id", "lang", F.explode("tk").alias("gram"))
-    bis = toks.filter(F.size("tk") >= 2).select(
+    # ONE explode over unigrams ++ bigrams: a union of two explodes
+    # would scan and re-tokenize the corpus twice (slice(tk,1,0) is
+    # the typed empty array for the size<2 branch)
+    bi = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN"
+        " transform(sequence(0, size(tk) - 2),"
+        "           i -> concat_ws(' ', tk[i], tk[i+1]))"
+        " ELSE slice(tk, 1, 0) END")
+    grams = toks.select(
         "doc_id", "lang",
-        F.explode(F.expr(
-            "transform(sequence(0, size(tk) - 2),"
-            " i -> concat_ws(' ', tk[i], tk[i+1]))")).alias("gram"))
-    grams = unis.unionByName(bis)
+        F.explode(F.concat(F.col("tk"), bi)).alias("gram"))
     b = grams.select(
         "doc_id", "lang",
         F.pmod(
