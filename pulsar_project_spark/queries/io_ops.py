@@ -2444,3 +2444,105 @@ def q_tx_generated_column_census(spark: SparkSession,
         F.sum("value_cents").alias("total_cents"),
         F.sum("day").cast("bigint").alias("sum_day"),
     )
+
+
+_TX_DATASOURCE_SQL = """
+WITH b0 AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 0
+), b1 AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM b0)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 1
+), b2 AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 3 = 2
+), allr AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+), live AS (
+  SELECT * FROM allr
+  WHERE (o_custkey IS NULL OR o_custkey NOT BETWEEN 2 AND 400)
+    AND o_custkey > 500
+)
+SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+FROM live
+GROUP BY o_orderkey % 5
+"""
+
+
+@declare("tx_datasource_read_census", oracle=_TX_DATASOURCE_SQL)
+def q_tx_datasource_read_census(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The tx log behind Spark's STANDARD read API: a registered batch
+    Python DataSource (``spark.read.format("tx_table")``) plans the
+    pinned snapshot from manifest metadata, derives the logical schema
+    (renames/drops/widen resolved — no user DDL), exposes the stable
+    row ids via ``withRowIds``, applies deletion vectors as vectorized
+    position masks, and prunes whole files from the query's own WHERE
+    clause through Spark 4.1 ``pushFilters`` against the manifest
+    bounds (advisory pushdown: every filter is also re-applied by
+    Spark, so correctness never rests on the stats). The census reads
+    a table built as tracked appends -> DV delete -> compaction
+    through the source with a pushed ``o_custkey > 500`` filter and
+    pins values AND ids against the oracle's replay — certifying the
+    whole DataSource plane (schema derivation, masking, id resolution,
+    filter re-application) in one hash.
+
+    Scale shape: ``schema()``/``partitions()`` do zero data I/O; one
+    split per live file; the Arrow data plane streams record batches.
+    Production consumers wanting JVM-side throughput use tx_read* —
+    twin tests pin the semantics equal. See ``sources/tx_batch.py``."""
+    import shutil
+
+    from pulsar_project_spark.sources.tables import load_table
+    from pulsar_project_spark.sources.tx_batch import TxTableDataSource
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_tracked,
+        tx_compact,
+        tx_delete_range_dv,
+        tx_init,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("sum_rid", LongType()),
+        StructField("sum_custkey", LongType()),
+    ])
+    path = _rt_path("txlog_datasource")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    for r in (0, 1, 2):
+        batch = orders.filter(
+            F.pmod(F.col("o_orderkey"), F.lit(3)) == r
+        ).repartition(1).sortWithinPartitions("o_orderkey")
+        tx_append_tracked(batch, path, stat_cols=["o_custkey"])
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_delete_range_dv(spark, path, "o_custkey", 2, 400)
+    tx_compact(spark, path, target_bytes=1 << 30)
+    spark.dataSource.register(TxTableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    t = (spark.read.format("tx_table")
+         .option("tableDir", path)
+         .option("withRowIds", "true")
+         .load()
+         .where(F.col("o_custkey") > 500))
+    return t.groupBy(
+        F.pmod(F.col("o_orderkey"), F.lit(5)).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_rid").cast("bigint").alias("sum_rid"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+    )

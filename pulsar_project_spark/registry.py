@@ -62,6 +62,7 @@ NEW_R9: tuple[str, ...] = (
     "tx_generated_column_census",      # generated cols, derived pruning
     "streaming_tx_tracked_sink_census",  # exactly-once tracked landing
     "k_anonymity_census",              # governance: quasi-id cell audit
+    "tx_datasource_read_census",       # spark.read.format("tx_table")
 )
 
 RECERTS_R9: tuple[str, ...] = (

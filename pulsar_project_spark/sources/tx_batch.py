@@ -1,0 +1,316 @@
+"""Batch Python DataSource over the transactional table log —
+``spark.read.format("tx_table")`` as the standard-API face of
+``txlog.tx_read`` / ``tx_read_tracked``.
+
+Why it exists: every capability the log grew (snapshot isolation, time
+travel, deletion vectors, column mapping, type widening, row tracking)
+is reachable through module functions; this source exposes the same
+read surface through the API a Spark user already knows::
+
+    spark.dataSource.register(TxTableDataSource)
+    (spark.read.format("tx_table")
+        .option("tableDir", path)
+        .option("version", 7)            # or asOfTimestamp (micros)
+        .option("withRowIds", "true")    # expose the stable _rid
+        .load()
+        .where("o_custkey > 500"))
+
+Filter pushdown (Spark 4.1 ``pushFilters``): comparison/IN filters on
+columns with manifest bounds prune whole FILES at planning time — the
+same zero-I/O skipping ``tx_read_pruned`` does, but driven by the
+query's own WHERE clause. Pushdown here is ADVISORY by design: every
+filter is returned as unsupported so Spark re-applies it exactly —
+skipping files that provably contain no match is sound regardless,
+and correctness never rests on the stats (the ``tx_read_pruned``
+residual-filter rule).
+
+Scale shape: ``schema()`` and ``partitions()`` plan from manifest
+METADATA only (zero data I/O; the recorded schema union avoids even
+footer reads); ``read()`` streams one parquet file per split through
+Arrow record batches with the deletion-vector mask applied as a
+vectorized position filter. The data plane crosses Python (the price
+of a pure-Python source, same as the streaming CDF source); consumers
+wanting JVM-side throughput use ``tx_read``/``tx_read_tracked``
+directly — semantics are pinned equal by the twin tests.
+
+Reference scope: the reference reloads whole-state JSON documents
+(memory.py:63-91); this is the same surface as a first-class Spark
+source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_RID = "_rid"
+
+# SQL simpleString -> canonical Arrow type name (== str(pa_type), and a
+# valid pa.type_for_alias alias, so compare and construct use one form)
+_PRIM_ARROW = {
+    "tinyint": "int8", "smallint": "int16",
+    "int": "int32", "integer": "int32",
+    "bigint": "int64", "long": "int64",
+    "float": "float", "real": "float",
+    "double": "double", "string": "string",
+    "boolean": "bool",
+}
+
+
+class _TxFileSplit(InputPartition):
+    """One data file of the pinned snapshot: everything ``read`` needs,
+    picklable, no driver state. ``rid_base`` is the positional id base,
+    None when the file's ids are MATERIALIZED (physical _rid column),
+    and irrelevant unless ``with_rids``."""
+
+    def __init__(self, table: str, name: str, dv_name: str | None,
+                 rid_base: int | None, with_rids: bool,
+                 columns: list[str], chain: list, arrow_types: dict):
+        self.table = table
+        self.name = name
+        self.dv_name = dv_name
+        self.rid_base = rid_base
+        self.with_rids = with_rids
+        self.columns = columns
+        self.chain = chain
+        self.arrow_types = arrow_types
+
+
+def _logical_schema(table: str, snap: dict) -> list[tuple[str, str]]:
+    """Ordered (logical column, SQL type) pairs of a snapshot: the
+    manifest-recorded physical schema union resolved through the
+    rename chain, drops removed, widen types applied, the internal
+    ``_rid`` hidden (it is surfaced separately via withRowIds).
+    First occurrence wins, so a renamed column keeps its original
+    position — stable schema across mapping debt."""
+    from pulsar_project_spark.sources.txlog import (
+        _physical_schema_map,
+        _resolve_to_logical,
+    )
+
+    chain = snap.get("renames", [])
+    drops = set(snap.get("drops", []))
+    types = snap.get("types", {})
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for phys, ts in _physical_schema_map(table, snap).items():
+        lc = _resolve_to_logical(phys, chain)
+        if lc in drops or lc == _RID or lc in seen:
+            continue
+        seen.add(lc)
+        out.append((lc, types.get(lc, ts)))
+    return out
+
+
+class TxTableReader(DataSourceReader):
+    def __init__(self, options):
+        from pulsar_project_spark.sources.txlog import (
+            tx_snapshot,
+            tx_version_as_of_timestamp,
+        )
+
+        table = options.get("tabledir") or options.get("tableDir")
+        if not table:
+            raise ValueError("tx_table: option 'tableDir' required")
+        self._table = table
+        version = options.get("version")
+        asof = options.get("asoftimestamp") or options.get("asOfTimestamp")
+        if version is not None and asof is not None:
+            raise ValueError(
+                "tx_table: give version OR asOfTimestamp, not both")
+        if asof is not None:
+            version = tx_version_as_of_timestamp(table, int(asof))
+        # pin the snapshot NOW: schema, pruning and reads all see one
+        # immutable version no matter what commits while the query runs
+        self._snap = tx_snapshot(
+            table, int(version) if version is not None else None)
+        self._with_rids = str(
+            options.get("withrowids") or options.get("withRowIds")
+            or "false").lower() == "true"
+        if self._with_rids:
+            rids = self._snap.get("rids", {})
+            missing = [n for n in self._snap["files"] if n not in rids]
+            if missing:
+                raise ValueError(
+                    f"{table}: withRowIds on files without row-tracking "
+                    f"metadata: {sorted(missing)[:3]}")
+        self._schema_pairs = _logical_schema(table, self._snap)
+        self._filters: list = []
+
+    def pushFilters(self, filters):
+        """Remember every bounds-usable comparison for file pruning,
+        then hand ALL filters back as unsupported: skipping files the
+        bounds PROVE empty is sound on its own, and Spark re-applying
+        the predicates keeps exactness independent of the stats."""
+        usable = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                  LessThan, LessThanOrEqual, In)
+        self._filters = [
+            f for f in filters
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        yield from filters
+
+    def _keeps(self, name: str) -> bool:
+        from pulsar_project_spark.sources.txlog import (
+            _file_bounds,
+            _stat_value,
+        )
+
+        st = self._snap.get("stats", {}).get(name, {})
+        chain = self._snap.get("renames", [])
+        for f in self._filters:
+            b = _file_bounds(st, f.attribute[0], chain)
+            if b is None:
+                continue  # no bounds: conservatively kept
+            lo, hi = b
+            if isinstance(f, In):
+                vs = [_stat_value(v) for v in f.value]
+                if vs and all(v is not None and (v < lo or v > hi)
+                              for v in vs):
+                    return False
+                continue
+            v = _stat_value(f.value)
+            if v is None:
+                continue
+            try:
+                if isinstance(f, EqualTo) and (v < lo or v > hi):
+                    return False
+                if isinstance(f, GreaterThan) and hi <= v:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and hi < v:
+                    return False
+                if isinstance(f, LessThan) and lo >= v:
+                    return False
+                if isinstance(f, LessThanOrEqual) and lo > v:
+                    return False
+            except TypeError:
+                continue  # cross-type compare: conservatively kept
+        return True
+
+    def partitions(self):
+        snap = self._snap
+        dvs = snap.get("dvs", {})
+        rids = snap.get("rids", {})
+        chain = snap.get("renames", [])
+        cols = [c for c, _ in self._schema_pairs]
+        atypes = {c: t for c, ts in self._schema_pairs
+                  for t in (_PRIM_ARROW.get(ts.lower()),) if t}
+        splits = [
+            _TxFileSplit(self._table, name, dvs.get(name),
+                         rids.get(name), self._with_rids,
+                         cols, chain, atypes)
+            for name in snap["files"] if self._keeps(name)
+        ]
+        if not splits:
+            # pruning proved every file empty (or the snapshot has no
+            # files): one no-op split keeps the API contract
+            splits = [_TxFileSplit(self._table, "", None, None,
+                                   self._with_rids, cols, chain, atypes)]
+        return splits
+
+    def read(self, split: _TxFileSplit):
+        if split is None or not split.name:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as papq
+
+        masked = None
+        if split.dv_name:
+            dv = papq.read_table(
+                os.path.join(split.table, split.dv_name),
+                columns=["file", "pos"])
+            sub = dv.filter(pc.equal(dv.column("file"), split.name))
+            masked = np.sort(
+                sub.column("pos").to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            if masked.size == 0:
+                masked = None
+        pf = papq.ParquetFile(os.path.join(split.table, split.name))
+        phys_names = set(pf.schema_arrow.names)
+        colmap: list[tuple[str, str | None]] = []
+        for c in split.columns:
+            anc = [c]
+            seen = {c}
+            for old, new in reversed(split.chain):
+                if new in seen and old not in seen:
+                    anc.append(old)
+                    seen.add(old)
+            colmap.append(
+                (c, next((a for a in anc if a in phys_names), None)))
+        read_cols = sorted({p for _, p in colmap if p is not None})
+        materialized_rids = (split.with_rids and split.rid_base is None)
+        if materialized_rids:
+            read_cols = sorted(set(read_cols) | {_RID})
+        if not read_cols:
+            read_cols = [pf.schema_arrow.names[0]]
+        names = split.columns + ([_RID] if split.with_rids else [])
+        pos = 0
+        for batch in pf.iter_batches(columns=read_cols):
+            n = batch.num_rows
+            orig = np.arange(pos, pos + n, dtype=np.int64)
+            if masked is not None:
+                keep_orig = orig[~np.isin(orig, masked)]
+                batch = batch.take(
+                    pa.array(keep_orig - pos, pa.int64()))
+            else:
+                keep_orig = orig
+            pos += n
+            m = batch.num_rows
+            if m == 0:
+                continue
+            arrays = []
+            for c, p in colmap:
+                if p is not None:
+                    arr = batch.column(batch.schema.get_field_index(p))
+                    want = split.arrow_types.get(c)
+                    if want is not None and str(arr.type) != want:
+                        arr = arr.cast(pa.type_for_alias(want))
+                    arrays.append(arr)
+                else:
+                    want = split.arrow_types.get(c)
+                    arrays.append(pa.nulls(
+                        m, pa.type_for_alias(want) if want else pa.null()))
+            if split.with_rids:
+                if materialized_rids:
+                    arrays.append(batch.column(
+                        batch.schema.get_field_index(_RID)).cast(
+                        pa.int64()))
+                else:
+                    arrays.append(pa.array(
+                        split.rid_base + keep_orig, pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class TxTableDataSource(DataSource):
+    """``spark.read.format("tx_table")`` after
+    ``spark.dataSource.register(TxTableDataSource)``. The schema is
+    derived from the manifest (no user DDL needed); options:
+    ``tableDir`` (required), ``version`` | ``asOfTimestamp`` (micros),
+    ``withRowIds``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tx_table"
+
+    def schema(self) -> str:
+        reader = TxTableReader(self.options)
+        pairs = list(reader._schema_pairs)
+        if reader._with_rids:
+            pairs.append((_RID, "bigint"))
+        return ", ".join(f"{c} {t}" for c, t in pairs)
+
+    def reader(self, schema) -> TxTableReader:
+        return TxTableReader(self.options)

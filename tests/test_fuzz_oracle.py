@@ -513,6 +513,10 @@ _STAR_FUZZED = (
     # k-anonymity: tiny fuzz corpora make EVERY quasi-id cell at-risk
     # (n < k), exercising the flag's boundary on both engines
     "k_anonymity_census",
+    # DataSource read: fuzz custkeys ([0,5]) never reach >500 — the
+    # pushdown prunes EVERYTHING (no-op-split branch) or the DV delete
+    # empties the table first; both must hash as zero rows
+    "tx_datasource_read_census",
     "range_partition_bounds",
     "join_cardinality_forecast",
     "referential_integrity_census",
