@@ -1,6 +1,10 @@
 """Batch Python DataSource over the transactional table log —
-``spark.read.format("tx_table")`` as the standard-API face of
-``txlog.tx_read`` / ``tx_read_tracked``.
+``spark.read.format("tx_table")`` / ``df.write.format("tx_table")``
+as the standard-API face of ``txlog.tx_read`` / ``tx_read_tracked`` /
+``tx_append``. The write side is a genuine two-phase commit: executor
+tasks stream Arrow batches into ``_staging`` scratch, the driver-side
+``commit`` re-validates table metadata against the live snapshot and
+publishes everything in one manifest CAS (see ``TxTableWriter``).
 
 Why it exists: every capability the log grew (snapshot isolation, time
 travel, deletion vectors, column mapping, type widening, row tracking)
@@ -44,6 +48,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -52,6 +57,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _RID = "_rid"
@@ -314,3 +320,203 @@ class TxTableDataSource(DataSource):
 
     def reader(self, schema) -> TxTableReader:
         return TxTableReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TxTableWriter":
+        return TxTableWriter(self.options, overwrite)
+
+
+# --- Write path: df.write.format("tx_table").mode("append") -------------------
+
+
+class _TxWriteMessage(WriterCommitMessage):
+    """One executor task's contribution: the staged file name (None for
+    an empty partition) and its row count. Picklable by construction."""
+
+    def __init__(self, staged: str | None, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class TxTableWriter(DataSourceArrowWriter):
+    """Two-phase commit through the STANDARD write API — the Delta
+    pattern on the Python DataSource surface: each executor task
+    streams its Arrow batches into one parquet file under the table's
+    ``_staging`` scratch (invisible to every reader) and reports the
+    name; the driver's ``commit`` moves the files into the table root,
+    re-validates table metadata (CHECK constraints, generated columns,
+    row tracking) against the LIVE snapshot, and publishes everything
+    in one manifest CAS — so a reader can never observe a torn write,
+    a failed job leaves only vacuum-able scratch (``abort`` best-effort
+    deletes it), and concurrent writers rebase exactly like
+    ``tx_append``. Append-only by design (overwrite of a versioned
+    table is ``tx_delete_range``/``tx_restore`` territory, stated
+    loudly).
+
+    Generated columns are VALIDATED, not computed, on this path (the
+    writer cannot rewrite executor-staged files cheaply): a write that
+    omits a generated column fails with the column named. Row-tracked
+    tables assign positional id bases inside the commit CAS, so
+    standard-API writes mint ids exactly like ``tx_append_tracked``."""
+
+    def __init__(self, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "tx_table: append-only writer — overwrite a versioned "
+                "table with tx_delete_range/tx_restore, not save mode")
+        import uuid as _uuid
+
+        table = options.get("tabledir") or options.get("tableDir")
+        if not table:
+            raise ValueError("tx_table: option 'tableDir' required")
+        if not os.path.isdir(os.path.join(table, "_manifests")):
+            raise ValueError(f"not a tx table: {table} (run tx_init)")
+        self._table = table
+        self._sid = _uuid.uuid4().hex
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow.parquet as papq
+
+        staging = os.path.join(self._table, "_staging", self._sid)
+        os.makedirs(staging, exist_ok=True)
+        name = f"{self._sid}-{_uuid.uuid4().hex[:8]}.parquet"
+        path = os.path.join(staging, name)
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = papq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is None:
+            return _TxWriteMessage(None, 0)
+        writer.close()
+        if n == 0:
+            os.unlink(path)
+            return _TxWriteMessage(None, 0)
+        return _TxWriteMessage(name, n)
+
+    def _validate(self, paths: list[str], constraints: dict,
+                  gens: dict) -> None:
+        """Commit-time validation WITHOUT a SparkSession (the writer's
+        commit runs in the data-source worker, which has none): DuckDB
+        evaluates the CHECK predicates and generator equalities over
+        the staged parquet. Sound here because this module's whole
+        correctness model already requires every constraint predicate
+        to be Spark/DuckDB-portable ANSI SQL (the oracle gate rule);
+        NULL-passes CHECK semantics and null-safe generator equality
+        are spelled out explicitly."""
+        import duckdb
+
+        from pulsar_project_spark.sources.txlog import (
+            TxConstraintViolation,
+        )
+
+        con = duckdb.connect()
+        rel = ("read_parquet(["
+               + ",".join(f"'{p}'" for p in paths) + "])")
+        cols = {
+            r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM {rel}").fetchall()
+        }
+        missing = [c for c in gens if c not in cols]
+        if missing:
+            raise ValueError(
+                f"{self._table}: write omits generated column(s) "
+                f"{sorted(missing)} — the standard-API writer validates "
+                "but cannot compute them; supply the values or use "
+                "tx_append")
+        for name, pred in sorted(constraints.items()):
+            bad = con.execute(
+                f"SELECT 1 FROM {rel} WHERE NOT COALESCE(({pred}), TRUE)"
+                " LIMIT 1").fetchone()
+            if bad:
+                raise TxConstraintViolation(
+                    f"{self._table}: write violates CHECK constraint "
+                    f"{name!r} ({pred})")
+        for col, spec in sorted(gens.items()):
+            base, k = spec["base"], int(spec["div"])
+            # trunc-toward-zero division == Spark's `div`
+            gen = (f"CASE WHEN {base} >= 0 THEN {base} // {k} "
+                   f"ELSE -((-{base}) // {k}) END")
+            bad = con.execute(
+                f"SELECT 1 FROM {rel} WHERE {col} IS DISTINCT FROM"
+                f" ({gen}) LIMIT 1").fetchone()
+            if bad:
+                raise TxConstraintViolation(
+                    f"{self._table}: supplied value for generated "
+                    f"column {col} <> {base} div {k}")
+
+    def commit(self, messages):
+        from pulsar_project_spark.sources.txlog import (
+            TxConflict,
+            _commit,
+            _merged_stats,
+            _tracked_append_rids,
+            tx_generated,
+            tx_snapshot,
+        )
+
+        staging = os.path.join(self._table, "_staging", self._sid)
+        staged = [(m.staged, m.n_rows) for m in messages
+                  if m is not None and m.staged]
+        if not staged:
+            self.abort(messages)
+            return
+        # publish staged files into the table root (still unreferenced
+        # — only the manifest CAS below makes them visible; on failure
+        # they are vacuum-able orphans, never torn reads)
+        for name, _ in staged:
+            os.rename(os.path.join(staging, name),
+                      os.path.join(self._table, name))
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass
+        paths = [os.path.join(self._table, n) for n, _ in staged]
+        # schema map from footers (zero Spark involvement)
+        import pyarrow.parquet as papq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        add_schema: dict = {}
+        for p in paths:
+            for f in from_arrow_schema(papq.read_schema(p)).fields:
+                add_schema.setdefault(f.name, f.dataType.simpleString())
+        gens = tx_generated(self._table)
+        from pulsar_project_spark.sources.txlog import tx_constraints
+
+        validated = tx_constraints(self._table)
+        self._validate(paths, validated, gens)
+        new_files = [n for n, _ in staged]
+        counts = dict(staged)
+        for _ in range(8):
+            snap = tx_snapshot(self._table)
+            if snap.get("generated", {}) != gens:
+                raise TxConflict(
+                    f"{self._table}: generated-column set changed "
+                    "during write")
+            cs = snap.get("constraints", {})
+            if cs != validated:  # TOCTOU: a constraint landed mid-race
+                self._validate(paths, cs, gens)
+                validated = cs
+            new_rids, hwm = _tracked_append_rids(snap, new_files, counts)
+            try:
+                _commit(self._table, snap["version"],
+                        snap["files"] + new_files, op="append",
+                        stats=(_merged_stats(snap, snap["files"], {})
+                               if snap.get("stats") else None),
+                        dvs=snap.get("dvs"),
+                        add_schema=add_schema,
+                        rids=new_rids, row_hwm=hwm)
+                return
+            except TxConflict:
+                continue
+        raise TxConflict(
+            f"tx_table write lost 8 CAS races in {self._table}")
+
+    def abort(self, messages):
+        import shutil
+
+        staging = os.path.join(self._table, "_staging", self._sid)
+        shutil.rmtree(staging, ignore_errors=True)

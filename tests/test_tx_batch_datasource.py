@@ -105,3 +105,97 @@ def test_with_row_ids_on_untracked_table_raises(registered, spark):
     tx_append(spark.range(3).selectExpr("id AS k"), plain)
     with pytest.raises(Exception, match="row-tracking"):
         _load(registered, plain, withRowIds="true").collect()
+
+
+# --- write path ----------------------------------------------------------------
+
+
+def test_standard_api_write_then_read_roundtrip(registered, spark):
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import tx_read, tx_snapshot
+
+    p = _tf.mkdtemp(prefix="txds_w_")
+    tx_init(p)
+    df = spark.range(0, 100, 1, 4).selectExpr("id AS k", "id * 2 AS v")
+    df.write.format("tx_table").option("tableDir", p).mode("append").save()
+    snap = tx_snapshot(p)
+    assert len(snap["files"]) == 4  # one staged file per partition
+    assert tx_read(spark, p).count() == 100
+    # read back through the SAME standard API
+    back = _load(registered, p)
+    assert sorted(r["k"] for r in back.collect()) == list(range(100))
+    # second append composes
+    spark.range(100, 110).selectExpr("id AS k", "id * 2 AS v").write \
+        .format("tx_table").option("tableDir", p).mode("append").save()
+    assert _load(registered, p).count() == 110
+
+
+def test_standard_api_write_mints_ids_on_tracked_tables(registered, spark):
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import tx_read_tracked
+
+    p = _tf.mkdtemp(prefix="txds_wt_")
+    tx_init(p)
+    tx_append_tracked(
+        spark.range(5).selectExpr("id AS k", "id AS v").repartition(1), p)
+    spark.range(100, 110).selectExpr("id AS k", "id AS v").write \
+        .format("tx_table").option("tableDir", p).mode("append").save()
+    ids = sorted(r["_rid"] for r in tx_read_tracked(spark, p).collect())
+    assert ids == list(range(15))
+
+
+def test_standard_api_write_rejects_constraint_violations(registered, spark):
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_read,
+        tx_set_constraint,
+        tx_snapshot,
+    )
+
+    p = _tf.mkdtemp(prefix="txds_wc_")
+    tx_init(p)
+    spark.range(10).selectExpr("id AS k", "id AS v").write \
+        .format("tx_table").option("tableDir", p).mode("append").save()
+    tx_set_constraint(spark, p, "v_pos", "v >= 0")
+    v_before = tx_snapshot(p)["version"]
+    with pytest.raises(Exception, match="CHECK constraint"):
+        spark.range(-5, 0).selectExpr("id AS k", "id AS v").write \
+            .format("tx_table").option("tableDir", p).mode("append").save()
+    assert tx_snapshot(p)["version"] == v_before
+    assert tx_read(spark, p).count() == 10
+
+
+def test_standard_api_write_validates_generated_columns(registered, spark):
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import tx_set_generated
+
+    p = _tf.mkdtemp(prefix="txds_wg_")
+    tx_init(p)
+    tx_set_generated(p, "day", "ts", 100)
+    # omitted generated column: rejected with the column named
+    with pytest.raises(Exception, match="generated column"):
+        spark.range(5).selectExpr("id AS ts").write \
+            .format("tx_table").option("tableDir", p).mode("append").save()
+    # wrong supplied value: rejected
+    with pytest.raises(Exception, match="generated"):
+        spark.range(5).selectExpr("id AS ts", "id AS day").write \
+            .format("tx_table").option("tableDir", p).mode("append").save()
+    # correct supplied value: lands
+    spark.range(500, 505).selectExpr("id AS ts", "id div 100 AS day").write \
+        .format("tx_table").option("tableDir", p).mode("append").save()
+    assert _load(registered, p).count() == 5
+
+
+def test_standard_api_overwrite_mode_rejected(registered, spark):
+    import tempfile as _tf
+
+    p = _tf.mkdtemp(prefix="txds_wo_")
+    tx_init(p)
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).selectExpr("id AS k").write \
+            .format("tx_table").option("tableDir", p) \
+            .mode("overwrite").save()
