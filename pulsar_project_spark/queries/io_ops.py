@@ -2546,3 +2546,102 @@ def q_tx_datasource_read_census(spark: SparkSession,
         F.sum("_rid").cast("bigint").alias("sum_rid"),
         F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
     )
+
+
+_TX_DS_WRITE_SQL = """
+WITH b0 AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 2 = 0
+), b1 AS (
+  SELECT o_orderkey, o_custkey,
+         (SELECT count(*) FROM b0)
+         + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderkey % 2 = 1
+), allr AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+), live AS (
+  SELECT * FROM allr WHERE o_custkey > 300
+)
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+FROM live
+GROUP BY o_orderkey % 4
+"""
+
+
+@declare("tx_datasource_write_census", oracle=_TX_DS_WRITE_SQL)
+def q_tx_datasource_write_census(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The STANDARD write API against the tx log
+    (``df.write.format("tx_table").mode("append")``): a two-phase
+    commit where executor tasks stage Arrow batches and the driver
+    publishes one manifest CAS — exercised here against a CONSTRAINED,
+    row-TRACKED table. Batch 0 lands via ``tx_append_tracked``
+    (pinning the table as tracked); batch 1 lands through the standard
+    writer, whose commit must validate the CHECK constraint (DuckDB
+    evaluates the portable predicate — the data-source worker has no
+    SparkSession) and mint positional row ids continuing from the hwm.
+    The census reads back through the standard READ API with
+    ``withRowIds`` and a pushed filter, so one hash certifies the
+    whole round trip: write plane (staging, validation, id minting,
+    CAS) and read plane (schema, masks, ids, pruning) together. The
+    oracle replays both batches' id arithmetic in SQL — an id-minting
+    bug in the writer (wrong base, double-counted partition, replayed
+    file) breaks ``sum_rid`` immediately.
+
+    Scale shape: per-task staging is embarrassingly parallel; commit
+    cost is one manifest link regardless of data size; the read side
+    plans from metadata. See ``sources/tx_batch.py``."""
+    import shutil
+
+    from pulsar_project_spark.sources.tables import load_table
+    from pulsar_project_spark.sources.tx_batch import TxTableDataSource
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_tracked,
+        tx_init,
+        tx_set_constraint,
+        tx_snapshot,
+    )
+
+    empty_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("sum_rid", LongType()),
+        StructField("sum_custkey", LongType()),
+    ])
+    path = _rt_path("txlog_ds_write")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    b0 = orders.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(2)) == 0
+    ).repartition(1).sortWithinPartitions("o_orderkey")
+    tx_append_tracked(b0, path, stat_cols=["o_custkey"])
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_set_constraint(spark, path, "custkey_domain",
+                      "o_custkey IS NULL OR o_custkey >= 0")
+    b1 = orders.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(2)) == 1
+    ).repartition(1).sortWithinPartitions("o_orderkey")
+    spark.dataSource.register(TxTableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    (b1.write.format("tx_table").option("tableDir", path)
+     .mode("append").save())
+    t = (spark.read.format("tx_table")
+         .option("tableDir", path)
+         .option("withRowIds", "true")
+         .load()
+         .where(F.col("o_custkey") > 300))
+    return t.groupBy(
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_rid").cast("bigint").alias("sum_rid"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+    )

@@ -63,6 +63,7 @@ NEW_R9: tuple[str, ...] = (
     "streaming_tx_tracked_sink_census",  # exactly-once tracked landing
     "k_anonymity_census",              # governance: quasi-id cell audit
     "tx_datasource_read_census",       # spark.read.format("tx_table")
+    "tx_datasource_write_census",      # df.write.format two-phase CAS
 )
 
 RECERTS_R9: tuple[str, ...] = (

@@ -78,6 +78,7 @@ _REPRESENTATIVE = (
     "streaming_tx_tracked_sink_census",  # tracked landing of 0 rows
     "k_anonymity_census",               # audit over 0 rows
     "tx_datasource_read_census",        # DataSource over 0-row table
+    "tx_datasource_write_census",       # standard-API write of 0 rows
     # (tx_merge_upsert_census and coorder_part_triangles are GLOBAL
     # aggregates: on empty input each correctly returns one all-zero
     # row in both engines — zero-rows-out doesn't apply; their
