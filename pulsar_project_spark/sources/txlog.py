@@ -703,10 +703,16 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
     failed micro-batch with the SAME batchId, and a replayed commit
     must become a no-op, never a duplicate. The txn id travels INSIDE
     the manifest, so the dedup check and the commit are one atomic
-    CAS — there is no window where a replay can double-append."""
+    CAS — there is no window where a replay can double-append.
+    Generated columns are computed/validated exactly like every other
+    append path (ADVICE r9: an exactly-once sink must not be the one
+    door through which rows contradicting a declared generator can
+    enter and poison derived pruning)."""
     done = tx_txn_version(table, app, batch)
     if done is not None:
         return done
+    gens = tx_generated(table)
+    df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
     new_files = _stage_dataframe(df, table, n_files)
@@ -716,6 +722,11 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
             return done  # concurrent replay won; our staged files are
             # unreferenced orphans, reclaimed by vacuum
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            # a generator landed mid-flight: the staged files were not
+            # written under it and cannot rebase — caller retries whole
+            raise TxConflict(
+                f"{table}: generated-column set changed during append")
         cs = snap.get("constraints", {})
         if cs != validated:  # constraint landed mid-retry (TOCTOU)
             _enforce_constraints(df, table, cs)
@@ -761,6 +772,16 @@ def _collect_file_stats(table: str, names: list[str],
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
+    # GENERATED columns: record bounds only for files with ZERO nulls in
+    # the column. Footer min/max ignore NULLs, and the derived-predicate
+    # skip in ``tx_read_pruned`` reasons from a predicate on the BASE to
+    # bounds on the generated column — a row with g NULL (written before
+    # the generator was declared, carried through a rewrite) can have a
+    # matching base while sitting outside the recorded g bounds, so
+    # bounds over a null-containing file would prune a file that still
+    # holds answers. Plain (same-column) pruning is unaffected: NULL
+    # never matches BETWEEN, so non-null bounds stay sound there.
+    gen_nullable = set(tx_generated(table)) & set(cols)
     for name in names:
         md = papq.read_metadata(os.path.join(table, name))
         st: dict[str, list] = {}
@@ -769,6 +790,11 @@ def _collect_file_stats(table: str, names: list[str],
             for i in range(g.num_columns):
                 col = g.column(i)
                 c = col.path_in_schema
+                if (c in gen_nullable
+                        and (col.statistics is None
+                             or col.statistics.null_count is None
+                             or col.statistics.null_count > 0)):
+                    st[c] = None  # null-bearing generated col: no bounds
                 if c in cols and col.statistics is not None \
                         and col.statistics.has_min_max:
                     s = col.statistics
@@ -996,6 +1022,71 @@ def tx_delete_range(spark: SparkSession, table: str, col: str, lo, hi,
     raise TxConflict(f"delete lost {max_retries} CAS races in {table}")
 
 
+def _regenerate_updated(df: DataFrame, table: str, gens: dict,
+                        set_exprs: dict, flag) -> DataFrame:
+    """Generated-column maintenance for DML rewrites (ADVICE r9 high):
+    over a relation whose ``flag`` column marks the transformed rows,
+    for every generator g = base div K — if the DML SET targets g
+    itself, VALIDATE the post-update g against the post-update base
+    (a wrong explicit value is rejected like a CHECK violation); if it
+    targets only the BASE, RECOMPUTE g on the flagged rows (Delta's
+    UPDATE rule — a stale g would make derived pruning in
+    ``tx_read_pruned`` silently drop rows whose base matches). Rows
+    the DML does not touch keep their values: every write path
+    enforces the generator, so they conformed when written."""
+    from pyspark.sql import functions as F
+
+    for g, spec in sorted(gens.items()):
+        base, k = spec["base"], int(spec["div"])
+        if g in set_exprs and g in df.columns:
+            bad = df.filter(
+                flag & ~F.col(g).eqNullSafe(F.expr(f"{base} div {k}"))
+            ).limit(1)
+            first = bad.first()
+            if first is not None:
+                raise TxConstraintViolation(
+                    f"{table}: SET value for generated column {g} <> "
+                    f"{base} div {k} — first offending row: "
+                    f"{first.asDict()}")
+        elif base in set_exprs:
+            expr = F.expr(f"{base} div {k}")
+            prev = (F.col(g).cast(df.schema[g].dataType)
+                    if g in df.columns else F.lit(None))
+            if g in df.columns:
+                expr = expr.cast(df.schema[g].dataType)
+            df = df.withColumn(g, F.when(flag, expr).otherwise(prev))
+    return df
+
+
+def _require_full_replacement(src: DataFrame, updates: DataFrame,
+                              table: str) -> None:
+    """An upsert's update rows REPLACE whole table rows — silently
+    null-filling a table column the updates forgot would erase data
+    (ADVICE r9: the tracked path's allowMissingColumns did exactly
+    that while the untracked path failed loudly). Both paths now fail
+    loudly here; columns the updates ADD beyond the table schema are
+    still fine (ADD COLUMN semantics — existing rows read NULL)."""
+    missing = sorted(set(src.columns) - {_RID} - set(updates.columns))
+    if missing:
+        raise ValueError(
+            f"{table}: merge updates lack table column(s) {missing} — "
+            "a replacement row must supply every data column")
+
+
+def _union_gen_tolerant(a: DataFrame, b: DataFrame,
+                        gens: dict) -> DataFrame:
+    """unionByName that null-fills ONLY generator-managed columns: a
+    merge's insert side carries computed generated columns even when
+    no live file has the column yet (generator declared over existing
+    data, no append since), and the carried/rewritten side then lacks
+    it — NULL there is exactly the declared pre-declaration read value.
+    Any other column-set mismatch still fails loudly."""
+    diff = set(a.columns) ^ set(b.columns)
+    if diff and diff <= set(gens):
+        return a.unionByName(b, allowMissingColumns=True)
+    return a.unionByName(b)
+
+
 def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
               set_exprs: dict[str, str], max_retries: int = 3) -> int:
     """Copy-on-write UPDATE ... SET <expr> WHERE col BETWEEN lo AND hi —
@@ -1058,6 +1149,17 @@ def tx_update(spark: SparkSession, table: str, col: str, lo, hi,
             .otherwise(F.col(c)).alias(c) if c in set_exprs else F.col(c)
             for c in src.columns
         ), "__m")
+        # GENERATED-column maintenance on the transformed rows (ADVICE
+        # r9 high): an update that moves a generator's BASE must
+        # recompute the generated value (Delta's UPDATE rule — stale
+        # values would make derived pruning silently drop live rows),
+        # and an update that SETs the generated column directly is
+        # validated against the post-update base like any supplied
+        # write value. Untouched rows keep their values: they conformed
+        # when written (every write path enforces the generator).
+        updated = _regenerate_updated(
+            updated, table, snap.get("generated", {}), set_exprs,
+            F.col("__m"))
         # carried rows were valid when written (and ADD CONSTRAINT
         # validates the whole table) — only the transformed rows can
         # newly violate
@@ -1113,12 +1215,22 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             f"(got {n_rows} rows, {n_keys} distinct)")
     if n_rows == 0:
         return tx_latest_version(table)
+    # generated columns: computed when absent, validated when supplied
+    # — replacement rows enter the table whole, so they go through the
+    # same gate as an append (ADVICE r9 high)
+    gens = tx_generated(table)
+    updates = _apply_generated(updates, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(updates, table, validated)
     ulo, uhi = updates.agg(F.min(key_col), F.max(key_col)).first()
     nulo, nuhi = _stat_value(ulo), _stat_value(uhi)
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            # a generator landed mid-flight: the update rows were not
+            # computed/validated under it and cannot rebase
+            raise TxConflict(
+                f"{table}: generated-column set changed during merge")
         cs = snap.get("constraints", {})
         if cs != validated:  # constraint landed mid-retry (TOCTOU)
             _enforce_constraints(updates, table, cs)
@@ -1144,6 +1256,7 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         if tracked:
             if affected:
                 src = _read_tracked_files(spark, table, snap, affected)
+                _require_full_replacement(src, updates, table)
                 survivors = src.join(updates.select(key_col), key_col,
                                      "left_anti")
                 old_ids = src.select(key_col, _RID)
@@ -1175,8 +1288,10 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             merged = mat if mat is not None else inserts
         elif affected:
             src = _read_files_masked(spark, table, snap, affected)
+            _require_full_replacement(src, updates, table)
             merged = src.join(updates.select(key_col), key_col,
-                              "left_anti").unionByName(updates)
+                              "left_anti").unionByName(
+                updates, allowMissingColumns=True)
             produced = _stage_dataframe(
                 merged, table, n_files=max(1, len(affected)))
         else:
@@ -1926,6 +2041,28 @@ def tx_drop_constraint(table: str, name: str, max_retries: int = 8) -> int:
         f"drop-constraint lost {max_retries} CAS races in {table}")
 
 
+def tx_drop_generated(table: str, col: str, max_retries: int = 8) -> int:
+    """Drop the generator declaration on ``col`` (missing is a no-op,
+    idempotent). Metadata-only: stored values stay — they were
+    validated while the generator was live, so plain pruning on the
+    column remains sound; only predicate DERIVATION from the base
+    stops. This is the unlock for renaming/dropping a column that
+    participates in a generator."""
+    for _ in range(max_retries):
+        snap = tx_snapshot(table)
+        gens = dict(snap.get("generated", {}))
+        gens.pop(col, None)
+        try:
+            return _commit(table, snap["version"], list(snap["files"]),
+                           op=f"drop-generated:{col}",
+                           stats=snap.get("stats"), dvs=snap.get("dvs"),
+                           generated=gens)
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop-generated lost {max_retries} CAS races in {table}")
+
+
 def tx_detail(spark: SparkSession, table: str,
               version: int | None = None) -> DataFrame:
     """DESCRIBE DETAIL — the per-file operational relation of one
@@ -2026,6 +2163,18 @@ def tx_rename_column(table: str, old: str, new: str,
             "or renamed onto")
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        # the generated map is keyed by NAME (col and base): renaming
+        # either side would leave the generator pointing at a ghost —
+        # later writes would fail demanding the old base, and derived
+        # pruning would silently stop. Delta likewise blocks renaming
+        # generation-expression participants.
+        for gc, spec in snap.get("generated", {}).items():
+            if old in (gc, spec.get("base")) or new in (gc,
+                                                        spec.get("base")):
+                raise ValueError(
+                    f"{table}: column {old!r} -> {new!r} touches "
+                    f"generated column {gc} (base {spec.get('base')}) — "
+                    "drop the generator first")
         chain = [list(p) for p in snap.get("renames", [])]
         if any(new == n for _, n in chain):
             raise ValueError(
@@ -2077,7 +2226,10 @@ def tx_drop_column(table: str, col: str, max_retries: int = 8) -> int:
     column (schema history is history). Dropping a column named in a
     CHECK constraint is rejected — the constraint would silently stop
     binding, which is how real systems corrupt quietly; drop the
-    constraint first, explicitly."""
+    constraint first, explicitly. Dropping a generated column or a
+    generator base is rejected the same way — the generator map is
+    keyed by name, so the declaration would point at a ghost; drop the
+    generator first."""
     for _ in range(max_retries):
         snap = tx_snapshot(table)
         for name, pred in snap.get("constraints", {}).items():
@@ -2087,6 +2239,12 @@ def tx_drop_column(table: str, col: str, max_retries: int = 8) -> int:
                     f"{table}: column '{col}' is referenced by CHECK "
                     f"constraint '{name}' ({pred!r}) — drop the "
                     f"constraint first")
+        for gc, spec in snap.get("generated", {}).items():
+            if col in (gc, spec.get("base")):
+                raise ValueError(
+                    f"{table}: column '{col}' participates in "
+                    f"generated column {gc} (base {spec.get('base')}) "
+                    "— drop the generator first")
         drops = list(snap.get("drops", []))
         if col not in drops:
             drops.append(col)
@@ -2277,12 +2435,23 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             f"(got {n_rows} rows, {n_keys} distinct non-null)")
     if n_rows == 0:
         return tx_latest_version(table)
+    # generated columns: insert rows enter the table whole, so they go
+    # through the same compute/validate gate as an append; matched
+    # updates are regenerated below (ADVICE r9 high)
+    gens = tx_generated(table)
+    if insert_not_matched:
+        source = _apply_generated(source, table, gens)
     ulo, uhi = source.agg(F.min(key_col), F.max(key_col)).first()
     nulo, nuhi = _stat_value(ulo), _stat_value(uhi)
     src_pref = source.select(
         *(F.col(c).alias("__s_" + c) for c in source.columns))
     for _ in range(max_retries):
         snap = tx_snapshot(table)
+        if snap.get("generated", {}) != gens:
+            # a generator landed mid-flight: the source rows were not
+            # computed/validated under it and cannot rebase
+            raise TxConflict(
+                f"{table}: generated-column set changed during merge")
         stats = snap.get("stats", {})
         chain = snap.get("renames", [])
         affected, kept = [], []
@@ -2322,7 +2491,12 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                            F.expr(ws[c]).cast(tgt.schema[c].dataType))
                     .otherwise(F.col(c)).alias(c) if c in ws
                     else F.col(c)
-                    for c in tgt_cols))
+                    for c in tgt_cols), cond.alias("__m"))
+                # a SET that moves a generator's base recomputes the
+                # generated column; a SET on the generated column is
+                # validated (ADVICE r9 high — see _regenerate_updated)
+                survivors = _regenerate_updated(
+                    survivors, table, gens, ws, F.col("__m")).drop("__m")
             parts.append(survivors)
             if insert_not_matched:
                 inserts = src_pref.join(
@@ -2346,7 +2520,8 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             return snap["version"]  # delete/update merge with no overlap
         merged = None
         for p in parts:
-            merged = p if merged is None else merged.unionByName(p)
+            merged = (p if merged is None
+                      else _union_gen_tolerant(merged, p, gens))
         cs = snap.get("constraints", {})
         if merged is not None:
             _enforce_constraints(merged, table, cs)
@@ -2822,6 +2997,16 @@ def tx_set_generated(table: str, col: str, base: str, div: int,
             raise ValueError(
                 f"{table}: base {base} is itself generated — chains "
                 "would make derivation order-dependent")
+        if snap["files"] and col in _logical_columns(table, snap):
+            # declaring a generator over a column that already holds
+            # data would certify nothing about the existing values —
+            # derived pruning would be unsound from the first query
+            # (ADVICE r9). Pre-declaration files simply LACKING the
+            # column are fine: they record no bounds and read NULL.
+            raise ValueError(
+                f"{table}: column {col} already exists with data — a "
+                "generator must be declared before the column is ever "
+                "written (existing values are unvalidated)")
         gens[col] = {"base": base, "div": int(div)}
         try:
             return _commit(table, snap["version"], snap["files"],
