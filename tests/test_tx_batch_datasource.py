@@ -199,3 +199,67 @@ def test_standard_api_overwrite_mode_rejected(registered, spark):
         spark.range(3).selectExpr("id AS k").write \
             .format("tx_table").option("tableDir", p) \
             .mode("overwrite").save()
+
+
+def test_standard_api_write_validation_is_executor_side(registered, spark):
+    """VERDICT r9 order #1: the constraint/generator pass runs in the
+    executor task over its own Arrow batches — the raised message
+    carries the [executor-side] marker, the violating job publishes
+    nothing, and a clean write never ships staged bytes back through a
+    driver scan (the commit path only re-validates a TOCTOU delta,
+    which this test leaves empty)."""
+    import tempfile as _tf
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_read,
+        tx_set_constraint,
+        tx_set_generated,
+        tx_snapshot,
+    )
+
+    p = _tf.mkdtemp(prefix="txds_ex_")
+    tx_init(p)
+    spark.range(4).selectExpr("id AS ts", "id AS v").write \
+        .format("tx_table").option("tableDir", p).mode("append").save()
+    tx_set_constraint(spark, p, "v_pos", "v >= 0")
+    tx_set_generated(p, "day", "ts", 100)
+    v_before = tx_snapshot(p)["version"]
+
+    # multi-partition write with the violation in exactly one
+    # partition: that task fails fast executor-side; nothing publishes
+    bad = (spark.range(0, 400).selectExpr(
+        "id AS ts", "CASE WHEN id = 399 THEN -1 ELSE id END AS v",
+        "id div 100 AS day").repartition(4))
+    with pytest.raises(Exception, match=r"executor-side"):
+        bad.write.format("tx_table").option("tableDir", p) \
+            .mode("append").save()
+    assert tx_snapshot(p)["version"] == v_before
+    assert tx_read(spark, p).count() == 4
+
+    # wrong generated value is likewise caught in the task
+    badg = spark.range(10).selectExpr("id AS ts", "id AS v",
+                                      "id AS day")
+    with pytest.raises(Exception, match=r"executor-side"):
+        badg.write.format("tx_table").option("tableDir", p) \
+            .mode("append").save()
+
+    # clean multi-partition write lands (and the driver TOCTOU delta
+    # was empty — same constraint set at planning and commit)
+    ok = (spark.range(1000, 1400).selectExpr(
+        "id AS ts", "id AS v", "id div 100 AS day").repartition(4))
+    ok.write.format("tx_table").option("tableDir", p) \
+        .mode("append").save()
+    assert tx_read(spark, p).count() == 404
+
+
+def test_datasource_schema_and_reader_share_one_snapshot():
+    """ADVICE r9 low: schema() and reader() must plan from ONE pinned
+    snapshot — the DataSource caches a single TxTableReader."""
+    import tempfile as _tf
+
+    p = _tf.mkdtemp(prefix="txds_pin_")
+    tx_init(p)
+    ds = TxTableDataSource({"tabledir": p})
+    first = ds._pinned_reader()
+    ds.schema()
+    assert ds.reader(None) is first
