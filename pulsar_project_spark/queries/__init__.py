@@ -28,6 +28,7 @@ from pulsar_project_spark.queries import temporal_ops  # noqa: F401  (41-42)
 from pulsar_project_spark.queries import timeseries_ops  # noqa: F401  (43-45)
 from pulsar_project_spark.queries import text_analysis_ops  # noqa: F401  (46-49)
 from pulsar_project_spark.queries import dedup_ops  # noqa: F401  (50: simhash first)
+from pulsar_project_spark.queries import capstones  # noqa: F401  (r10 lifecycles)
 
 # --- extensions: register after the core ---
 from pulsar_project_spark.queries import clustering_ops  # noqa: F401

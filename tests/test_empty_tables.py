@@ -181,6 +181,8 @@ _REPRESENTATIVE = (
     "late_arrival_census",              # watermark-loss census on 0 events
     "user_journey_strings",             # ordered string agg on 0 events
     "value_equiwidth_histogram",        # global-bounds bins on 0 events
+    "context_assembly_snapshot",        # 5-branch lifecycle on 0 rows
+    "task_update_snapshot",             # 4-branch lifecycle on 0 rows
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

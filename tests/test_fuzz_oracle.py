@@ -866,3 +866,48 @@ def test_hybrid_rerank_matches_oracle_on_joint_corpora(spark, data):
         assert got == want, f"{name}:\n  spark:  {got}\n  oracle: {want}"
     finally:
         con.close()
+
+
+# --- round-10 capstones: joint events+documents+part corpora ---------------
+# The two lifecycle compositions span three tables; no single-family
+# corpus covers them, so they get a joint fuzz: random event streams
+# (ties at the retention boundary, NULL-free tiny keys), random document
+# corpora (rag score ties, empty/stopword texts, marker hits and
+# misses), and the static part dim for the tool-catalog branch.
+
+_CAPSTONES = ("context_assembly_snapshot", "task_update_snapshot")
+
+
+@given(rows=_events_strategy, texts=_doc_texts)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_capstones_match_oracle_on_joint_corpora(spark, rows, texts):
+    import shutil
+
+    import duckdb
+
+    sf_dir = _write_events(rows)
+    doc_dir = _write_corpus(texts)
+    shutil.copy(f"{doc_dir}/documents.parquet",
+                f"{sf_dir}/documents.parquet")
+    shutil.copy("/root/testdata/sf0.001/part.parquet",
+                f"{sf_dir}/part.parquet")
+    con = duckdb.connect()
+    for t in ("events", "documents", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        for name in _CAPSTONES:
+            got = _rowkey(QUERIES[name](spark, sf_dir).collect())
+            want = _rowkey(con.execute(ORACLES[name]).fetchall())
+            assert got == want, (
+                f"{name} diverged on events {rows!r} / docs {texts!r}:\n"
+                f"  spark:  {got}\n  oracle: {want}"
+            )
+    finally:
+        con.close()
