@@ -296,3 +296,131 @@ def q_task_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (log_tail.unionByName(summaries)
             .unionByName(files_census).unionByName(titles))
+
+
+# --- react-loop smoke composition (VERDICT r9 order #4) ---------------------
+
+from pulsar_project_spark.functions.providers import (  # noqa: E402
+    RESPONSE_SCHEMA,
+    response_expr,
+)
+
+_REACT_ITERS = 3          # max_iters guard, client.py:221 (default 5)
+_REACT_SEED = "r10"
+
+
+def _react_turn(msgs: DataFrame, state: DataFrame,
+                ctx: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One unrolled iteration of the react loop (client.py:216-333) as
+    pure DataFrame ops: assemble the prompt from the per-session
+    context digest + full message history (client.py:181-186 formats
+    'ROLE: content'), call the deterministic provider AS A COLUMN,
+    parse the fenced JSON (client.py:122-136, 194-214), and emit the
+    dispatch messages in the client's processing order — text, think,
+    mem_op, tool (client.py:233-318). A tool call forces another
+    iteration regardless of ``finished`` (client.py:289)."""
+    active = state.filter(~F.col("done")).select("session")
+    if active.isStreaming:  # pragma: no cover - batch only
+        raise ValueError("react loop is a batch composition")
+    hist = (
+        msgs.join(active, "session")
+        .groupBy("session")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("seq", F.concat_ws(
+                            ": ", F.upper("role"), "content")
+                        .alias("line")))),
+                    lambda s: s["line"]),
+            ).alias("history"),
+            F.max("seq").alias("b"),
+        )
+    )
+    parsed = (
+        hist.join(ctx, "session")
+        .withColumn(
+            "resp",
+            response_expr(
+                F.concat(F.lit("## Context:\n"), F.col("ctx_text"),
+                         F.lit("\n## Conversation History:\n"),
+                         F.col("history")),
+                seed=_REACT_SEED))
+        .withColumn(
+            "r",
+            F.from_json(
+                F.regexp_extract("resp", r"```\n(.*)\n```", 1),
+                RESPONSE_SCHEMA))
+        .select("session", "b", "r")
+    )
+    rows = parsed.select(
+        "session", "b",
+        F.array_compact(F.array(
+            F.struct(F.lit(1).alias("off"),
+                     F.col("r.text").alias("content")),
+            F.struct(F.lit(2).alias("off"),
+                     F.concat(F.lit("[Think] "), F.col("r.think"))
+                     .alias("content")),
+            F.when(F.col("r.mem_op").isNotNull(), F.struct(
+                F.lit(3).alias("off"),
+                F.concat(F.lit("[Memory Operation Called] name: "),
+                         F.col("r.mem_op.name"),
+                         F.lit(", result: stored "),
+                         F.col("r.mem_op.args")["content"])
+                .alias("content"))),
+            F.when(F.col("r.tool").isNotNull(), F.struct(
+                F.lit(4).alias("off"),
+                F.concat(F.lit("[Tool Called] name: "),
+                         F.col("r.tool.name"), F.lit(", result: ok "),
+                         F.col("r.tool.args")["q"]).alias("content"))),
+        )).alias("out"),
+    ).select(
+        "session",
+        "b",
+        F.explode("out").alias("o"),
+    ).select(
+        "session",
+        (F.col("b") + F.col("o.off")).cast("int").alias("seq"),
+        F.lit("assistant").alias("role"),
+        F.col("o.content").alias("content"),
+    )
+    new_state = parsed.select(
+        "session",
+        (F.coalesce(F.col("r.finished"), F.lit(False))
+         & F.col("r.tool").isNull()).alias("done"),
+    )
+    # sessions that were already done carry their state forward
+    carried = state.filter(F.col("done"))
+    return (msgs.unionByName(rows),
+            new_state.unionByName(carried))
+
+
+@declare("react_loop_trace")  # rows-only: iterative dispatch, SURVEY §2.10
+def q_react_loop_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's execution engine — the iterative react loop
+    (client.py:216-333: context assembly → LLM call → structured
+    parse → mem_op/tool dispatch → message append, repeated to
+    max_iters) — smoke-composed END TO END against the deterministic
+    provider stub (functions/providers.py), with the loop UNROLLED as
+    one DataFrame plan: the provider is a column expression, so every
+    session advances through every turn in the same vectorized stages.
+    One session per user_id; the context digest is that user's event
+    count (the capstone context assembly is certified separately).
+    Rows-only by design (driver checks row stability; the per-branch
+    semantics are each oracle-certified elsewhere): iterative
+    dispatch with a data-dependent stop flag is the one shape the
+    single-statement oracle can't express."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ctx = ev.groupBy(F.col("user_id").alias("session")).agg(
+        F.concat(F.lit("events="), F.count("*").cast("string"),
+                 F.lit(" latest="), F.max("event_type"))
+        .alias("ctx_text"))
+    msgs = ctx.select(
+        "session", F.lit(0).alias("seq"), F.lit("user").alias("role"),
+        F.concat(F.lit("summarize my activity: "), "ctx_text")
+        .alias("content"))
+    state = ctx.select("session", F.lit(False).alias("done"))
+    for _ in range(_REACT_ITERS):
+        msgs, state = _react_turn(msgs, state, ctx)
+    return msgs.select("session", "seq", "role", "content")
