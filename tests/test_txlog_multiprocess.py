@@ -1,0 +1,157 @@
+"""Process-level CAS soak (VERDICT r9 order #5): the manifest commit's
+atomicity claim is ``os.link`` failing with EEXIST across PROCESSES,
+not just threads — in-process interleavings (tests/test_txlog.py) can't
+falsify that. N writer processes race appends on one table through the
+same snapshot→commit→TxConflict-rebase loop every DML uses; the test
+then replays the full manifest history and asserts linearizability
+(every version adds exactly one file on top of its parent, nothing ever
+lost) and exactly-once landing of every row. A second soak races the
+writer-transaction idempotency key (the ``tx_append_txn`` dance,
+txlog.py) across processes: exactly one body commits per (app, batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+from pulsar_project_spark.sources.txlog import (
+    tx_init,
+    tx_latest_version,
+    tx_read,
+    tx_snapshot,
+)
+
+_N_WORKERS = 6
+_COMMITS_PER_WORKER = 15
+_ROWS_PER_FILE = 7
+
+_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pulsar_project_spark.sources.txlog import (
+    TxConflict, _commit, tx_snapshot,
+)
+
+table, wid = sys.argv[1], int(sys.argv[2])
+K, R = {k}, {r}
+committed = []
+for i in range(K):
+    name = f"w{{wid}}-{{i:03d}}.parquet"
+    base = (wid * 1000 + i) * R
+    pq.write_table(
+        pa.table({{"k": pa.array(range(base, base + R), pa.int64()),
+                   "w": pa.array([wid] * R, pa.int64())}}),
+        os.path.join(table, name))
+    for _ in range(2000):  # the tx_append rebase loop, uncapped-ish
+        snap = tx_snapshot(table)
+        try:
+            v = _commit(table, snap["version"], snap["files"] + [name],
+                        op="append")
+            committed.append(v)
+            break
+        except TxConflict:
+            continue
+    else:
+        print(json.dumps({{"error": "starved"}}))
+        sys.exit(1)
+print(json.dumps({{"wid": wid, "versions": committed}}))
+"""
+
+_TXN_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pulsar_project_spark.sources.txlog import (
+    TxConflict, _commit, tx_snapshot, tx_txn_version,
+)
+
+table, wid = sys.argv[1], int(sys.argv[2])
+name = f"txn-w{{wid}}.parquet"
+pq.write_table(
+    pa.table({{"k": pa.array([wid], pa.int64()),
+               "w": pa.array([wid], pa.int64())}}),
+    os.path.join(table, name))
+won = False
+for _ in range(2000):
+    done = tx_txn_version(table, "soak-app", 1)
+    if done is not None:
+        break  # replay lost: staged file stays an orphan
+    snap = tx_snapshot(table)
+    try:
+        _commit(table, snap["version"], snap["files"] + [name],
+                op="append", txn={{"app": "soak-app", "batch": 1}})
+        won = True
+        break
+    except TxConflict:
+        continue
+print(json.dumps({{"wid": wid, "won": won}}))
+"""
+
+
+def _run_workers(script: str, table: str, n: int) -> list[dict]:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = script.format(repo=repo, k=_COMMITS_PER_WORKER,
+                        r=_ROWS_PER_FILE)
+    path = os.path.join(tempfile.mkdtemp(prefix="soakw_"), "worker.py")
+    with open(path, "w") as fh:
+        fh.write(src)
+    procs = [
+        subprocess.Popen([sys.executable, path, table, str(w)],
+                         stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for w in range(n)
+    ]
+    out = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed: {stderr[-2000:]}"
+        out.append(json.loads(stdout.strip().splitlines()[-1]))
+    return out
+
+
+def test_multiprocess_append_soak_is_linearizable(spark):
+    table = tempfile.mkdtemp(prefix="txsoak_")
+    tx_init(table)
+    results = _run_workers(_WORKER, table, _N_WORKERS)
+
+    total = _N_WORKERS * _COMMITS_PER_WORKER
+    versions = sorted(v for r in results for v in r["versions"])
+    # every commit won a DISTINCT version, the history is gapless
+    assert versions == list(range(1, total + 1))
+
+    # linearizable history: each manifest extends its parent by
+    # exactly one file; nothing committed is ever dropped
+    prev_files: set[str] = set()
+    for v in range(0, total + 1):
+        snap = tx_snapshot(table, v)
+        cur = set(snap["files"])
+        assert prev_files <= cur, f"v{v} lost files {prev_files - cur}"
+        if v > 0:
+            assert len(cur - prev_files) == 1, f"v{v} added != 1 file"
+        prev_files = cur
+    assert tx_latest_version(table) == total
+
+    # exactly-once landing of every row
+    df = tx_read(spark, table)
+    n = total * _ROWS_PER_FILE
+    assert df.count() == n
+    assert df.select("k").distinct().count() == n
+
+
+def test_multiprocess_txn_key_commits_exactly_once(spark):
+    table = tempfile.mkdtemp(prefix="txsoak_txn_")
+    tx_init(table)
+    results = _run_workers(_TXN_WORKER, table, 4)
+    winners = [r for r in results if r["won"]]
+    assert len(winners) == 1, f"txn key committed {len(winners)} times"
+    # exactly one row landed; losers' staged files are orphans
+    assert tx_read(spark, table).count() == 1
+    snap = tx_snapshot(table)
+    assert len(snap["files"]) == 1
