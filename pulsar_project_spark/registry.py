@@ -43,80 +43,68 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R9: tuple[str, ...] = (
-    # empty: every oracle-backed query declared before round 9 has a
+NEVER_CHECKED_R10: tuple[str, ...] = (
+    # empty: every oracle-backed query declared before round 10 has a
     # cumulative driver-green verdict (tools/rotate_budget.py over
-    # CORRECTNESS_r01..r08: 246/246, 0 ever-failed).
+    # CORRECTNESS_r01..r09: 259/259, 0 ever-failed).
 )
 
-NEW_R9: tuple[str, ...] = (
-    # oracle-backed queries added in round 9 (each also fuzz/test-gated).
-    "tx_pruned_read_renamed_census",   # chain-resolved pruning (VERDICT #1)
-    "tx_widen_column_census",          # ALTER COLUMN TYPE widening (#3)
-    "streaming_tx_mv_census",          # streaming MV off the CDF (#6)
-    "tx_merge_conditional_census",     # three-clause MERGE (Delta form)
-    "tx_reorg_purge_census",           # REORG APPLY (PURGE) mapping-debt
-    "tx_row_tracking_census",          # stable row ids across rewrites
-    "dsir_importance_select",          # DSIR data selection (Xie 2023)
-    "tx_keyless_cdc_census",           # keyless CDC via row identity
-    "tx_generated_column_census",      # generated cols, derived pruning
-    "streaming_tx_tracked_sink_census",  # exactly-once tracked landing
-    "k_anonymity_census",              # governance: quasi-id cell audit
-    "tx_datasource_read_census",       # spark.read.format("tx_table")
-    "tx_datasource_write_census",      # df.write.format two-phase CAS
+NEW_R10: tuple[str, ...] = (
+    # oracle-backed queries added in round 10 (each also fuzz + empty-
+    # table gated). react_loop_trace is also new but rows-only by
+    # design (iterative dispatch) — it lives outside the core window,
+    # certified by tests/test_react_loop.py's byte-exact replica.
+    "context_assembly_snapshot",  # §3.1 read-side lifecycle capstone
+    "task_update_snapshot",       # task.py:491-627 write-side capstone
 )
 
-RECERTS_R9: tuple[str, ...] = (
-    # modules changed in round 9 after their round-8 verdict:
-    # sources/txlog.py (ADVICE r8 fixes: constraint-bypass UPDATE,
-    # rename collision, bloom rebuild after RENAME/DROP, TOCTOU
-    # constraints, bloom probe typing; rename-chain bounds resolution;
-    # type widening) — every tx-family query re-certifies
-    "tx_change_feed_census", "tx_cdf_incremental_agg_census",
-    "tx_time_travel_timestamp_census", "tx_delete_dv_census",
-    "tx_restore_census", "tx_schema_evolution_census",
-    "tx_update_census", "tx_typed_change_feed_census",
-    "tx_bloom_point_lookup_census", "tx_rename_column_census",
-    "tx_drop_column_census", "tx_compaction_roundtrip_census",
-    "tx_snapshot_time_travel_census", "tx_optimize_zorder_census",
-    "tx_pruned_read_census", "tx_delete_range_census",
-    "tx_merge_upsert_census", "tx_clone_divergence_census",
-    "tx_catalog_atomic_move_census", "tx_vacuum_reclaim_census",
-    "tx_partition_evolution_census", "streaming_tx_exactly_once_census",
-    # sources/cdf_stream.py (vectorized DV mask + column mapping)
-    "streaming_tx_change_feed",
-    # operators/similarity.py + queries/similarity_ops.py (MAX_CLUSTER
-    # guard in both engines) — semdedup plus the module's other members
-    "semdedup_embedding_prune", "knn_cosine_topk", "srp_near_pairs",
-    "srp_lsh_buckets", "label_centroid_qsums",
+RECERTS_R10: tuple[str, ...] = (
+    # modules changed in round 10 after their round-9 verdict:
+    # sources/txlog.py (ADVICE r9 fixes: generated-column soundness
+    # across UPDATE/MERGE/upsert/txn-append, declaration-over-live-
+    # column reject, null-guarded generated stats, rename/drop guards,
+    # upsert full-replacement check) — the queries on those paths:
+    "tx_generated_column_census", "tx_update_census",
+    "tx_merge_upsert_census", "tx_merge_conditional_census",
+    "tx_row_tracking_census", "streaming_tx_exactly_once_census",
+    "streaming_tx_tracked_sink_census", "tx_pruned_read_census",
+    "tx_pruned_read_renamed_census", "tx_compaction_roundtrip_census",
+    "tx_optimize_zorder_census", "tx_delete_range_census",
+    "tx_reorg_purge_census", "tx_keyless_cdc_census",
+    "tx_rename_column_census", "tx_drop_column_census",
+    # sources/tx_batch.py (executor-side write validation + one pinned
+    # snapshot across schema()/reader())
+    "tx_datasource_read_census", "tx_datasource_write_census",
 )
 
-# Stalest-green refresh: the round-3-verdict block is now the oldest
-# (alphabetical; the [:50] trim keeps as many as fit). Members already
-# re-certified above are excluded.
-STALE_REFRESH_R9: tuple[str, ...] = (
-    "big_order_customers", "bm25_scores", "bm25_topk",
-    "chunk_exact_dedup", "cluster_best_representative",
-    "contamination_ngram_overlap", "corpus_pipeline_e2e",
-    "cube_orders_status_priority", "customer_order_count_distribution",
-    "daily_revenue_7d_ma", "doc_chunks_overlapping",
-    "embedding_int8_quantize", "exact_dedup_fingerprint",
-    "except_all_click_days", "except_click_days_no_purchase",
-    "fact_fact_smj_rollup", "forward_fill_user_values",
-    "fuzzy_part_name_pairs", "grouping_sets_region_priority",
-    "hybrid_bm25_cosine_rerank", "intersect_click_and_purchase_days",
-    "json_path_stats_native", "label_fact_urljoin",
-    "late_shipment_priority_counts", "minhash_candidate_pairs",
-    "minhash_lsh_bands", "neardup_components", "ngram_jaccard_pairs",
+# Stalest-green refresh: the remaining round-3-verdict cohort
+# (alphabetical continuation past r9's trim point; 36 queries still
+# carry a round-3 verdict as their latest — the first 29 fit).
+STALE_REFRESH_R10: tuple[str, ...] = (
+    "customer_order_count_distribution", "daily_revenue_7d_ma",
+    "doc_chunks_overlapping", "embedding_int8_quantize",
+    "exact_dedup_fingerprint", "except_all_click_days",
+    "except_click_days_no_purchase", "fact_fact_smj_rollup",
+    "forward_fill_user_values", "fuzzy_part_name_pairs",
+    "grouping_sets_region_priority", "hybrid_bm25_cosine_rerank",
+    "intersect_click_and_purchase_days", "json_path_stats_native",
+    "label_fact_urljoin", "late_shipment_priority_counts",
+    "minhash_candidate_pairs", "minhash_lsh_bands",
+    "neardup_components", "ngram_jaccard_pairs",
+    "orders_above_customer_avg", "orders_above_priority_mean",
+    "parts_no_bulk_order", "pivot_event_type_by_day",
+    "props_digit_redaction", "quality_filter_audit",
+    "repetition_top_bigram", "revenue_rollup_region_nation",
+    "rolling_fingerprint",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r8 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r9 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R9,
-    *NEW_R9,
-    *RECERTS_R9,
-    *STALE_REFRESH_R9,
+    *NEVER_CHECKED_R10,
+    *NEW_R10,
+    *RECERTS_R10,
+    *STALE_REFRESH_R10,
 )[:50]
 
 

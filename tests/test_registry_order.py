@@ -25,17 +25,17 @@ import re
 import __spark_entry__ as e
 from pulsar_project_spark.registry import (
     CORE_FIRST,
-    NEVER_CHECKED_R9,
-    NEW_R9,
-    RECERTS_R9,
-    STALE_REFRESH_R9,
+    NEVER_CHECKED_R10,
+    NEW_R10,
+    RECERTS_R10,
+    STALE_REFRESH_R10,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The round whose rotation this file asserts. Bump together with the
 # registry's block constants each round.
-_ROUND = 9
+_ROUND = 10
 
 
 def _driver_green(before_round: int = _ROUND) -> set[str]:
@@ -74,7 +74,7 @@ def test_core_fifty_all_have_oracles():
 
 
 def test_canary_leads():
-    # slot 1 is the flagship, green r1-r8 — if the driver ever reports
+    # slot 1 is the flagship, green r1-r9 — if the driver ever reports
     # it red, the harness (not the engine) changed
     assert CORE_FIRST[0] == "simple_rag_topk"
 
@@ -88,9 +88,9 @@ def test_never_checked_block_is_exactly_the_gap():
     oracles = set(e.oracle_sql())
     gap = {
         n for n in e.queries()
-        if n in oracles and n not in green and n not in NEW_R9
+        if n in oracles and n not in green and n not in NEW_R10
     }
-    block = set(NEVER_CHECKED_R9)
+    block = set(NEVER_CHECKED_R10)
     assert block <= set(CORE_FIRST), "never-checked block lost its slots"
     missing = sorted(gap - block - set(CORE_FIRST))
     assert not missing, f"oracle-backed queries with no verdict and no slot: {missing}"
@@ -99,7 +99,7 @@ def test_never_checked_block_is_exactly_the_gap():
 
 
 def test_new_round_additions_get_slots():
-    for n in NEW_R9:
+    for n in NEW_R10:
         assert n in CORE_FIRST, f"round-{_ROUND} addition without a slot: {n}"
 
 
@@ -109,11 +109,11 @@ def test_remaining_slots_are_deliberate_recerts():
     green = _driver_green()
     strangers = [
         n for n in CORE_FIRST[1:]
-        if n not in NEVER_CHECKED_R9 and n not in NEW_R9 and n not in green
+        if n not in NEVER_CHECKED_R10 and n not in NEW_R10 and n not in green
     ]
     assert not strangers, f"unexplained core entries: {strangers}"
     # and the declared re-cert / stale blocks really are re-certs
-    for n in (*RECERTS_R9, *STALE_REFRESH_R9):
+    for n in (*RECERTS_R10, *STALE_REFRESH_R10):
         assert n in green, f"declared re-cert was never driver-green: {n}"
 
 

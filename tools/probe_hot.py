@@ -9,6 +9,16 @@ noop sink. The minimum is the hot cost of the plan; the spread is
 scheduler/GC noise. Usage:
 
     python tools/probe_hot.py [-n 5] [--sf DIR] name1 name2 ...
+
+Gate mode (the round-close regression check, VERDICT r9 order #6):
+
+    python tools/probe_hot.py --gate [-n 5]
+
+reads HOT_FLOORS.json at the repo root and probes every floor-listed
+query; exits 1 if any hot minimum exceeds tolerance x its recorded
+floor. A failure means either a plan regressed (fix it) or the plan
+legitimately changed (re-record the floor WITH the change that moved
+it, in the same commit).
 """
 
 from __future__ import annotations
@@ -23,10 +33,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("names", nargs="+")
+    ap.add_argument("names", nargs="*")
     ap.add_argument("-n", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--gate", action="store_true",
+                    help="probe HOT_FLOORS.json queries; fail on drift")
     args = ap.parse_args()
+
+    if args.gate:
+        # one FRESH session per query: the floors were recorded as
+        # fresh-session hot minima, and session residue is not neutral —
+        # a stateful streaming query probed after a heavy batch set runs
+        # ~2x its fresh floor (measured r10) with an unchanged plan.
+        import json
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "HOT_FLOORS.json")) as fh:
+            cfg = json.load(fh)
+        floors = cfg["floors"]
+        tolerance = float(cfg.get("tolerance", 1.3))
+        sf = cfg.get("sf", args.sf)
+        failed = []
+        for name in sorted(floors):
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "-n", str(args.n), "--sf", sf, name],
+                capture_output=True, text=True, timeout=900)
+            line = next((ln for ln in res.stdout.splitlines()
+                         if ln.startswith(f"{name}: min=")), None)
+            if res.returncode != 0 or line is None:
+                print(f"{name}: probe failed\n{res.stderr[-1500:]}")
+                failed.append(name)
+                continue
+            hot = float(line.split("min=")[1].split("s")[0])
+            limit = floors[name] * tolerance
+            ok = hot <= limit
+            print(f"{line} floor={floors[name]:.2f} "
+                  f"limit={limit:.2f} {'OK' if ok else 'DRIFT'}")
+            if not ok:
+                failed.append(name)
+        if failed:
+            print(f"GATE FAILED: {failed} exceed {tolerance}x "
+                  "their floors")
+            return 1
+        print(f"GATE OK: {len(floors)} hot floors held")
+        return 0
+    if not args.names:
+        ap.error("names required unless --gate")
+    floors = {}
+    tolerance = 1.3
 
     from pulsar_project_spark.session import get_spark
     from pulsar_project_spark.sources.tables import TABLE_NAMES, load_table
@@ -45,6 +101,7 @@ def main() -> int:
      .write.format("noop").mode("overwrite").save())
 
     qs = e.queries()
+    failed = []
     for name in args.names:
         times = []
         for _ in range(args.n):
@@ -52,8 +109,22 @@ def main() -> int:
             qs[name](spark, args.sf).write.format("noop").mode(
                 "overwrite").save()
             times.append(time.monotonic() - t0)
-        print(f"{name}: min={min(times):.2f}s "
-              f"runs=[{', '.join(f'{t:.2f}' for t in times)}]")
+        hot = min(times)
+        verdict = ""
+        if name in floors:
+            limit = floors[name] * tolerance
+            ok = hot <= limit
+            verdict = (f" floor={floors[name]:.2f} limit={limit:.2f} "
+                       f"{'OK' if ok else 'DRIFT'}")
+            if not ok:
+                failed.append(name)
+        print(f"{name}: min={hot:.2f}s "
+              f"runs=[{', '.join(f'{t:.2f}' for t in times)}]{verdict}")
+    if failed:
+        print(f"GATE FAILED: {failed} exceed {tolerance}x their floors")
+        return 1
+    if floors:
+        print(f"GATE OK: {len(args.names)} hot floors held")
     return 0
 
 
