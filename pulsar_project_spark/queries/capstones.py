@@ -412,10 +412,14 @@ def q_react_loop_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch with a data-dependent stop flag is the one shape the
     single-statement oracle can't express."""
     ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    # iterative plan: truncate lineage per turn (the kmeans/pq/BPE
+    # pattern — without it each turn doubles the msgs subtree and the
+    # unrolled plan re-scans events 2^iters times; audited 33 scans
+    # before, 1 after)
     ctx = ev.groupBy(F.col("user_id").alias("session")).agg(
         F.concat(F.lit("events="), F.count("*").cast("string"),
                  F.lit(" latest="), F.max("event_type"))
-        .alias("ctx_text"))
+        .alias("ctx_text")).localCheckpoint(eager=True)
     msgs = ctx.select(
         "session", F.lit(0).alias("seq"), F.lit("user").alias("role"),
         F.concat(F.lit("summarize my activity: "), "ctx_text")
@@ -423,4 +427,6 @@ def q_react_loop_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = ctx.select("session", F.lit(False).alias("done"))
     for _ in range(_REACT_ITERS):
         msgs, state = _react_turn(msgs, state, ctx)
+        msgs = msgs.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True)
     return msgs.select("session", "seq", "role", "content")
