@@ -2446,6 +2446,101 @@ def q_tx_generated_column_census(spark: SparkSession,
     )
 
 
+# UPDATE moving the generator's base: a mid-day window shifted forward
+# 10 whole days, then queried AT THE DESTINATION through derived
+# pruning. Before the round-10 fix this was the silent-wrong-results
+# scenario (ADVICE r9 high): the rewrite carried STALE day values, so
+# the moved rows' files kept old day bounds and the destination query's
+# derived range skipped them.
+_GEN_MOVE_LO = 19_731 * _GEN_DAY_US + 3_600_000_000
+_GEN_MOVE_HI = 19_732 * _GEN_DAY_US + 7_200_000_000
+_GEN_MOVE_DELTA = 10 * _GEN_DAY_US
+_GEN_DEST_LO = 19_741 * _GEN_DAY_US
+_GEN_DEST_HI = 19_743 * _GEN_DAY_US
+
+_TX_GENERATED_DML_SQL = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), updated AS (
+  SELECT event_type,
+         CASE WHEN ts_us BETWEEN {_GEN_MOVE_LO} AND {_GEN_MOVE_HI}
+              THEN ts_us + {_GEN_MOVE_DELTA} ELSE ts_us END AS ts_us,
+         cents
+  FROM base
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(ts_us // {_GEN_DAY_US}) AS BIGINT) AS sum_day
+FROM updated
+WHERE ts_us BETWEEN {_GEN_DEST_LO} AND {_GEN_DEST_HI}
+GROUP BY event_type
+"""
+
+
+@declare("tx_generated_dml_census", oracle=_TX_GENERATED_DML_SQL)
+def q_tx_generated_dml_census(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """GENERATED-COLUMN MAINTENANCE UNDER DML (the ADVICE r9 high fix,
+    driver-checkable): declare ``day = ts_us div 86400000000``, append
+    clustered-by-day, UPDATE a mid-day ts window forward 10 whole days
+    (the SET targets the generator's BASE, so ``tx_update`` must
+    recompute ``day`` on the moved rows — txlog.py
+    ``_regenerate_updated``), then read the DESTINATION window through
+    derived pruning and sum the STORED day column. The oracle computes
+    day directly from the post-move timestamps, so a stale stored value
+    OR a derived-pruned-away moved row is a hash mismatch — the exact
+    silent-wrong-results scenario the fix closes.
+
+    Scale shape: identical to ``tx_generated_column_census`` plus one
+    bounded copy-on-write rewrite (manifest bounds pick the overlapping
+    files; kept files carry by name)."""
+    import shutil
+
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_clustered,
+        tx_init,
+        tx_read_pruned,
+        tx_set_generated,
+        tx_snapshot,
+        tx_update,
+    )
+
+    empty_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("sum_day", LongType()),
+    ])
+    path = _rt_path("txlog_gen_dml")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tx_init(path)
+    tx_set_generated(path, "day", "ts_us", _GEN_DAY_US)
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    tx_append_clustered(ev, path, ["day"], n_files=4)
+    if not tx_snapshot(path)["files"]:
+        return spark.createDataFrame([], empty_schema)
+    tx_update(spark, path, "ts_us", _GEN_MOVE_LO, _GEN_MOVE_HI,
+              {"ts_us": f"ts_us + {_GEN_MOVE_DELTA}"})
+    try:
+        pruned, _n_read, _n_total = tx_read_pruned(
+            spark, path, "ts_us", _GEN_DEST_LO, _GEN_DEST_HI)
+    except ValueError:
+        # derived bounds PROVED no file intersects the destination — a
+        # valid outcome for a corpus living entirely outside it
+        return spark.createDataFrame([], empty_schema)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.sum("day").cast("bigint").alias("sum_day"),
+    )
+
+
 _TX_DATASOURCE_SQL = """
 WITH b0 AS (
   SELECT o_orderkey, o_custkey,
