@@ -309,37 +309,20 @@ _REACT_ITERS = 3          # max_iters guard, client.py:221 (default 5)
 _REACT_SEED = "r10"
 
 
-def _react_turn(msgs: DataFrame, state: DataFrame,
-                ctx: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _react_turn(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One unrolled iteration of the react loop (client.py:216-333) as
-    pure DataFrame ops: assemble the prompt from the per-session
-    context digest + full message history (client.py:181-186 formats
-    'ROLE: content'), call the deterministic provider AS A COLUMN,
-    parse the fenced JSON (client.py:122-136, 194-214), and emit the
-    dispatch messages in the client's processing order — text, think,
+    a PURE PROJECTION over the per-session state relation — zero
+    shuffles per turn: the state carries the context digest, the
+    running conversation history, and the next seq base, so the prompt
+    assembles map-side (client.py:181-186 formats 'ROLE: content'),
+    the deterministic provider is a column, the fenced JSON parses
+    with from_json (client.py:122-136, 194-214), and the dispatch
+    messages emit in the client's processing order — text, think,
     mem_op, tool (client.py:233-318). A tool call forces another
-    iteration regardless of ``finished`` (client.py:289)."""
-    active = state.filter(~F.col("done")).select("session")
-    if active.isStreaming:  # pragma: no cover - batch only
-        raise ValueError("react loop is a batch composition")
-    hist = (
-        msgs.join(active, "session")
-        .groupBy("session")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct("seq", F.concat_ws(
-                            ": ", F.upper("role"), "content")
-                        .alias("line")))),
-                    lambda s: s["line"]),
-            ).alias("history"),
-            F.max("seq").alias("b"),
-        )
-    )
+    iteration regardless of ``finished`` (client.py:289). Returns
+    (this turn's message rows, the advanced state)."""
     parsed = (
-        hist.join(ctx, "session")
+        state.filter(~F.col("done"))
         .withColumn(
             "resp",
             response_expr(
@@ -352,48 +335,53 @@ def _react_turn(msgs: DataFrame, state: DataFrame,
             F.from_json(
                 F.regexp_extract("resp", r"```\n(.*)\n```", 1),
                 RESPONSE_SCHEMA))
-        .select("session", "b", "r")
+        .withColumn(
+            "out",
+            F.array_compact(F.array(
+                F.struct(F.lit(1).alias("off"),
+                         F.col("r.text").alias("content")),
+                F.struct(F.lit(2).alias("off"),
+                         F.concat(F.lit("[Think] "), F.col("r.think"))
+                         .alias("content")),
+                F.when(F.col("r.mem_op").isNotNull(), F.struct(
+                    F.lit(3).alias("off"),
+                    F.concat(F.lit("[Memory Operation Called] name: "),
+                             F.col("r.mem_op.name"),
+                             F.lit(", result: stored "),
+                             F.col("r.mem_op.args")["content"])
+                    .alias("content"))),
+                F.when(F.col("r.tool").isNotNull(), F.struct(
+                    F.lit(4).alias("off"),
+                    F.concat(F.lit("[Tool Called] name: "),
+                             F.col("r.tool.name"),
+                             F.lit(", result: ok "),
+                             F.col("r.tool.args")["q"])
+                    .alias("content"))),
+            )))
     )
     rows = parsed.select(
-        "session", "b",
-        F.array_compact(F.array(
-            F.struct(F.lit(1).alias("off"),
-                     F.col("r.text").alias("content")),
-            F.struct(F.lit(2).alias("off"),
-                     F.concat(F.lit("[Think] "), F.col("r.think"))
-                     .alias("content")),
-            F.when(F.col("r.mem_op").isNotNull(), F.struct(
-                F.lit(3).alias("off"),
-                F.concat(F.lit("[Memory Operation Called] name: "),
-                         F.col("r.mem_op.name"),
-                         F.lit(", result: stored "),
-                         F.col("r.mem_op.args")["content"])
-                .alias("content"))),
-            F.when(F.col("r.tool").isNotNull(), F.struct(
-                F.lit(4).alias("off"),
-                F.concat(F.lit("[Tool Called] name: "),
-                         F.col("r.tool.name"), F.lit(", result: ok "),
-                         F.col("r.tool.args")["q"]).alias("content"))),
-        )).alias("out"),
-    ).select(
-        "session",
-        "b",
-        F.explode("out").alias("o"),
+        "session", "b", F.explode("out").alias("o"),
     ).select(
         "session",
         (F.col("b") + F.col("o.off")).cast("int").alias("seq"),
         F.lit("assistant").alias("role"),
         F.col("o.content").alias("content"),
     )
-    new_state = parsed.select(
-        "session",
+    advanced = parsed.select(
+        "session", "ctx_text",
         (F.coalesce(F.col("r.finished"), F.lit(False))
          & F.col("r.tool").isNull()).alias("done"),
+        (F.col("b") + 4).alias("b"),
+        F.concat(
+            "history",
+            F.aggregate(
+                "out", F.lit(""),
+                lambda acc, o: F.concat(acc, F.lit("\nASSISTANT: "),
+                                        o["content"])),
+        ).alias("history"),
     )
     # sessions that were already done carry their state forward
-    carried = state.filter(F.col("done"))
-    return (msgs.unionByName(rows),
-            new_state.unionByName(carried))
+    return rows, advanced.unionByName(state.filter(F.col("done")))
 
 
 @declare("react_loop_trace")  # rows-only: iterative dispatch, SURVEY §2.10
@@ -412,10 +400,14 @@ def q_react_loop_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch with a data-dependent stop flag is the one shape the
     single-statement oracle can't express."""
     ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
-    # iterative plan: truncate lineage per turn (the kmeans/pq/BPE
-    # pattern — without it each turn doubles the msgs subtree and the
-    # unrolled plan re-scans events 2^iters times; audited 33 scans
-    # before, 1 after)
+    # the ONE shuffle in the whole composition: the per-session context
+    # digest. Every turn after it is a map-side projection — the state
+    # relation carries the running history and seq base, so no history
+    # re-aggregation ever happens (a groupBy-per-turn formulation cost
+    # 3 shuffles and re-scanned events; audited and replaced).
+    # localCheckpoint per turn truncates the unrolled lineage (the
+    # kmeans/pq iteration pattern — without it the plan tree doubles
+    # per turn).
     ctx = ev.groupBy(F.col("user_id").alias("session")).agg(
         F.concat(F.lit("events="), F.count("*").cast("string"),
                  F.lit(" latest="), F.max("event_type"))
@@ -424,9 +416,13 @@ def q_react_loop_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session", F.lit(0).alias("seq"), F.lit("user").alias("role"),
         F.concat(F.lit("summarize my activity: "), "ctx_text")
         .alias("content"))
-    state = ctx.select("session", F.lit(False).alias("done"))
+    state = ctx.select(
+        "session", "ctx_text", F.lit(False).alias("done"),
+        F.lit(0).alias("b"),
+        F.concat(F.lit("USER: summarize my activity: "), "ctx_text")
+        .alias("history"))
     for _ in range(_REACT_ITERS):
-        msgs, state = _react_turn(msgs, state, ctx)
-        msgs = msgs.localCheckpoint(eager=True)
+        rows, state = _react_turn(state)
+        msgs = msgs.unionByName(rows)
         state = state.localCheckpoint(eager=True)
     return msgs.select("session", "seq", "role", "content")

@@ -36,6 +36,8 @@ def _python_replica() -> list[tuple]:
     for session, ctx_text in ctx:
         msgs = [(0, "user", f"summarize my activity: {ctx_text}")]
         done = False
+        b = 0  # fixed 4-slot seq base per turn (gaps where a branch
+        # is absent — matches the plan's zero-shuffle state advance)
         for _ in range(_REACT_ITERS):
             if done:
                 break
@@ -46,7 +48,6 @@ def _python_replica() -> list[tuple]:
                       f"\n## Conversation History:\n{history}")
             resp = prov.generate_response(prompt)
             data = json.loads(resp.split("```\n")[1].split("\n```")[0])
-            b = max(seq for seq, _, _ in msgs)
             msgs.append((b + 1, "assistant", data["text"]))
             msgs.append((b + 2, "assistant", f"[Think] {data['think']}"))
             if "mem_op" in data:
@@ -63,6 +64,7 @@ def _python_replica() -> list[tuple]:
                     f"result: ok {t['args']['q']}"))
             # a tool call forces another iteration (client.py:289)
             done = data["finished"] and "tool" not in data
+            b += 4
         out.extend((session, seq, role, content)
                    for seq, role, content in msgs)
     return sorted(out)
