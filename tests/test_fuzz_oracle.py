@@ -232,6 +232,11 @@ _EVENTS_FUZZED = (
     # 18-day 2024 span straddles the census window's edge so both the
     # proved-empty ValueError branch and partial overlaps are hit
     "tx_generated_column_census",
+    # round-10: generated-column maintenance under an UPDATE that moves
+    # the base — fuzz hits the no-match move window (no-commit branch),
+    # NULL ts rows passing through the rewrite unchanged, and corpora
+    # entirely outside the destination (proved-empty pruning)
+    "tx_generated_dml_census",
     # round-7: fuzz hits the short-history branches (n_terms < 8) and
     # NULL value/ts/user rows the real corpus is too clean to produce
     "user_value_ewma_dyadic",
