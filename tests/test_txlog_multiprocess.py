@@ -155,3 +155,78 @@ def test_multiprocess_txn_key_commits_exactly_once(spark):
     assert tx_read(spark, table).count() == 1
     snap = tx_snapshot(table)
     assert len(snap["files"]) == 1
+
+
+_COMPACTOR = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pulsar_project_spark.sources.txlog import (
+    TxConflict, tx_compact, tx_snapshot,
+)
+
+table = sys.argv[1]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+done = 0
+deadline = time.monotonic() + 120
+while done < 5 and time.monotonic() < deadline:
+    if not tx_snapshot(table)["files"]:
+        time.sleep(0.2)
+        continue
+    try:
+        tx_compact(spark, table, target_bytes=1 << 30)
+        done += 1
+    except TxConflict:
+        pass  # lost every rebase this pass; appenders were hot
+print(json.dumps({{"compactions": done}}))
+"""
+
+
+def test_multiprocess_appends_race_live_compaction(spark):
+    """Maintenance-during-ingest: appender processes race a LIVE
+    compactor process on one table — the heterogeneous-op CAS case the
+    append-only soak can't falsify (compaction REPLACES files, so a
+    lost-update bug here silently drops whole committed appends rather
+    than just conflicting on a version number). Asserts exactly-once
+    landing of every appended row after both sides finish, and that
+    compactions actually interleaved."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+    import tempfile as _tf
+
+    table = _tf.mkdtemp(prefix="txsoak_mix_")
+    tx_init(table)
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cpath = _os.path.join(_tf.mkdtemp(prefix="soakc_"), "compactor.py")
+    with open(cpath, "w") as fh:
+        fh.write(_COMPACTOR.format(repo=repo))
+    compactor = _sp.Popen([_sys.executable, cpath, table],
+                          stdout=_sp.PIPE, stderr=_sp.PIPE, text=True)
+    try:
+        results = _run_workers(_WORKER, table, 3)
+    finally:
+        stdout, stderr = compactor.communicate(timeout=240)
+    assert compactor.returncode == 0, f"compactor died: {stderr[-2000:]}"
+    n_compact = _json.loads(stdout.strip().splitlines()[-1])["compactions"]
+    assert n_compact >= 1, "compactor never won a commit"
+    assert all("versions" in r for r in results)
+
+    # exactly-once landing of every appended row, through any number of
+    # interleaved file-replacing compactions
+    df = tx_read(spark, table)
+    n = 3 * _COMMITS_PER_WORKER * _ROWS_PER_FILE
+    assert df.count() == n
+    assert df.select("k").distinct().count() == n
+    # the history really is heterogeneous
+    import glob as _glob
+    import json as _j
+    ops = set()
+    for m in _glob.glob(_os.path.join(table, "_manifests", "v*.json")):
+        with open(m) as fh:
+            ops.add(_j.load(fh)["op"])
+    assert "append" in ops and "compact" in ops
