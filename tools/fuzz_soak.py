@@ -114,8 +114,24 @@ def main() -> int:
                               ("embeddings",),
                               T._EMBEDDING_FUZZED, f"vectors round {i}"))
         con.close()
+
+        # round-10: joint events+documents+part corpus for the
+        # lifecycle capstones
+        import shutil
+
+        sf_dir = T._write_events(rand_events())
+        doc_dir = T._write_corpus(rand_texts())
+        shutil.copy(f"{doc_dir}/documents.parquet",
+                    f"{sf_dir}/documents.parquet")
+        shutil.copy("/root/testdata/sf0.001/part.parquet",
+                    f"{sf_dir}/part.parquet")
+        con = duckdb.connect()
+        failures += len(check(con, sf_dir,
+                              ("events", "documents", "part"),
+                              T._CAPSTONES, f"capstones round {i}"))
+        con.close()
         print(f"round {i} done")
-    print(f"soak done: {n} rounds x 4 corpus families, {failures} failures")
+    print(f"soak done: {n} rounds x 5 corpus families, {failures} failures")
     return 1 if failures else 0
 
 
