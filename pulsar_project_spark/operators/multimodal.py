@@ -370,10 +370,9 @@ def synthesize_pgm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .mapInPandas(batches, out_schema))
 
 
-def _decode_pgm_resized_one(payload: bytes):
-    """Strict single-asset P5 parse + 2×2 block-average halving (floor)
-    — shared by the strict and permissive passes. Returns
-    (w2, h2, resized ndarray).
+def _parse_pgm(payload: bytes):
+    """Strict single-asset P5 parse shared by every PGM pass. Returns
+    (w, h, int64 ndarray of shape (h, w)).
 
     Corruption detection raises ``ValueError`` explicitly (never bare
     ``assert`` — stripped under ``python -O``, after which a malformed
@@ -390,7 +389,13 @@ def _decode_pgm_resized_one(payload: bytes):
     if len(raw) != w * h:
         raise ValueError("pixel payload size mismatch")
     img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
-    img = img.astype(np.int64)
+    return w, h, img.astype(np.int64)
+
+
+def _decode_pgm_resized_one(payload: bytes):
+    """Strict parse + 2×2 block-average halving (floor) — shared by the
+    strict and permissive passes. Returns (w2, h2, resized ndarray)."""
+    w, h, img = _parse_pgm(payload)
     h2, w2 = h // 2, w // 2
     blocks = img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2)
     return w2, h2, blocks.sum(axis=(1, 3)) // 4
@@ -413,6 +418,57 @@ def decode_pgm_resize_features(pgms: DataFrame) -> DataFrame:
                                "n_px", "sum_px", "max_px"])
 
     return pgms.mapInPandas(batches, PGM_FEATURES_SCHEMA)
+
+
+PGM_DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash", LongType()),
+])
+
+# dHash grid: 9 sample columns x 7 sample rows -> 8 horizontal
+# gradients per row x 7 rows = 56 bits, comfortably inside a signed
+# BIGINT (the classic 9x8/64-bit form would collide with the sign bit
+# in both engines' BIGINT hash packing).
+DHASH_GRID_W, DHASH_GRID_H = 9, 7
+
+
+def decode_pgm_dhash(pgms: DataFrame) -> DataFrame:
+    """PERCEPTUAL HASH over the REAL image decode path: parse the P5
+    payload, point-sample a fixed 9x7 grid (x_c = c*w div 9,
+    y_r = r*h div 7 — pure integer, so the oracle replays it exactly),
+    and pack the horizontal gradient signs into a 56-bit dHash
+    (bit p = r*8+c set iff sample(r,c) > sample(r,c+1)) — the standard
+    difference-hash, resolution-invariant by construction (two renders
+    of the same scene at different sizes sample to the same grid).
+
+    Scale shape: decode + hash are map-side Arrow batches; the dedup
+    census downstream is one groupBy on a 56-bit key (uniform unless
+    the corpus genuinely repeats imagery — exactly the skew you WANT
+    surfaced). Near-dup (Hamming <= k) composes with the existing LSH
+    band machinery: split the 56 bits into 4x14-bit bands and bucket-
+    join, same plan as minhash_lsh_bands."""
+    import numpy as np
+
+    xs_frac = np.arange(DHASH_GRID_W, dtype=np.int64)
+    ys_frac = np.arange(DHASH_GRID_H, dtype=np.int64)
+    powers = (np.arange(DHASH_GRID_W - 1, dtype=np.int64)[None, :]
+              + (DHASH_GRID_W - 1) * np.arange(DHASH_GRID_H,
+                                               dtype=np.int64)[:, None])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["pgm"]):
+                w, h, img = _parse_pgm(payload)
+                xs = (xs_frac * w) // DHASH_GRID_W
+                ys = (ys_frac * h) // DHASH_GRID_H
+                g = img[np.ix_(ys, xs)]
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)
+                rows.append((int(doc_id),
+                             int((bits << powers).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return pgms.mapInPandas(batches, PGM_DHASH_SCHEMA)
 
 
 PGM_PERMISSIVE_SCHEMA = StructType([

@@ -989,3 +989,62 @@ def q_wav_decimate2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").isNotNull()
     )
     return decode_wav_decimate_features(synthesize_wav(docs))
+
+
+_PGM_PX = ("((3 * {x} + 5 * {y} + d.doc_id) % 256 + 256) % 256")
+
+_PGM_DHASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         32 + ((doc_id % 4 + 4) % 4) * 16 AS w,
+         24 + ((doc_id % 3 + 3) % 3) * 16 AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), bits AS (
+  SELECT d.doc_id, r.r * 8 + c.c AS p,
+         CASE WHEN {_PGM_PX.format(x="((c.c * d.w) // 9)",
+                                   y="((r.r * d.h) // 7)")}
+              >  {_PGM_PX.format(x="(((c.c + 1) * d.w) // 9)",
+                                 y="((r.r * d.h) // 7)")}
+              THEN 1 ELSE 0 END AS bit
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, 6)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS c) c
+), hashes AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM hashes GROUP BY dhash HAVING count(*) >= 2
+"""
+
+
+@declare("pgm_dhash_dedup_census", oracle=_PGM_DHASH_SQL)
+def q_pgm_dhash_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE DEDUP over the real decode path — the
+    multimodal twin of exact_dedup_fingerprint: synthesize genuine P5
+    PGM payloads, REALLY parse them (header, stride, byte layout),
+    point-sample a fixed 9x7 grid and pack the horizontal gradient
+    signs into a 56-bit dHash (operators/multimodal.decode_pgm_dhash),
+    then census the duplicate clusters (hash -> copy count +
+    first-seen doc, first-seen-wins like every dedup member). The
+    oracle replays grid sampling, gradient compare, and bit packing in
+    closed form — any header/stride/rounding/packing drift in the real
+    decoder is a hash mismatch.
+
+    Scale shape: decode+hash map-side, ONE groupBy on the 56-bit key,
+    HAVING bounds the output to genuinely repeated imagery. Hamming
+    near-dup composes with the LSH band machinery (see operator
+    docstring)."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_pgm_dhash,
+        synthesize_pgm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull())
+    hashes = decode_pgm_dhash(synthesize_pgm(docs))
+    return (hashes.groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= 2))

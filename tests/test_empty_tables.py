@@ -184,6 +184,7 @@ _REPRESENTATIVE = (
     "context_assembly_snapshot",        # 5-branch lifecycle on 0 rows
     "task_update_snapshot",             # 4-branch lifecycle on 0 rows
     "tx_generated_dml_census",          # DML+derived pruning on 0 rows
+    "pgm_dhash_dedup_census",           # perceptual hash on 0 assets
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

@@ -110,6 +110,10 @@ def test_retrieval_family_matches_oracle_on_random_corpora(spark, texts):
 _PIPELINE_FUZZED = (
     "exact_dedup_fingerprint",
     "chunk_exact_dedup",
+    # round-10: perceptual-hash image dedup — fuzz corpora make dense
+    # duplicate clusters (tiny doc_id ranges repeat (w,h,id%256)
+    # patterns) and single-doc corpora hit the empty HAVING branch
+    "pgm_dhash_dedup_census",
     "quality_filter_audit",
     "split_assignment_counts",
     "vocab_min_max_df",
