@@ -1048,3 +1048,144 @@ def q_pgm_dhash_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("first_doc"))
             .filter(F.col("n_docs") >= 2))
+
+
+# Hamming near-dup over the perceptual hashes: band 56 bits into 4x14,
+# bucket-join CLUSTER REPRESENTATIVES (one per distinct hash — the
+# quadratic is on distinct perceptual hashes, never on documents),
+# confirm with bit_count(xor) <= threshold. The mega-bucket guard is
+# declared in BOTH engines so the oracle certifies the guarded
+# semantics (the MAX_BUCKET precedent from the MinHash family).
+_DHASH_BANDS = 4
+_DHASH_BAND_BITS = 14
+_DHASH_HAM_K = 4
+_DHASH_MAX_BUCKET = 10_000
+
+_PGM_DHASH_HASHES = f"""
+WITH d AS (
+  SELECT doc_id,
+         32 + ((doc_id % 4 + 4) % 4) * 16 AS w,
+         24 + ((doc_id % 3 + 3) % 3) * 16 AS h
+  FROM documents WHERE doc_id IS NOT NULL
+), bits AS (
+  SELECT d.doc_id, r.r * 8 + c.c AS p,
+         CASE WHEN {_PGM_PX.format(x="((c.c * d.w) // 9)",
+                                   y="((r.r * d.h) // 7)")}
+              >  {_PGM_PX.format(x="(((c.c + 1) * d.w) // 9)",
+                                 y="((r.r * d.h) // 7)")}
+              THEN 1 ELSE 0 END AS bit
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, 6)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS c) c
+), hashes AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)"""
+
+_PGM_DHASH_NEAR_SQL = f"""{_PGM_DHASH_HASHES},
+reps AS (
+  SELECT dhash, min(doc_id) AS first_doc, count(*) AS n_docs
+  FROM hashes GROUP BY dhash
+), bands AS (
+  SELECT dhash, b.b AS band_idx,
+         (dhash >> (b.b * {_DHASH_BAND_BITS}))
+           & {(1 << _DHASH_BAND_BITS) - 1} AS band_val
+  FROM reps,
+       LATERAL (SELECT unnest(generate_series(0, {_DHASH_BANDS - 1}))
+                AS b) b
+), kept_bands AS (
+  SELECT dhash, band_idx, band_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+    FROM bands)
+  WHERE bn <= {_DHASH_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT a.dhash AS ha, b2.dhash AS hb
+  FROM kept_bands a
+  JOIN kept_bands b2 USING (band_idx, band_val)
+  WHERE a.dhash < b2.dhash
+), near AS (
+  SELECT ha, hb FROM cand
+  WHERE bit_count(xor(ha, hb)) <= {_DHASH_HAM_K}
+), near_sym AS (
+  SELECT ha AS h, hb AS o FROM near
+  UNION ALL SELECT hb, ha FROM near
+)
+SELECT r.dhash, r.first_doc, r.n_docs,
+       count(ns.o) AS n_near_clusters,
+       CAST(COALESCE(sum(ro.n_docs), 0) AS BIGINT) AS near_docs
+FROM reps r
+LEFT JOIN near_sym ns ON r.dhash = ns.h
+LEFT JOIN reps ro ON ns.o = ro.dhash
+GROUP BY r.dhash, r.first_doc, r.n_docs
+"""
+
+
+@declare("pgm_dhash_near_clusters", oracle=_PGM_DHASH_NEAR_SQL)
+def q_pgm_dhash_near_clusters(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HAMMING NEAR-DUP over the perceptual hashes — the LSH-banded
+    composition the dHash operator promises: one representative per
+    exact-hash cluster, 4x14-bit band bucket-join between
+    REPRESENTATIVES (never documents — the candidate quadratic is
+    bounded by distinct 56-bit hashes, which duplicate-heavy corpora
+    keep tiny relative to docs), bit_count(xor) <= {K} confirm, and a
+    per-cluster census: how many near clusters, how many documents
+    they hold. Mega-buckets (> MAX_BUCKET reps sharing a band value)
+    are excluded in BOTH engines, so the oracle certifies the guarded
+    semantics — the MinHash MAX_BUCKET rule.
+
+    Scale shape: decode+hash map-side; reps = one groupBy; the band
+    join shuffles reps x 4 rows; the confirm is a codegen'd popcount.
+    At 100 TB the reps relation is the dedup survivor count — exactly
+    what SemDeDup/MinHash already bound."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_pgm_dhash,
+        synthesize_pgm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull())
+    hashes = decode_pgm_dhash(synthesize_pgm(docs))
+    # reps feeds four downstream subtrees (bands a/b, the census spine,
+    # the neighbor join-back) — materialize it once instead of decoding
+    # the corpus once per reference (the kmeans/react lineage rule;
+    # audited 6 decode scans before, 1 after)
+    reps = hashes.groupBy("dhash").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=True)
+    mask = (1 << _DHASH_BAND_BITS) - 1
+    bands = reps.select(
+        "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (F.shiftrightunsigned("dhash", i * _DHASH_BAND_BITS)
+                 .bitwiseAND(mask)).alias("band_val"))
+            for i in range(_DHASH_BANDS)])).alias("b"),
+    ).select("dhash", "b.band_idx", "b.band_val")
+    from pyspark.sql.window import Window as _W
+
+    kept = (bands.withColumn(
+        "_bn", F.count(F.lit(1)).over(
+            _W.partitionBy("band_idx", "band_val")))
+        .filter(F.col("_bn") <= _DHASH_MAX_BUCKET).drop("_bn"))
+    a = kept.select(F.col("dhash").alias("ha"), "band_idx", "band_val")
+    b = kept.select(F.col("dhash").alias("hb"), "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("ha") < F.col("hb"))
+            .select("ha", "hb").distinct())
+    near = cand.filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        <= _DHASH_HAM_K)
+    near_sym = (near.select(F.col("ha").alias("h"), F.col("hb").alias("o"))
+                .unionByName(near.select(F.col("hb").alias("h"),
+                                         F.col("ha").alias("o"))))
+    ro = reps.select(F.col("dhash").alias("o"),
+                     F.col("n_docs").alias("o_docs"))
+    return (reps.join(near_sym, reps["dhash"] == near_sym["h"], "left")
+            .join(ro, "o", "left")
+            .groupBy("dhash", "first_doc", "n_docs")
+            .agg(F.count("o").alias("n_near_clusters"),
+                 F.coalesce(F.sum("o_docs"), F.lit(0)).cast("bigint")
+                 .alias("near_docs")))

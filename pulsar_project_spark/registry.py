@@ -58,6 +58,7 @@ NEW_R10: tuple[str, ...] = (
     "task_update_snapshot",       # task.py:491-627 write-side capstone
     "tx_generated_dml_census",    # UPDATE-moves-base recompute (ADVICE fix)
     "pgm_dhash_dedup_census",     # perceptual-hash image dedup (real decode)
+    "pgm_dhash_near_clusters",    # Hamming-banded near-dup composition
 )
 
 RECERTS_R10: tuple[str, ...] = (
@@ -81,7 +82,7 @@ RECERTS_R10: tuple[str, ...] = (
 
 # Stalest-green refresh: the remaining round-3-verdict cohort
 # (alphabetical continuation past r9's trim point; 36 queries still
-# carry a round-3 verdict as their latest — the first 27 fit).
+# carry a round-3 verdict as their latest — the first 26 fit).
 STALE_REFRESH_R10: tuple[str, ...] = (
     "customer_order_count_distribution", "daily_revenue_7d_ma",
     "doc_chunks_overlapping", "embedding_int8_quantize",
@@ -96,7 +97,6 @@ STALE_REFRESH_R10: tuple[str, ...] = (
     "orders_above_customer_avg", "orders_above_priority_mean",
     "parts_no_bulk_order", "pivot_event_type_by_day",
     "props_digit_redaction", "quality_filter_audit",
-    "repetition_top_bigram",
 )
 
 CORE_FIRST: tuple[str, ...] = (

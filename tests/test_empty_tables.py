@@ -185,6 +185,7 @@ _REPRESENTATIVE = (
     "task_update_snapshot",             # 4-branch lifecycle on 0 rows
     "tx_generated_dml_census",          # DML+derived pruning on 0 rows
     "pgm_dhash_dedup_census",           # perceptual hash on 0 assets
+    "pgm_dhash_near_clusters",          # banded Hamming join on 0 reps
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

@@ -114,6 +114,10 @@ _PIPELINE_FUZZED = (
     # duplicate clusters (tiny doc_id ranges repeat (w,h,id%256)
     # patterns) and single-doc corpora hit the empty HAVING branch
     "pgm_dhash_dedup_census",
+    # ... and the banded Hamming composition over the same hashes
+    # (single-rep corpora leave the candidate join empty; tiny rep
+    # sets exercise both near and isolated clusters)
+    "pgm_dhash_near_clusters",
     "quality_filter_audit",
     "split_assignment_counts",
     "vocab_min_max_df",
