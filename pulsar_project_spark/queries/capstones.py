@@ -63,6 +63,13 @@ _RAG_TERMS = " + ".join(
     for kw in FLAGSHIP_KEYWORDS
 )
 
+# Spark's integer ``div`` truncates toward zero; DuckDB's ``//``
+# floors. event_id carries no nonnegative bound in this query, so the
+# oracle spells out trunc division (the repo's sign-guard convention —
+# same reason the dhash oracle writes ((doc_id % 4 + 4) % 4)).
+_BATCH_ID = (f"CASE WHEN event_id >= 0 THEN event_id // {_SUMMARY_BATCH} "
+             f"ELSE -((-event_id) // {_SUMMARY_BATCH}) END")
+
 _CTX_ORACLE = rf"""
 WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
@@ -74,11 +81,11 @@ WITH ev AS (
   FROM (
     SELECT batch_id, n_events, batch_value,
            row_number() OVER (ORDER BY batch_id DESC) AS rn
-    FROM (SELECT event_id // {_SUMMARY_BATCH} AS batch_id,
+    FROM (SELECT {_BATCH_ID} AS batch_id,
                  count(*) AS n_events,
                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    AS batch_value
-          FROM ev GROUP BY event_id // {_SUMMARY_BATCH})
+          FROM ev GROUP BY 1)
   ) WHERE rn = 1
 ), records_tail AS (
   -- records[-latest_record_num:], memory.py:123-126

@@ -2368,6 +2368,9 @@ _GEN_DAY_US = 86_400_000_000
 _GEN_TS_LO = 19_731 * _GEN_DAY_US + 3_600_000_000   # mid-day window edges:
 _GEN_TS_HI = 19_735 * _GEN_DAY_US + 7_200_000_000   # derivation must floor
 
+# DuckDB ``//`` floors where Spark's ``div`` truncates — safe here
+# because the WHERE clause bounds ts_us between positive constants, so
+# the two divisions provably agree on every surviving row.
 _TX_GENERATED_SQL = f"""
 SELECT event_type,
        count(*) AS n_events,
@@ -2472,6 +2475,7 @@ WITH base AS (
 )
 SELECT event_type, count(*) AS n_events,
        CAST(sum(cents) AS BIGINT) AS total_cents,
+       -- floor (//) vs trunc (div) agree: WHERE bounds ts_us positive
        CAST(sum(ts_us // {_GEN_DAY_US}) AS BIGINT) AS sum_day
 FROM updated
 WHERE ts_us BETWEEN {_GEN_DEST_LO} AND {_GEN_DEST_HI}

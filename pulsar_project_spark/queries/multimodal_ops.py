@@ -1050,14 +1050,18 @@ def q_pgm_dhash_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") >= 2))
 
 
-# Hamming near-dup over the perceptual hashes: band 56 bits into 4x14,
-# bucket-join CLUSTER REPRESENTATIVES (one per distinct hash — the
-# quadratic is on distinct perceptual hashes, never on documents),
-# confirm with bit_count(xor) <= threshold. The mega-bucket guard is
-# declared in BOTH engines so the oracle certifies the guarded
+# Hamming near-dup over the perceptual hashes: band the 56-bit hash
+# into 5x12 bits (bits 0..59; the top four are always zero), bucket-
+# join CLUSTER REPRESENTATIVES (one per distinct hash — the quadratic
+# is on distinct perceptual hashes, never on documents), confirm with
+# bit_count(xor) <= threshold. K+1 = 5 bands guarantees recall at
+# Hamming <= K = 4: four differing bits cannot touch all five bands,
+# so some band matches exactly (the r10 4x14 layout could miss a pair
+# differing by one bit per band — ADVICE r10). The mega-bucket guard
+# is declared in BOTH engines so the oracle certifies the guarded
 # semantics (the MAX_BUCKET precedent from the MinHash family).
-_DHASH_BANDS = 4
-_DHASH_BAND_BITS = 14
+_DHASH_BANDS = 5
+_DHASH_BAND_BITS = 12
 _DHASH_HAM_K = 4
 _DHASH_MAX_BUCKET = 10_000
 
@@ -1126,10 +1130,11 @@ def q_pgm_dhash_near_clusters(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """HAMMING NEAR-DUP over the perceptual hashes — the LSH-banded
     composition the dHash operator promises: one representative per
-    exact-hash cluster, 4x14-bit band bucket-join between
+    exact-hash cluster, 5x12-bit band bucket-join between
     REPRESENTATIVES (never documents — the candidate quadratic is
     bounded by distinct 56-bit hashes, which duplicate-heavy corpora
-    keep tiny relative to docs), bit_count(xor) <= {K} confirm, and a
+    keep tiny relative to docs; K+1 bands guarantee recall at Hamming
+    <= K by pigeonhole), bit_count(xor) <= {K} confirm, and a
     per-cluster census: how many near clusters, how many documents
     they hold. Mega-buckets (> MAX_BUCKET reps sharing a band value)
     are excluded in BOTH engines, so the oracle certifies the guarded

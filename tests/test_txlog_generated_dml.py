@@ -204,9 +204,23 @@ def test_rewrite_mixing_null_generated_never_derive_prunes_rows(
     tx_compact(spark, table, target_bytes=1 << 30)
     pruned, n_read, _ = tx_read_pruned(spark, table, "ts", 100, 199)
     assert pruned.count() == 100
-    # and a file that contains ONLY conforming rows still prunes:
+    # the compacted file mixes null and valued day rows, so the null
+    # guard must have DROPPED its day bounds (else the derived skip
+    # above would have been unsound):
     snap = tx_snapshot(table)
-    assert any("day" not in s for s in snap["stats"].values()) or True
+    assert all("day" not in s for s in snap["stats"].values()), snap
+    # and a NEW file containing ONLY conforming rows still records day
+    # bounds and still prunes: era 3 lands in day bucket 20, then a
+    # probe on the day-1 base range must skip it via the derived check.
+    tx_append_clustered(
+        spark.range(2000, 2100).selectExpr("id AS ts", "id AS v"),
+        table, ["day"], n_files=1)
+    snap = tx_snapshot(table)
+    with_day = [n for n, s in snap["stats"].items() if "day" in s]
+    assert len(with_day) == 1, snap["stats"]
+    pruned, n_read, n_total = tx_read_pruned(spark, table, "ts", 100, 199)
+    assert pruned.count() == 100
+    assert n_total == 2 and n_read == 1  # era-3 file skipped on day bounds
 
 
 # --- schema-evolution guards -------------------------------------------------

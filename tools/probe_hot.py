@@ -81,8 +81,19 @@ def main() -> int:
         return 0
     if not args.names:
         ap.error("names required unless --gate")
-    floors = {}
-    tolerance = 1.3
+    # ad-hoc probes of floor-listed queries report drift too (same
+    # floors as --gate; non-listed names just print their timings)
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "HOT_FLOORS.json")) as fh:
+            _cfg = json.load(fh)
+        floors = _cfg.get("floors", {})
+        tolerance = float(_cfg.get("tolerance", 1.3))
+    except FileNotFoundError:
+        floors = {}
+        tolerance = 1.3
 
     from pulsar_project_spark.session import get_spark
     from pulsar_project_spark.sources.tables import TABLE_NAMES, load_table
