@@ -159,15 +159,24 @@ def main() -> None:
     detail_name = (
         "bench_detail_steady.json" if _STEADY else "bench_detail.json"
     )
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, detail_name)
+    detail = {"sf": sf, "n_queries": len(timings), "total_sec": total,
+              "queries": timings}
     with open(detail_path, "w") as fh:
-        json.dump(
-            {"sf": sf, "n_queries": len(timings), "total_sec": total,
-             "queries": timings},
-            fh, indent=1, sort_keys=True,
-        )
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # ALSO write a round-stamped copy (VERDICT r10 "What's wrong" #2:
+    # overwriting the detail in place forced git archaeology for
+    # per-query round-over-round diffs). The round is inferred as
+    # 1 + the newest driver bench artifact present.
+    import glob as _glob
+    rounds = [int(m.group(1)) for p in _glob.glob(
+        os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    rnd = (max(rounds) + 1) if rounds else 1
+    stamped = detail_name.replace(".json", f"_r{rnd:02d}.json")
+    with open(os.path.join(repo, stamped), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     line = json.dumps({

@@ -94,6 +94,26 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
     return assign.select(id_col, "label", "sq_dist"), cent
 
 
+def kmeans_assign_to(emb: DataFrame, cent: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to FROZEN centroids ``(label, qc)`` — the
+    incremental-index maintenance primitive: new vectors join an
+    existing coarse quantizer WITHOUT retraining (retraining on every
+    append would re-shard the whole store; production IVF freezes the
+    quantizer at train time and only re-trains offline). Same integer
+    argmin + lowest-label tiebreak as ``kmeans_fit``'s assignment
+    step, so assign-then-union == union-then-assign exactly."""
+    q = _quantize(emb, id_col, vec_col)
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        id_col, "label", _sq_dist(F.col("qv"), F.col("qc")).alias("sq_dist")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("sq_dist"), F.asc("label"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "label", "sq_dist"))
+
+
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(vec_id, label, sq_dist) after ``iters`` Lloyd rounds."""

@@ -445,8 +445,9 @@ def decode_pgm_dhash(pgms: DataFrame) -> DataFrame:
     census downstream is one groupBy on a 56-bit key (uniform unless
     the corpus genuinely repeats imagery — exactly the skew you WANT
     surfaced). Near-dup (Hamming <= k) composes with the existing LSH
-    band machinery: split the 56 bits into 4x14-bit bands and bucket-
-    join, same plan as minhash_lsh_bands."""
+    band machinery: split the hash into 5x12-bit bands (K+1 bands
+    guarantee recall at Hamming <= K=4) and bucket-join, same plan as
+    minhash_lsh_bands."""
     import numpy as np
 
     xs_frac = np.arange(DHASH_GRID_W, dtype=np.int64)
@@ -469,6 +470,51 @@ def decode_pgm_dhash(pgms: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     return pgms.mapInPandas(batches, PGM_DHASH_SCHEMA)
+
+
+PGM_DHASH_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("pixel_sum", LongType()),
+])
+
+
+def decode_pgm_dhash_stats(pgms: DataFrame) -> DataFrame:
+    """ONE decode pass emitting the perceptual hash AND the byte
+    statistics the corpus pipeline filters on: (doc_id, dhash, w, h,
+    pixel_sum). The corpus-pipeline capstone needs both, and decoding
+    the corpus twice (once per consumer) would double the dominant
+    cost at 100 TB — the same materialize-once rule the dHash
+    near-dup query applies to its reps relation.
+
+    ``pixel_sum`` is the exact int64 sum of all pixel bytes; mean-band
+    quality rules compare ``lo*n_px <= pixel_sum <= hi*n_px`` in pure
+    integers so the oracle can replay them bit-for-bit."""
+    import numpy as np
+
+    xs_frac = np.arange(DHASH_GRID_W, dtype=np.int64)
+    ys_frac = np.arange(DHASH_GRID_H, dtype=np.int64)
+    powers = (np.arange(DHASH_GRID_W - 1, dtype=np.int64)[None, :]
+              + (DHASH_GRID_W - 1) * np.arange(DHASH_GRID_H,
+                                               dtype=np.int64)[:, None])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["pgm"]):
+                w, h, img = _parse_pgm(payload)
+                xs = (xs_frac * w) // DHASH_GRID_W
+                ys = (ys_frac * h) // DHASH_GRID_H
+                g = img[np.ix_(ys, xs)]
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)
+                rows.append((int(doc_id), int((bits << powers).sum()),
+                             w, h, int(img.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dhash", "w", "h", "pixel_sum"])
+
+    return pgms.mapInPandas(batches, PGM_DHASH_STATS_SCHEMA)
 
 
 PGM_PERMISSIVE_SCHEMA = StructType([

@@ -1194,3 +1194,95 @@ def q_pgm_dhash_near_clusters(spark: SparkSession,
             .agg(F.count("o").alias("n_near_clusters"),
                  F.coalesce(F.sum("o_docs"), F.lit(0)).cast("bigint")
                  .alias("near_docs")))
+
+
+# --- multimodal corpus-pipeline capstone (VERDICT r10 order #4) --------------
+#
+# The multimodal twin of corpus_pipeline_e2e, mirroring the reference's
+# extract-files flow (task.py:158-291) at pipeline scale: synthesize
+# real P5 assets -> ONE decode pass (perceptual hash + byte stats) ->
+# quality filter (min resolution + exact integer mean-pixel band) ->
+# perceptual-hash dedup (first-seen-wins) -> deterministic md5 split ->
+# per-(split, w, h) census carrying both keeper and source-doc counts.
+_PIPE_MEAN_LO, _PIPE_MEAN_HI = 120, 136   # mean-pixel quality band
+_PIPE_MIN_W, _PIPE_MIN_H = 48, 40         # min-resolution quality rule
+
+_MM_PIPELINE_SQL = f"""{_PGM_DHASH_HASHES},
+stats AS (
+  SELECT d.doc_id, d.w, d.h,
+         CAST(sum({_PGM_PX.format(x="(p.p % d.w)", y="(p.p // d.w)")})
+              AS BIGINT) AS pixel_sum
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS p) p
+  GROUP BY d.doc_id, d.w, d.h
+), quality AS (
+  SELECT s.doc_id, s.w, s.h, hashes.dhash
+  FROM stats s JOIN hashes USING (doc_id)
+  WHERE s.w >= {_PIPE_MIN_W} AND s.h >= {_PIPE_MIN_H}
+    AND s.pixel_sum >= {_PIPE_MEAN_LO} * s.w * s.h
+    AND s.pixel_sum <= {_PIPE_MEAN_HI} * s.w * s.h
+), keepers AS (
+  SELECT dhash, min(doc_id) AS doc_id, count(*) AS n_source_docs,
+         arg_min(w, doc_id) AS w, arg_min(h, doc_id) AS h
+  FROM quality GROUP BY dhash
+)
+SELECT CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
+       w, h,
+       count(*) AS n_images,
+       CAST(sum(n_source_docs) AS BIGINT) AS n_source_docs
+FROM keepers
+GROUP BY 1, 2, 3
+"""
+
+
+@declare("multimodal_corpus_pipeline", oracle=_MM_PIPELINE_SQL)
+def q_multimodal_corpus_pipeline(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MULTIMODAL CORPUS PIPELINE as ONE plan — the image twin of
+    ``corpus_pipeline_e2e`` and the composition VERDICT r10 order #4
+    asks for, mirroring the reference's extract-files flow
+    (task.py:158-291) at training-pipeline scale: genuine P5 payloads
+    -> ONE Arrow decode pass emitting perceptual hash AND byte stats
+    (``decode_pgm_dhash_stats`` — decoding twice would double the
+    dominant cost at 100 TB) -> quality filter (min resolution
+    {W}x{H} plus an exact integer mean-pixel band, the byte-stats
+    analog of the C4 thresholds) -> perceptual-hash dedup
+    (first-seen-wins per dhash, cluster size retained) ->
+    deterministic md5 train/val/test split (same rule as the text
+    pipeline) -> per-(split, w, h) census. The oracle replays the
+    decode, the pixel sums, the hash, the dedup, and the split in
+    closed form — drift anywhere in the chain is a hash mismatch.
+
+    Scale shape: synthesis + decode are map-side Arrow batches pinned
+    to core-count partitions; the dedup groupBy on the 56-bit key is
+    the ONE data-sized shuffle; the census is a few dozen cells.
+    Catalyst prunes the decode output to the five used columns."""
+    from pulsar_project_spark.operators.multimodal import (
+        decode_pgm_dhash_stats,
+        synthesize_pgm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull())
+    decoded = decode_pgm_dhash_stats(synthesize_pgm(docs))
+    npx = F.col("w").cast("long") * F.col("h").cast("long")
+    quality = decoded.filter(
+        (F.col("w") >= _PIPE_MIN_W) & (F.col("h") >= _PIPE_MIN_H)
+        & (F.col("pixel_sum") >= _PIPE_MEAN_LO * npx)
+        & (F.col("pixel_sum") <= _PIPE_MEAN_HI * npx)
+    )
+    keepers = quality.groupBy("dhash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_source_docs"),
+        F.min_by("w", "doc_id").alias("w"),
+        F.min_by("h", "doc_id").alias("h"),
+    )
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (keepers.select(
+                F.when(first == "e", "val").when(first == "f", "test")
+                .otherwise("train").alias("split"),
+                "w", "h", "n_source_docs")
+            .groupBy("split", "w", "h")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("n_source_docs").cast("bigint")
+                 .alias("n_source_docs")))

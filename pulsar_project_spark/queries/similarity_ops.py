@@ -327,7 +327,11 @@ def _pq_term(m: int, c: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _pq_assign_sql() -> str:
+def _pq_branches_sql(from_rel: str = "q") -> str:
+    """The per-subspace code-argmin UNION ALL over ``from_rel`` (a
+    relation with vec_id + embedding) — shared by the standalone code
+    assignment and the ANN-index-maintenance capstone (which encodes
+    only the live membership)."""
     from pulsar_project_spark.operators.pq import PQ_K, PQ_M
     branches = []
     for m in range(PQ_M):
@@ -339,11 +343,15 @@ def _pq_assign_sql() -> str:
                 + " END")
         branches.append(
             f"SELECT vec_id, {m} AS subspace, "
-            f"CAST({code} AS INTEGER) AS code FROM q"
+            f"CAST({code} AS INTEGER) AS code FROM {from_rel}"
         )
+    return "\nUNION ALL\n".join(branches)
+
+
+def _pq_assign_sql() -> str:
     return ("WITH q AS (SELECT vec_id, embedding FROM embeddings "
             "WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)\n"
-            + "\nUNION ALL\n".join(branches))
+            + _pq_branches_sql("q"))
 
 
 @declare("pq_code_assignment", oracle=_pq_assign_sql())
@@ -905,3 +913,193 @@ def q_semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_prune(emb, per_cluster=_SEMDEDUP_PER_CLUSTER,
                           threshold=_SEMDEDUP_TAU)
+
+
+# --- ANN index as a transactional table (VERDICT r10 order #8) ---------------
+#
+# The production shape for an embedding store at 100 TB: the vector
+# corpus lives in the tx table log, the IVF-PQ index structures
+# (frozen coarse quantizer + cell assignment + PQ codes) live in tx
+# tables of their own, and index maintenance is INCREMENTAL off the
+# change data feed — assign+encode only the inserted vectors, keyed-
+# delete only the removed ones. The census proves
+# index-after-incremental-update == index-rebuilt-from-scratch.
+_ANN_DEL_LO, _ANN_DEL_HI = 100, 250   # the COW delete window on vec_id
+_ANN_K = 8
+
+
+def _ann_index_sql() -> str:
+    from pulsar_project_spark.operators.kmeans import QUANT
+
+    dist = ("list_reduce(list_transform(generate_series(1, 64), "
+            "i -> (live.qv[i] - cent.qc[i]) * (live.qv[i] - cent.qc[i])), "
+            "(x, y) -> x + y)")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * {QUANT}.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+cent AS (
+  -- the FROZEN coarse quantizer: trained on the initial membership
+  -- (vec_id pmod 3 != 2 — the two pre-index appends), k lowest ids
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label,
+         qv AS qc
+  FROM (SELECT vec_id, qv FROM vecs
+        WHERE ((vec_id % 3 + 3) % 3) <> 2
+        ORDER BY vec_id LIMIT {_ANN_K})
+),
+live AS (
+  -- final base-table membership: all three appends minus the COW
+  -- delete window — a pure function of the data
+  SELECT vec_id, embedding, qv FROM vecs
+  WHERE NOT (vec_id BETWEEN {_ANN_DEL_LO} AND {_ANN_DEL_HI})
+),
+scored AS (
+  SELECT live.vec_id, cent.label, {dist} AS sq_dist FROM live, cent
+),
+assign AS (
+  SELECT vec_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sq_dist ASC, label ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+codes AS (
+{_pq_branches_sql("live")}
+)
+SELECT a.label, c.subspace,
+       count(*) AS n_vecs,
+       CAST(sum(c.code) AS BIGINT) AS sum_code,
+       CAST(sum(c.vec_id) AS BIGINT) AS sum_vec_id
+FROM assign a JOIN codes c USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
+@declare("tx_ann_index_maintenance_census", oracle=_ann_index_sql())
+def q_tx_ann_index_maintenance_census(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """ANN INDEX AS A TRANSACTIONAL TABLE, MAINTAINED OFF THE CHANGE
+    FEED (VERDICT r10 order #8) — the composition of the two flagship
+    families, and the production shape for an embedding store at
+    100 TB:
+
+    1. the vector corpus lands in a tx table in two commits (vec_id
+       pmod 3 in {0, 1});
+    2. the IVF-PQ index is built over that snapshot — frozen coarse
+       quantizer (k lowest-id centroids, ``kmeans_fit`` iters=1),
+       per-vector cell assignment, and PQ codes — and PERSISTED as tx
+       tables (centroids + one (vec_id, label, subspace, code)
+       relation);
+    3. the base table then changes: a third append (pmod 3 == 2) and a
+       COW range delete;
+    4. maintenance reads ``tx_table_changes`` since the build version,
+       nets the weighted feed per vec_id, assigns+encodes ONLY the net
+       inserts against the frozen quantizer (``kmeans_assign_to`` —
+       no retraining), tx-appends them, and keyed-deletes the net
+       removals via ``tx_merge(delete_matched=True)``;
+    5. the runner REBUILDS the index from the final snapshot with the
+       same frozen centroids and asserts incremental == rebuilt
+       exactly (both directions of exceptAll empty) — then returns the
+       per-(label, subspace) census of the MAINTAINED index table,
+       which the oracle recomputes from the raw parquet in closed
+       form. A stale code, a lost insert, a surviving deleted vector,
+       or a drifted centroid breaks either the assert or the hash.
+
+    Scale shape: the feed costs what the changes cost (manifest diff,
+    touched files only); assign+encode run on the insert delta only
+    (8-row centroid broadcast, map-side encode); the keyed delete
+    rewrites only manifest-bounds-affected index files. Rebuild —
+    the thing this pattern lets you STOP doing per update — appears
+    here solely as the verification arm."""
+    import os
+    import shutil
+    import tempfile
+
+    from pulsar_project_spark.operators.kmeans import (
+        kmeans_assign_to,
+        kmeans_fit,
+    )
+    from pulsar_project_spark.operators.pq import pq_encode
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_delete_range,
+        tx_init,
+        tx_latest_version,
+        tx_merge,
+        tx_read,
+        tx_table_changes,
+    )
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_rt_{os.getpid()}", "ann_index")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    vec_tbl = os.path.join(base, "vectors")
+    idx_tbl = os.path.join(base, "index")
+    cent_tbl = os.path.join(base, "centroids")
+    for t in (vec_tbl, idx_tbl, cent_tbl):
+        tx_init(t)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select("vec_id", "embedding")
+    r3 = F.pmod(F.col("vec_id"), F.lit(3))
+
+    # 1. initial corpus: two commits
+    tx_append(emb.filter(r3 == 0), vec_tbl)
+    tx_append(emb.filter(r3 == 1), vec_tbl)
+    v_built = tx_latest_version(vec_tbl)
+
+    # 2. build + persist the index (frozen quantizer)
+    snap0 = tx_read(spark, vec_tbl)
+    assign0, cent = kmeans_fit(snap0, k=_ANN_K, iters=1, require_k=False)
+    tx_append(cent, cent_tbl)
+    index0 = assign0.select("vec_id", "label").join(
+        pq_encode(snap0), "vec_id")
+    tx_append(index0.select("vec_id", "label", "subspace", "code"),
+              idx_tbl)
+
+    # 3. the base table moves on
+    tx_append(emb.filter(r3 == 2), vec_tbl)
+    tx_delete_range(spark, vec_tbl, "vec_id", _ANN_DEL_LO, _ANN_DEL_HI)
+
+    # 4. incremental maintenance off the change feed
+    feed = tx_table_changes(spark, vec_tbl, v_from=v_built)
+    w = F.when(F.col("_change_type") == "insert",
+               F.col("_n")).otherwise(-F.col("_n"))
+    net = (feed.select("vec_id", "embedding", w.alias("w"))
+           .groupBy("vec_id", "embedding")
+           .agg(F.sum("w").alias("w"))
+           .filter(F.col("w") != 0)
+           .localCheckpoint(eager=True))
+    frozen = tx_read(spark, cent_tbl)
+    ins = net.filter(F.col("w") > 0).select("vec_id", "embedding")
+    dele = net.filter(F.col("w") < 0).select("vec_id").distinct()
+    if dele.count() > 0:
+        tx_merge(spark, idx_tbl, dele, "vec_id",
+                 delete_matched=True, insert_not_matched=False)
+    if not ins.isEmpty():
+        inc = kmeans_assign_to(ins, frozen).select("vec_id", "label").join(
+            pq_encode(ins), "vec_id")
+        tx_append(inc.select("vec_id", "label", "subspace", "code"),
+                  idx_tbl)
+
+    # 5. verification arm: rebuild from the final snapshot, same
+    #    frozen centroids — incremental must equal rebuilt EXACTLY
+    maintained = tx_read(spark, idx_tbl).select(
+        "vec_id", "label", "subspace", "code")
+    final = tx_read(spark, vec_tbl)
+    rebuilt = kmeans_assign_to(final, frozen).select("vec_id", "label") \
+        .join(pq_encode(final), "vec_id") \
+        .select("vec_id", "label", "subspace", "code")
+    if (maintained.exceptAll(rebuilt).count() != 0
+            or rebuilt.exceptAll(maintained).count() != 0):
+        raise AssertionError(
+            "incrementally maintained ANN index != rebuilt index")
+
+    return (maintained.groupBy("label", "subspace")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("code").cast("bigint").alias("sum_code"),
+                 F.sum("vec_id").cast("bigint").alias("sum_vec_id")))

@@ -1,11 +1,17 @@
 """Declared queries: Structured Streaming surface (SURVEY.md §2.9).
 
-No ``oracle_sql`` entries — these run genuine streaming jobs
-(checkpointed state store, watermarks, applyInPandasWithState), which
-the driver covers with the weaker rows-only check. Their BATCH twins
-are fully oracle-checked elsewhere (microbatch_rollup, keep_last_n_per_user,
-orders_by_month…), and tests/test_streaming.py asserts streaming == batch
-— closing the chain stream → batch → DuckDB.
+Two certification tiers. FULL-ORACLE queries land their stream in the
+transactional table log via txn-keyed ``tx_append_txn`` (exactly-once
+is a gate: restart + forced-replay must commit nothing) and hash the
+landed result against DuckDB over the ORIGINAL parquet —
+``streaming_tx_exactly_once_census`` pioneered the recipe and round 11
+extended it to ``streaming_topic_frequencies``,
+``streaming_windowed_counts``, and ``streaming_keep_last_state``
+(VERDICT r10 order #1). The rest are rows-only by design (their final
+state is genuinely arrival-order- or state-machine-shaped), with BATCH
+twins fully oracle-checked elsewhere and tests/test_streaming.py
+asserting streaming == batch — closing the chain stream → batch →
+DuckDB.
 """
 
 from __future__ import annotations
@@ -24,25 +30,93 @@ from pulsar_project_spark.streaming import (
 )
 
 
-@declare("streaming_topic_frequencies")
+# Streaming aggregations drop rows whose event time is NULL (the
+# window expression has no bucket for them), so every oracle filters
+# ts IS NOT NULL explicitly. epoch_us is nonnegative on every corpus
+# (post-1970), so DuckDB // (floor) == Spark div (trunc) here.
+_TOPIC_FREQ_SQL = """
+SELECT event_type AS topic,
+       count(*) AS frequency,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_updated_us
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@declare("streaming_topic_frequencies", oracle=_TOPIC_FREQ_SQL)
 def q_streaming_topic_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Update-mode streaming aggregation keyed (topic, day) with a
-    watermark, merged per micro-batch into a parquet serving table
-    (reference topic upsert + frequency++, memory.py:315-344), driven
-    to completion via availableNow."""
+    """FULL-ORACLE streaming aggregation (upgraded from rows-only,
+    VERDICT r10 order #1): update-mode agg keyed (topic, day) with a
+    watermark (reference topic upsert + frequency++, memory.py:315-344),
+    every micro-batch's running totals landed in a TRANSACTIONAL table
+    via txn-keyed ``tx_append_txn``, the stream restarted against its
+    checkpoint (must commit nothing) and batch 0 force-replayed (must
+    deduplicate) before the last-wins rollup is read — so the per-topic
+    census hashes against DuckDB over the original parquet, and a lost
+    batch, doubled batch, or watermark drop breaks the driver gate."""
     return run_topic_frequencies(spark, sf_dir)
 
 
-@declare("streaming_windowed_counts")
+_WINDOWED_COUNTS_SQL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+w AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         event_type, count(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT win_start_us, event_type, n
+FROM w, mx
+WHERE win_start_us + 3600000000 <= mx.m - 600000000
+"""
+
+
+@declare("streaming_windowed_counts", oracle=_WINDOWED_COUNTS_SQL)
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked event-time tumbling windows, append mode."""
+    """FULL-ORACLE watermarked tumbling windows (upgraded from
+    rows-only, VERDICT r10 order #1): append mode emits each
+    watermark-closed window exactly once into a txn-landed tx table
+    (restart + forced-replay gated). The oracle states the emission
+    rule in closed form: a 1-hour window emits iff its end is at or
+    before (max event time − 10-minute delay) — the final watermark of
+    a drained bounded stream (boundary pinned empirically: end == wm
+    emits; Spark's ms-flooring of the watermark is unobservable at
+    second-aligned window ends). Late-data drops cannot occur: the one
+    staged source file makes batch 0 the only data batch, and batch
+    0 runs at watermark 0."""
     return run_windowed_counts(spark, sf_dir)
 
 
-@declare("streaming_keep_last_state")
+_KEEP_LAST_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC NULLS FIRST,
+                                     event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_seen
+  FROM events
+)
+SELECT user_id, n_seen,
+       string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY ts_us NULLS LAST, event_id) AS tail_event_ids
+FROM e WHERE rn <= 5
+GROUP BY user_id, n_seen
+"""
+
+
+@declare("streaming_keep_last_state", oracle=_KEEP_LAST_SQL)
 def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState per-user last-N tail (records[-n:],
-    memory.py:125, as managed streaming state)."""
+    """FULL-ORACLE custom stateful operator (upgraded from rows-only,
+    VERDICT r10 order #1): ``applyInPandasWithState`` per-user last-N
+    tail (records[-n:], memory.py:125, as managed streaming state),
+    per-batch state landed in a txn-keyed tx table, last-wins per user
+    by batch id after the restart + forced-replay gates. The oracle is
+    the closed-form tail: within the single data batch the operator
+    sorts by (ts_us, event_id), so the landed tail equals the global
+    top-5-by-(ts_us, event_id) in ascending order and n_seen equals
+    the per-user row count (NULL ts sorts last ascending in pandas,
+    mirrored by NULLS FIRST under DESC in the oracle)."""
     return run_keep_last_state(spark, sf_dir)
 
 

@@ -43,69 +43,82 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R10: tuple[str, ...] = (
-    # empty: every oracle-backed query declared before round 10 has a
-    # cumulative driver-green verdict (tools/rotate_budget.py over
-    # CORRECTNESS_r01..r09: 259/259, 0 ever-failed).
+NEVER_CHECKED_R11: tuple[str, ...] = (
+    # empty: every oracle-backed query declared before round 11 has a
+    # cumulative driver-green verdict (CORRECTNESS_r01..r10 union:
+    # 264/264 oracle-backed green); the three round-11 oracle UPGRADES
+    # (previously rows-only) sit in NEW_R11 instead.
 )
 
-NEW_R10: tuple[str, ...] = (
-    # oracle-backed queries added in round 10 (each also fuzz + empty-
-    # table gated). react_loop_trace is also new but rows-only by
-    # design (iterative dispatch) — it lives outside the core window,
-    # certified by tests/test_react_loop.py's byte-exact replica.
-    "context_assembly_snapshot",  # §3.1 read-side lifecycle capstone
-    "task_update_snapshot",       # task.py:491-627 write-side capstone
-    "tx_generated_dml_census",    # UPDATE-moves-base recompute (ADVICE fix)
-    "pgm_dhash_dedup_census",     # perceptual-hash image dedup (real decode)
-    "pgm_dhash_near_clusters",    # Hamming-banded near-dup composition
+NEW_R11: tuple[str, ...] = (
+    # round-11 oracle upgrades: the exactly-once tx-landing pattern
+    # applied to the rows-only streaming tail (VERDICT r10 order #1)
+    "streaming_topic_frequencies",
+    "streaming_windowed_counts",
+    "streaming_keep_last_state",
+    # round-11 capstone: decode → byte-stats quality → perceptual
+    # dedup → split as ONE plan (VERDICT r10 order #4)
+    "multimodal_corpus_pipeline",
+    # round-11 oracle upgrade: the CJK tokenizer's RE2 replay (VERDICT
+    # r10 order #7) — the one reference-defect deviation (SURVEY §7.3)
+    # now carries a hash certificate
+    "cjk_token_counts",
+    # round-11 capstone: ANN index persisted as tx tables, maintained
+    # incrementally off the change feed (VERDICT r10 order #8)
+    "tx_ann_index_maintenance_census",
 )
 
-RECERTS_R10: tuple[str, ...] = (
-    # modules changed in round 10 after their round-9 verdict:
-    # sources/txlog.py (ADVICE r9 fixes: generated-column soundness
-    # across UPDATE/MERGE/upsert/txn-append, declaration-over-live-
-    # column reject, null-guarded generated stats, rename/drop guards,
-    # upsert full-replacement check) — the queries on those paths:
-    "tx_generated_column_census", "tx_update_census",
-    "tx_merge_upsert_census", "tx_merge_conditional_census",
-    "tx_row_tracking_census", "streaming_tx_exactly_once_census",
-    "streaming_tx_tracked_sink_census", "tx_pruned_read_census",
-    "tx_pruned_read_renamed_census", "tx_compaction_roundtrip_census",
-    "tx_optimize_zorder_census", "tx_delete_range_census",
-    "tx_reorg_purge_census", "tx_keyless_cdc_census",
-    "tx_rename_column_census", "tx_drop_column_census",
-    # sources/tx_batch.py (executor-side write validation + one pinned
-    # snapshot across schema()/reader())
-    "tx_datasource_read_census", "tx_datasource_write_census",
+# VERDICT r10 order #2: rows-only queries that have NEVER received any
+# driver verdict get window slots so the driver at least records
+# rows>0/err for them. These deliberately carry no oracle (iterative /
+# stateful-streaming / sampling semantics); each is twin-paired or
+# replica-pinned in tests.
+ROWS_ONLY_R11: tuple[str, ...] = (
+    "react_loop_trace", "mq_pipeline_roundtrip",
+    "streaming_cdc_apply", "streaming_retractable_agg",
+    "ivf_cosine_topk", "kmeans_clusters", "mmr_diverse_topk",
+    "bpe_learned_merges", "approx_distinct_users",
+    "stratified_sample_by_type",
 )
 
-# Stalest-green refresh: the remaining round-3-verdict cohort
-# (alphabetical continuation past r9's trim point; 36 queries still
-# carry a round-3 verdict as their latest — the first 26 fit).
-STALE_REFRESH_R10: tuple[str, ...] = (
-    "customer_order_count_distribution", "daily_revenue_7d_ma",
-    "doc_chunks_overlapping", "embedding_int8_quantize",
-    "exact_dedup_fingerprint", "except_all_click_days",
-    "except_click_days_no_purchase", "fact_fact_smj_rollup",
-    "forward_fill_user_values", "fuzzy_part_name_pairs",
-    "grouping_sets_region_priority", "hybrid_bm25_cosine_rerank",
-    "intersect_click_and_purchase_days", "json_path_stats_native",
-    "label_fact_urljoin", "late_shipment_priority_counts",
-    "minhash_candidate_pairs", "minhash_lsh_bands",
-    "neardup_components", "ngram_jaccard_pairs",
-    "orders_above_customer_avg", "orders_above_priority_mean",
-    "parts_no_bulk_order", "pivot_event_type_by_day",
-    "props_digit_redaction", "quality_filter_audit",
+RECERTS_R11: tuple[str, ...] = (
+    # modules changed in round 11 after their round-10 verdict:
+    # queries/multimodal_ops.py (dHash banding 4x14 → 5x12, ADVICE),
+    # queries/capstones.py (trunc-div oracle guard), queries/io_ops.py
+    # (comment-only, cheap to re-cert), streaming/pipeline.py (the tx
+    # landing generalization) — the queries on those paths:
+    "pgm_dhash_dedup_census", "pgm_dhash_near_clusters",
+    "context_assembly_snapshot", "task_update_snapshot",
+    "tx_generated_dml_census", "tx_generated_column_census",
+    "streaming_tx_exactly_once_census", "streaming_tx_change_feed",
+    "streaming_tx_mv_census",
+)
+
+# Stalest-green refresh: the full remaining round-3-verdict cohort
+# (10 queries) plus the oldest round-4 slice, alphabetical.
+STALE_REFRESH_R11: tuple[str, ...] = (
+    "repetition_top_bigram", "revenue_rollup_region_nation",
+    "rolling_fingerprint", "sequence_packing_bins",
+    "split_assignment_counts", "star_revenue_region_segment_month",
+    "token_cooccurrence_top20", "unpivot_event_matrix",
+    "value_histogram_by_type", "vocab_min_max_df",
+    "arg_schema_casting", "arg_whitelist_projection",
+    "audio_chunk_plan", "cumulative_new_users_by_day",
+    "daily_user_series_gapfilled", "debounce_events_1s",
+    "equidepth_deciles_by_type", "evict_min_per_type",
+    "extension_lookup_default", "fenced_json_roundtrip",
+    "hash_stratified_sample", "ivf_cell_assignment",
+    "json_props_extract", "keep_last_n_per_user",
 )
 
 CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r9 — if THIS flips, the harness broke
+    # canary: flagship, green r1-r10 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R10,
-    *NEW_R10,
-    *RECERTS_R10,
-    *STALE_REFRESH_R10,
+    *NEVER_CHECKED_R11,
+    *NEW_R11,
+    *ROWS_ONLY_R11,
+    *RECERTS_R11,
+    *STALE_REFRESH_R11,
 )[:50]
 
 

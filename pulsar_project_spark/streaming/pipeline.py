@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType,
 )
@@ -116,26 +117,78 @@ def _drain(sdf: DataFrame, checkpoint: str | None = None, mode: str = "append",
     q.awaitTermination()
 
 
+def _tx_landed_update_stream(sdf: DataFrame, base: str, app: str,
+                             spark: SparkSession) -> DataFrame:
+    """Drive an UPDATE-mode streaming DataFrame to completion, landing
+    every micro-batch's emission (running totals per key, stamped with
+    its batch id) into a transactional table via idempotent
+    ``tx_append_txn`` keyed (app, batchId) — then make exactly-once a
+    GATE, not a claim: restart the stream against the same checkpoint
+    (no new files → the table version must not move) and force-replay
+    batch 0's commit under its txn id (must deduplicate). Returns the
+    landed table; the caller resolves last-wins per key by batch_id.
+
+    This is the ``run_streaming_tx_sink`` recipe generalized to
+    update-mode aggregations: running totals make the last-wins read
+    correct under any batch split, and the txn CAS makes re-delivery
+    a no-op — so the final rollup can carry a full hash oracle against
+    the original parquet."""
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_txn,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    tx_init(table)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        tx_append_txn(bdf.withColumn("batch_id", F.lit(batch_id)),
+                      table, app=app, batch=batch_id, n_files=1)
+
+    def drain_once() -> None:
+        q = (
+            sdf.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _state_partitions(spark):
+        drain_once()
+        drain_once()  # restart, same checkpoint: must commit nothing
+    v = tx_snapshot(table)["version"]
+    if tx_snapshot(table)["files"]:
+        # executor-crash replay: re-deliver under batch 0's txn id
+        tx_append_txn(tx_read(spark, table), table, app=app, batch=0,
+                      n_files=1)
+        if tx_snapshot(table)["version"] != v:
+            raise AssertionError("replayed batch 0 was not deduplicated")
+    return tx_read(spark, table)
+
+
 def run_topic_frequencies(spark: SparkSession, sf_dir: str,
                           state_dir: str | None = None,
                           watermark: str = "1 hour") -> DataFrame:
     """Streaming topic-frequency state (reference upsert+frequency++,
-    ``memory.py:319-323``), scale-safe formulation:
+    ``memory.py:319-323``), scale-safe formulation with an
+    EXACTLY-ONCE tx landing (full hash oracle since round 11):
 
     update-mode aggregation keyed **(topic, day)** → ``foreachBatch``
-    keyed MERGE (``sources.sinks.merge_upsert``) into a parquet serving
-    table → all-time totals as a rollup over day rows at read.
+    lands each batch's running totals in a transactional table via
+    txn-keyed ``tx_append_txn`` (restart + forced-replay gated, see
+    ``_tx_landed_update_stream``) → last-wins per (topic, day) by
+    batch id → all-time totals as a rollup over day rows at read.
 
-    Why this shape at 100 TB/day: update mode emits only keys changed in
-    the trigger; the watermark evicts state for closed day buckets, so
-    the state store holds ~(live topics × days inside the watermark)
-    instead of every topic ever seen; the serving table owns history.
-    The merge overwrites per (topic, day) with the running value —
-    re-delivery of a micro-batch is idempotent."""
-    from pulsar_project_spark.sources.sinks import merge_upsert
-
-    out_dir = state_dir or tempfile.mkdtemp(prefix="topics_")
-    table = os.path.join(out_dir, "topic_days")
+    Why this shape at 100 TB/day: update mode emits only keys changed
+    in the trigger; the watermark evicts state for closed day buckets,
+    so the state store holds ~(live topics × days inside the
+    watermark) instead of every topic ever seen; the landed table owns
+    history, and the txn CAS makes micro-batch re-delivery a no-op."""
+    base = state_dir or tempfile.mkdtemp(prefix="topics_")
     ev = events_stream(spark, sf_dir).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
@@ -149,23 +202,12 @@ def run_topic_frequencies(spark: SparkSession, sf_dir: str,
                 F.unix_micros(F.col("w.start")).alias("day_start_us"),
                 "frequency", "last_updated_us")
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert(batch_df.sparkSession, table, batch_df,
-                     key_cols=["topic", "day_start_us"],
-                     order_col="last_updated_us")
-
-    with _state_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    served = spark.read.parquet(table)
-    return served.groupBy("topic").agg(
+    landed = _tx_landed_update_stream(agg, base, "topic_freq", spark)
+    w = Window.partitionBy("topic", "day_start_us").orderBy(
+        F.desc("batch_id"))
+    latest = (landed.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1))
+    return latest.groupBy("topic").agg(
         F.sum("frequency").alias("frequency"),
         F.max("last_updated_us").alias("last_updated_us"),
     )
@@ -180,12 +222,32 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
     late-data-tolerant aggregation the reference lacks. Append mode:
     only watermark-finalized windows are emitted.
 
+    Exactly-once is GATED, not assumed (round-11 oracle upgrade): each
+    batch's finalized windows land in a transactional table via
+    txn-keyed ``tx_append_txn``; the run restarts the stream against
+    the same checkpoint (no new files → the table version must not
+    move) and force-replays batch 0's commit (must deduplicate).
+    Append mode emits each closed window exactly once, so the landed
+    table IS the result — a lost or doubled batch breaks the driver
+    hash against the oracle's closed-form emission rule
+    (win_end <= max event time - watermark delay).
+
     ``sink_dir``/``checkpoint`` default to fresh temp dirs; pass stable
-    paths to exercise restart semantics — a rerun against the same
-    checkpoint re-reads the offset log, finds no new files, and commits
-    nothing (exactly-once across restarts; pinned by
+    paths to exercise restart semantics across CALLS too (pinned by
     tests/test_streaming.py::test_windowed_counts_checkpoint_restart)."""
-    sink_dir = sink_dir or tempfile.mkdtemp(prefix="win_")
+    from pulsar_project_spark.sources.txlog import (
+        tx_append_txn,
+        tx_init,
+        tx_latest_version,
+        tx_read,
+        tx_snapshot,
+    )
+
+    base = sink_dir or tempfile.mkdtemp(prefix="win_")
+    table = os.path.join(base, "table")
+    ckpt = checkpoint or os.path.join(base, "ckpt")
+    if tx_latest_version(table) is None:
+        tx_init(table)
     ev = events_stream(spark, sf_dir).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
@@ -198,9 +260,31 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
             "event_type", "n",
         )
     )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        tx_append_txn(bdf, table, app="windowed_counts", batch=batch_id,
+                      n_files=1)
+
+    def drain_once() -> None:
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     with _state_partitions(ev.sparkSession):
-        _drain(agg, checkpoint=checkpoint, mode="append", sink_path=sink_dir)
-    return spark.read.parquet(sink_dir)
+        drain_once()
+        drain_once()  # restart, same checkpoint: must commit nothing
+    v = tx_snapshot(table)["version"]
+    if tx_snapshot(table)["files"]:
+        tx_append_txn(tx_read(spark, table), table, app="windowed_counts",
+                      batch=0, n_files=1)
+        if tx_snapshot(table)["version"] != v:
+            raise AssertionError("replayed batch 0 was not deduplicated")
+    return tx_read(spark, table)
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +379,14 @@ def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     ring buffer of the last N event ids (the reference's ``records[-n:]``
     tail as *streaming state* instead of a batch window). State value is
-    a compact string-encoded id list — tiny, shard-keyed by user."""
+    a compact string-encoded id list — tiny, shard-keyed by user.
+
+    Round-11 oracle upgrade: each micro-batch's per-user running state
+    lands in a transactional table via txn-keyed ``tx_append_txn``
+    (restart + forced-replay gated, ``_tx_landed_update_stream``);
+    last-wins per user by batch id is the final state — so the custom
+    stateful operator now carries a full hash oracle (tail-of-N and
+    count are closed-form SQL over the original parquet)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
@@ -318,25 +409,16 @@ def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
             "tail_event_ids": [",".join(str(i) for i in ids)],
         })
 
-    sink_dir = tempfile.mkdtemp(prefix="tail_")
+    base = tempfile.mkdtemp(prefix="tail_")
     ev = events_stream(spark, sf_dir).select("user_id", "event_id", "ts_us")
     out = ev.groupBy("user_id").applyInPandasWithState(
         update, _TAIL_OUT, _TAIL_STATE, "Update", GroupStateTimeout.NoTimeout
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(sink_dir)
-
-    with _state_partitions(spark):
-        q = (
-            out.writeStream.outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .foreachBatch(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    landed = _tx_landed_update_stream(out, base, "keep_last", spark)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (landed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_seen", "tail_event_ids"))
 
 
 def run_session_windows(spark: SparkSession, sf_dir: str,

@@ -53,6 +53,9 @@ _REPRESENTATIVE = (
     "tx_snapshot_time_travel_census",   # time travel over empty commits
     "tx_optimize_zorder_census",        # zorder rewrite of a 0-row table
     "streaming_tx_exactly_once_census", # stream-land 0 rows, replay no-op
+    "streaming_topic_frequencies",      # tx-landed update agg of 0 rows
+    "streaming_windowed_counts",        # tx-landed append windows, 0 rows
+    "streaming_keep_last_state",        # tx-landed stateful tail, 0 rows
     "streaming_retractable_agg",        # weighted stream fold of 0 rows
     "streaming_ks_drift",               # ECDF histogram fold of 0 rows
     "streaming_cms_heavy_hitters",      # counter fold of 0 rows
@@ -186,6 +189,9 @@ _REPRESENTATIVE = (
     "tx_generated_dml_census",          # DML+derived pruning on 0 rows
     "pgm_dhash_dedup_census",           # perceptual hash on 0 assets
     "pgm_dhash_near_clusters",          # banded Hamming join on 0 reps
+    "multimodal_corpus_pipeline",       # decode+dedup+split on 0 assets
+    "cjk_token_counts",                 # RE2 token replay on 0 docs
+    "tx_ann_index_maintenance_census",  # feed-maintained index on 0 vectors
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)

@@ -118,6 +118,9 @@ _PIPELINE_FUZZED = (
     # (single-rep corpora leave the candidate join empty; tiny rep
     # sets exercise both near and isolated clusters)
     "pgm_dhash_near_clusters",
+    # round-11: the multimodal corpus-pipeline capstone composing the
+    # decode, byte-stats quality band, perceptual dedup, and split
+    "multimodal_corpus_pipeline",
     "quality_filter_audit",
     "split_assignment_counts",
     "vocab_min_max_df",
@@ -131,6 +134,9 @@ _PIPELINE_FUZZED = (
     "filename_sanitize",
     "title_extraction",
     "marker_extraction",
+    # round-11: the CJK tokenizer over fuzz ASCII salads wrapped in
+    # the fixed mixed-script affixes (stopword drops + punct tokens)
+    "cjk_token_counts",
     # text analysis family
     "lang_corpus_stats",
     "distinct_tokens_except_stopwords",
@@ -384,6 +390,12 @@ _EVENTS_FUZZED = (
     "late_arrival_census",
     "user_journey_strings",
     "value_equiwidth_histogram",
+    # round-11: the streaming oracle upgrades (exactly-once tx landing)
+    # — fuzzing exercises the watermark emission boundary and the
+    # last-wins batch fold on random second-offset streams
+    "streaming_topic_frequencies",
+    "streaming_windowed_counts",
+    "streaming_keep_last_state",
 )
 
 
@@ -762,6 +774,11 @@ _EMBEDDING_FUZZED = (
     # k > n centroids (every point its own cluster, nothing pruned)
     # and zero-norm vectors (cosine-0 convention on both engines)
     "semdedup_embedding_prune",
+    # round-11: tx-table ANN index maintained off the change feed —
+    # tiny corpora make the third append and/or the delete window
+    # empty (feed nets to pure inserts / nothing), and min_size=2
+    # degrades the frozen quantizer to min(k, n) centroids
+    "tx_ann_index_maintenance_census",
 )
 
 

@@ -60,6 +60,7 @@ ALLOWED_NESTED_LOOP = {
     "ivfpq_rerank_topk",         # same 8-row centroid crossJoin feeds stage 1
     "zorder3_bucket_stats",      # 1-row min/max-bounds broadcast crossJoin
     "dsir_importance_select",    # 1-row gram-totals broadcast crossJoin
+    "tx_ann_index_maintenance_census",  # 8-row frozen-centroid broadcast crossJoin
 }
 
 
