@@ -134,8 +134,9 @@ def main() -> int:
     if failed:
         print(f"GATE FAILED: {failed} exceed {tolerance}x their floors")
         return 1
-    if floors:
-        print(f"GATE OK: {len(args.names)} hot floors held")
+    n_floored = sum(1 for n in args.names if n in floors)
+    if n_floored:
+        print(f"GATE OK: {n_floored} hot floors held")
     return 0
 
 
