@@ -18,9 +18,7 @@ _OP_SQL = ("CASE WHEN event_id % 11 = 0 THEN 'D' "
            "WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END")
 
 
-@declare(
-    "cdc_apply_net_state",
-    oracle=f"""
+_CDC_NET_SQL = f"""
 WITH log AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id, {_OP_SQL} AS op,
          value, event_type
@@ -36,8 +34,10 @@ WITH log AS (
 SELECT user_id, value, event_type, op AS last_op,
        CAST(n_changes AS BIGINT) AS n_changes
 FROM ranked WHERE rn = 1 AND op != 'D'
-""",
-)
+"""
+
+
+@declare("cdc_apply_net_state", oracle=_CDC_NET_SQL)
 def q_cdc_apply_net_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply: reduce an insert/update/delete change log to the
     final table state — per key the highest-(seq, tiebreak) change

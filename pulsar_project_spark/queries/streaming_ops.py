@@ -1,17 +1,32 @@
 """Declared queries: Structured Streaming surface (SURVEY.md §2.9).
 
-Two certification tiers. FULL-ORACLE queries land their stream in the
-transactional table log via txn-keyed ``tx_append_txn`` (exactly-once
-is a gate: restart + forced-replay must commit nothing) and hash the
-landed result against DuckDB over the ORIGINAL parquet —
-``streaming_tx_exactly_once_census`` pioneered the recipe and round 11
-extended it to ``streaming_topic_frequencies``,
-``streaming_windowed_counts``, and ``streaming_keep_last_state``
-(VERDICT r10 order #1). The rest are rows-only by design (their final
-state is genuinely arrival-order- or state-machine-shaped), with BATCH
-twins fully oracle-checked elsewhere and tests/test_streaming.py
-asserting streaming == batch — closing the chain stream → batch →
-DuckDB.
+After the round-11 oracle sweep, EVERY streaming query here except
+``streaming_debounce`` carries a full DuckDB hash oracle, certified
+through one of four sound mechanisms:
+
+1. exactly-once tx landing (``streaming_tx_exactly_once_census``'s
+   recipe; topic frequencies / windowed counts / keep-last state) —
+   each micro-batch lands via txn-keyed ``tx_append_txn``, the
+   restart and forced-replay gates must commit nothing, and the
+   landed census hashes against the original parquet;
+2. batch-split-independent folds adopting their batch twins' oracles
+   (retractable agg: additive; CMS: linear; LC: idempotent bit_or;
+   CDC: commutative-idempotent max-struct; KS: value-exact histogram
+   with read-time bounds);
+3. single-batch-exact pipelines with direct census oracles (dedup
+   over doubled input, stream-stream inner join, MQ roundtrip) —
+   sound because the one staged source file makes batch 0 the only
+   data batch;
+4. closed-form watermark emission rules, boundaries pinned by probes
+   (tumbling/session: emit iff end <= ms-floored final watermark;
+   left-outer NULL rows: emit iff click+horizon strictly below it).
+
+``streaming_debounce`` stays rows-only by design: its greedy
+kept-row chain is genuine sequential state (the batch twin's lag()
+oracle is a DIFFERENT function in general), pinned instead by the
+parity test's pandas replica. tests/test_streaming.py keeps the full
+stream == batch twin suite as fast regressions on top of the driver
+hashes.
 """
 
 from __future__ import annotations
@@ -129,61 +144,194 @@ def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_debounce(spark, sf_dir)
 
 
-@declare("streaming_session_windows")
+# Session semantics pinned empirically (round-11 probes): an event at
+# EXACTLY prev + gap still merges (break iff ts - prev > gap); a
+# session emits iff its end (last event + gap) is <= the final
+# watermark, computed in Spark's ms domain: (max_ts_us // 1000 -
+# 600000) * 1000 — session ends carry microseconds, so the ms flooring
+# is observable here (unlike hour-aligned tumbling windows).
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL
+), mx AS (
+  SELECT (max(ts_us) // 1000 - 600000) * 1000 AS wm FROM e
+), seq AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), isl AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), sess AS (
+  SELECT user_id, min(ts_us) AS session_start_us,
+         max(ts_us) + 1800000000 AS session_end_us,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM sess, mx WHERE session_end_us <= mx.wm
+"""
+
+
+@declare("streaming_session_windows", oracle=_SESSION_SQL)
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked per-user session windows (30-min gap), append mode —
-    only watermark-closed sessions emit. Batch twin: user_session_stats
-    (oracle-checked); test asserts emission ⊆ batch."""
+    """FULL-ORACLE (round-11 upgrade): watermarked per-user session
+    windows (30-min inactivity gap), append mode. The oracle replays
+    the session merge as gaps-and-islands (break iff the gap is
+    STRICTLY exceeded — an event at exactly prev+gap merges, pinned
+    empirically) and the emission rule in closed form: a session emits
+    iff last-event + gap <= the final ms-domain watermark. Late drops
+    cannot occur (single staged file → batch 0 runs at watermark 0)."""
     return run_session_windows(spark, sf_dir)
 
 
-@declare("streaming_exact_dedup")
+_DEDUP_CENSUS_SQL = """
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@declare("streaming_exact_dedup", oracle=_DEDUP_CENSUS_SQL)
 def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dedup on event id over a deliberately
-    doubled input — state-bounded exactly-once ingestion. Batch twin:
-    per-type counts of the raw events (oracle-checked as
-    group_count_by_type); test asserts streaming == batch."""
+    """FULL-ORACLE (round-11 upgrade): watermarked streaming dedup on
+    the event id over a deliberately DOUBLED input — the oracle is the
+    census of the raw (un-doubled) events, so the dedup either
+    restores exact original multiplicity or the driver hash breaks.
+    Sound under any batch split: both copies of an id are in-flight
+    within the watermark horizon of each other (same event time), so
+    dropDuplicatesWithinWatermark can never evict one copy's state
+    before the other arrives. NULL-event-time rows pass through
+    un-dropped (probed empirically), so the census needs no ts
+    filter."""
     return run_streaming_dedup(spark, sf_dir)
 
 
-@declare("streaming_stream_stream_join")
+_SSJ_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.value,
+       c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@declare("streaming_stream_stream_join", oracle=_SSJ_SQL)
 def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream inner join (clicks → purchases within
-    1 hour — the SAME lookback as the oracle-checked batch twin
-    ``attribution_window_join``, so the twin-pairing test can assert
-    exact per-purchase parity): state-store-bounded on both sides."""
+    """FULL-ORACLE (round-11 upgrade): watermarked stream-stream inner
+    join, clicks → purchases within 1 hour (the batch twin
+    ``attribution_window_join``'s lookback). INNER stream-stream
+    matches emit as soon as both sides are buffered — the watermark
+    only bounds state, it never gates emission — and with the one
+    staged source file both sides arrive in batch 0 before any state
+    eviction, so the emitted pairs are exactly the batch band join;
+    the oracle states that join directly. NULL user_id / ts fail the
+    join predicate identically in both engines."""
     return run_stream_stream_join(spark, sf_dir, horizon_minutes=60)
 
 
-@declare("mq_pipeline_roundtrip")
+_MQ_ROUNDTRIP_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY event_type
+"""
+
+
+@declare("mq_pipeline_roundtrip", oracle=_MQ_ROUNDTRIP_SQL)
 def q_mq_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pulsar-shaped MQ pipeline: produce events as keyed binary
-    messages → stream-consume → decode → aggregate → publish to an
-    output topic → read it back (sources.mq; BASELINE.json north star
-    'Structured Streaming + Pulsar source/sink')."""
+    """FULL-ORACLE (round-11 upgrade): Pulsar-shaped MQ pipeline —
+    produce events as keyed binary messages → stream-consume → decode
+    → aggregate (complete mode) → publish to an output topic → read it
+    back (sources.mq; BASELINE.json north star 'Structured Streaming +
+    Pulsar source/sink'). The oracle is the direct census of the
+    original events, so the ENTIRE encode → enqueue → stream-decode →
+    aggregate → re-encode → dequeue → re-decode chain must be
+    byte-faithful for the hash to match — roundtrip fidelity is now a
+    driver-checked claim, not a test-only one."""
     from pulsar_project_spark.sources.mq import roundtrip_pipeline
 
     return roundtrip_pipeline(spark, sf_dir)
 
 
-@declare("streaming_cdc_apply")
+def _cdc_stream_sql() -> str:
+    # the batch twin's oracle minus n_changes (a per-key change COUNT
+    # is not maintainable from a max-struct fold; the streamed state
+    # carries the winning row only)
+    from pulsar_project_spark.queries.cdc_ops import _CDC_NET_SQL
+    return ("SELECT user_id, value, event_type, last_op FROM ("
+            + _CDC_NET_SQL + ")")
+
+
+@declare("streaming_cdc_apply", oracle=_cdc_stream_sql())
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC: the change log as micro-batches, folded into a
     state table by a seq-respecting max-struct MERGE (retry/out-of-order
-    safe); tombstoned deletes filtered at read. Named twin:
-    ``cdc_apply_net_state`` (oracle-backed)."""
+    safe); tombstoned deletes filtered at read. FULL-ORACLE since round
+    11: the max-struct fold is commutative/associative/idempotent, so
+    the final state equals the batch reduction under any batch split —
+    the oracle is the batch twin ``cdc_apply_net_state``'s SQL minus
+    its n_changes column (a change count is not derivable from a
+    max-struct state)."""
     from pulsar_project_spark.streaming.pipeline import run_streaming_cdc_apply
     return run_streaming_cdc_apply(spark, sf_dir)
 
 
-@declare("streaming_left_outer_attribution")
+# Left-outer emission pinned empirically (round-11 probes): matched
+# clicks emit promptly (inner matches never wait on the watermark);
+# an UNMATCHED click's NULL row emits iff click_ts + horizon is
+# STRICTLY below the global watermark = min over both sides of
+# (ms-floored max event time) - delay.
+_LEFT_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+  FROM events WHERE event_type = 'click'
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+), p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+), wm AS (
+  SELECT (least((SELECT max(cts) // 1000 FROM c),
+                (SELECT max(pts) // 1000 FROM p)) - 600000) * 1000 AS w
+), attr AS (
+  SELECT c.user_id, c.click_id, c.cts,
+         max(CASE WHEN p.purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS attributed
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id
+   AND p.pts > c.cts AND p.pts <= c.cts + 1800000000
+  GROUP BY 1, 2, 3
+), emitted AS (
+  SELECT a.* FROM attr a, wm
+  WHERE a.attributed = 1 OR a.cts + 1800000000 < wm.w
+)
+SELECT user_id,
+       count(*) AS n_clicks,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+       CAST(count(*) - sum(attributed) AS BIGINT) AS n_unattributed
+FROM emitted GROUP BY user_id
+"""
+
+
+@declare("streaming_left_outer_attribution", oracle=_LEFT_OUTER_SQL)
 def q_streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER join (clicks that never
-    convert within 30 min emit with NULL purchase columns once the
-    watermark closes them) — the abandonment semantics the inner join
-    can't express. Batch twin: unattributed_clicks_census
-    (oracle-checked); the twin test asserts streaming ⊆ batch with
-    equality on the watermark-closable prefix."""
+    """FULL-ORACLE (round-11 upgrade): watermarked stream-stream LEFT
+    OUTER join — clicks that never convert within 30 min emit with
+    NULL purchase columns once the watermark proves no match can
+    arrive; the abandonment semantics the inner join can't express.
+    The oracle states BOTH emission rules in closed form: matched
+    clicks always appear (inner matches emit promptly), unmatched
+    clicks appear iff click_ts + horizon is strictly below the global
+    ms-domain watermark (min over both sides) — so a lost NULL row, a
+    premature emission, or a state-eviction bug breaks the driver
+    hash, not just the subset test."""
     from pulsar_project_spark.streaming.pipeline import (
         run_stream_stream_left_join,
     )
@@ -279,47 +427,77 @@ def q_streaming_tx_exactly_once_census(spark: SparkSession, sf_dir: str) -> Data
     return run_streaming_tx_sink(spark, sf_dir)
 
 
-@declare("streaming_retractable_agg")
+def _retract_sql() -> str:
+    from pulsar_project_spark.queries.star_ops import _RETRACT_SQL
+    return _RETRACT_SQL
+
+
+@declare("streaming_retractable_agg", oracle=_retract_sql())
 def q_streaming_retractable_agg(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """Rows-only by design (stateful streaming); twin-paired with the
-    oracle-backed `retractable_agg_view_census` — equality pinned in
-    tests/test_streaming.py."""
+    """FULL-ORACLE (round-11 upgrade): the per-micro-batch fold of the
+    weighted changelog is ADDITIVE — linear aggregates merge by plain
+    addition, so the final state equals the batch fold under ANY batch
+    split, and the query soundly carries its batch twin
+    ``retractable_agg_view_census``'s oracle directly (the equality the
+    twin test already pinned, now hash-certified by the driver)."""
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_retractable_agg,
     )
     return run_streaming_retractable_agg(spark, sf_dir)
 
 
-@declare("streaming_ks_drift")
+def _ks_sql() -> str:
+    from pulsar_project_spark.queries.analytics2 import _KS_SQL
+    return _KS_SQL
+
+
+@declare("streaming_ks_drift", oracle=_ks_sql())
 def q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design (stateful streaming); twin-paired with the
-    oracle-backed `ks_distance_order_values` — equality pinned in
-    tests/test_streaming.py."""
+    """FULL-ORACLE (round-11 upgrade): the state is the EXACT per-value
+    (cents, da, db) histogram, folded additively per micro-batch, and
+    the global bounds are taken at read time from the accumulated
+    histogram — so binning aggregated counts commutes with binning raw
+    rows under ANY batch split, and the final KS walk soundly carries
+    the batch twin ``ks_distance_order_values``'s oracle directly."""
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_ks_drift,
     )
     return run_streaming_ks_drift(spark, sf_dir)
 
 
-@declare("streaming_cms_heavy_hitters")
+def _cms_sql() -> str:
+    from pulsar_project_spark.queries.sketch_ops import _CMS_SQL
+    return _CMS_SQL
+
+
+@declare("streaming_cms_heavy_hitters", oracle=_cms_sql())
 def q_streaming_cms_heavy_hitters(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    """Rows-only by design (stateful streaming); twin-paired with the
-    oracle-backed `cms_heavy_hitters` — equality pinned in
-    tests/test_streaming.py."""
+    """FULL-ORACLE (round-11 upgrade): count-min counters are a LINEAR
+    sketch — pointwise per-batch addition lands the identical counter
+    table under ANY batch split, hence identical estimates, so the
+    query soundly carries the batch twin ``cms_heavy_hitters``'s
+    oracle directly."""
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_cms_heavy_hitters,
     )
     return run_streaming_cms_heavy_hitters(spark, sf_dir)
 
 
-@declare("streaming_lc_distinct")
+def _lc_sql() -> str:
+    from pulsar_project_spark.queries.sketch_ops import _LC_SQL
+    return _LC_SQL
+
+
+@declare("streaming_lc_distinct", oracle=_lc_sql())
 def q_streaming_lc_distinct(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    """Rows-only by design (stateful streaming); twin-paired with the
-    oracle-backed `lc_distinct_bitmap_census` — equality pinned in
-    tests/test_streaming.py."""
+    """FULL-ORACLE (round-11 upgrade): bit_or bitmap folds are
+    idempotent AND commutative — the streamed bitmap is bit-identical
+    to the batch build under any split and even under replays, so the
+    query soundly carries the batch twin ``lc_distinct_bitmap_census``'s
+    oracle directly."""
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_lc_distinct,
     )

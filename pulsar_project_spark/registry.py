@@ -46,16 +46,28 @@ def declare(name: str, oracle: str | None = None):
 NEVER_CHECKED_R11: tuple[str, ...] = (
     # empty: every oracle-backed query declared before round 11 has a
     # cumulative driver-green verdict (CORRECTNESS_r01..r10 union:
-    # 264/264 oracle-backed green); the three round-11 oracle UPGRADES
+    # 264/264 oracle-backed green); the round-11 oracle UPGRADES
     # (previously rows-only) sit in NEW_R11 instead.
 )
 
 NEW_R11: tuple[str, ...] = (
-    # round-11 oracle upgrades: the exactly-once tx-landing pattern
-    # applied to the rows-only streaming tail (VERDICT r10 order #1)
+    # round-11 oracle upgrades, tier 1: the exactly-once tx-landing
+    # pattern applied to the rows-only streaming tail (VERDICT r10 #1)
     "streaming_topic_frequencies",
     "streaming_windowed_counts",
     "streaming_keep_last_state",
+    # tier 2: batch-split-independent folds adopt their batch twins'
+    # oracles (additive / linear-sketch / bit_or / max-struct)
+    "streaming_retractable_agg", "streaming_ks_drift",
+    "streaming_cms_heavy_hitters", "streaming_lc_distinct",
+    "streaming_cdc_apply",
+    # tier 3: single-batch-exact pipelines with direct census oracles
+    "streaming_exact_dedup", "streaming_stream_stream_join",
+    "mq_pipeline_roundtrip",
+    # tier 4: closed-form watermark emission rules (boundaries pinned
+    # empirically: session end <= ms-floored wm emits; unmatched click
+    # NULL row emits iff cts + horizon strictly < global wm)
+    "streaming_session_windows", "streaming_left_outer_attribution",
     # round-11 capstone: decode → byte-stats quality → perceptual
     # dedup → split as ONE plan (VERDICT r10 order #4)
     "multimodal_corpus_pipeline",
@@ -70,15 +82,17 @@ NEW_R11: tuple[str, ...] = (
 
 # VERDICT r10 order #2: rows-only queries that have NEVER received any
 # driver verdict get window slots so the driver at least records
-# rows>0/err for them. These deliberately carry no oracle (iterative /
-# stateful-streaming / sampling semantics); each is twin-paired or
-# replica-pinned in tests.
+# rows>0/err for them. After the round-11 oracle sweep these are the
+# ENTIRE remaining rows-only surface that lacks a verdict: genuinely
+# iterative (kmeans/IVF/BPE/react), sketch-internal (approx/HLL/KLL),
+# sampling, greedy-state (debounce), or lenient-parse semantics — each
+# twin-paired or replica-pinned in tests.
 ROWS_ONLY_R11: tuple[str, ...] = (
-    "react_loop_trace", "mq_pipeline_roundtrip",
-    "streaming_cdc_apply", "streaming_retractable_agg",
+    "react_loop_trace", "streaming_debounce", "lenient_json_parse",
     "ivf_cosine_topk", "kmeans_clusters", "mmr_diverse_topk",
-    "bpe_learned_merges", "approx_distinct_users",
-    "stratified_sample_by_type",
+    "bpe_learned_merges", "bpe_encode_token_census",
+    "approx_distinct_users", "value_percentiles_sketch",
+    "stratified_sample_by_type", "hll_rolling_distinct_users",
 )
 
 RECERTS_R11: tuple[str, ...] = (
@@ -86,29 +100,26 @@ RECERTS_R11: tuple[str, ...] = (
     # queries/multimodal_ops.py (dHash banding 4x14 → 5x12, ADVICE),
     # queries/capstones.py (trunc-div oracle guard), queries/io_ops.py
     # (comment-only, cheap to re-cert), streaming/pipeline.py (the tx
-    # landing generalization) — the queries on those paths:
+    # landing generalization), queries/similarity_ops.py (PQ SQL
+    # builder refactor — pq_code_assignment re-certs it),
+    # queries/cdc_ops.py (oracle hoisted to a named constant) — the
+    # queries on those paths:
     "pgm_dhash_dedup_census", "pgm_dhash_near_clusters",
     "context_assembly_snapshot", "task_update_snapshot",
     "tx_generated_dml_census", "tx_generated_column_census",
-    "streaming_tx_exactly_once_census", "streaming_tx_change_feed",
-    "streaming_tx_mv_census",
+    "streaming_tx_exactly_once_census", "streaming_tx_mv_census",
+    "pq_code_assignment", "cdc_apply_net_state",
 )
 
 # Stalest-green refresh: the full remaining round-3-verdict cohort
-# (10 queries) plus the oldest round-4 slice, alphabetical.
+# (10 queries) plus the oldest round-4 entry, alphabetical.
 STALE_REFRESH_R11: tuple[str, ...] = (
     "repetition_top_bigram", "revenue_rollup_region_nation",
     "rolling_fingerprint", "sequence_packing_bins",
     "split_assignment_counts", "star_revenue_region_segment_month",
     "token_cooccurrence_top20", "unpivot_event_matrix",
     "value_histogram_by_type", "vocab_min_max_df",
-    "arg_schema_casting", "arg_whitelist_projection",
-    "audio_chunk_plan", "cumulative_new_users_by_day",
-    "daily_user_series_gapfilled", "debounce_events_1s",
-    "equidepth_deciles_by_type", "evict_min_per_type",
-    "extension_lookup_default", "fenced_json_roundtrip",
-    "hash_stratified_sample", "ivf_cell_assignment",
-    "json_props_extract", "keep_last_n_per_user",
+    "arg_schema_casting",
 )
 
 CORE_FIRST: tuple[str, ...] = (

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 
@@ -687,6 +687,14 @@ def run_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    if not os.path.isdir(state_path):
+        # empty input: zero batches reached the sink, no state written
+        return spark.createDataFrame([], StructType([
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+            StructField("last_op", StringType()),
+        ]))
     final = spark.read.parquet(state_path)
     return final.filter(F.col("op") != "D").select(
         "user_id", "value", "event_type", F.col("op").alias("last_op")

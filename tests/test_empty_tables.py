@@ -60,6 +60,12 @@ _REPRESENTATIVE = (
     "streaming_ks_drift",               # ECDF histogram fold of 0 rows
     "streaming_cms_heavy_hitters",      # counter fold of 0 rows
     "streaming_lc_distinct",            # bitmap fold of 0 rows
+    "streaming_cdc_apply",              # CDC max-struct fold of 0 rows
+    "streaming_exact_dedup",            # watermarked dedup of 0 rows
+    "streaming_stream_stream_join",     # stream-stream join of 0 rows
+    "streaming_session_windows",        # session windows over 0 rows
+    "streaming_left_outer_attribution", # outer join over 0 rows
+    "mq_pipeline_roundtrip",            # MQ roundtrip of 0 messages
     "streaming_tx_change_feed",         # manifest tail over 0-row commits
     "tx_pruned_read_census",            # stats pruning over 0 files
     "sql_lateral_order_profile",        # lateral agg over 0 customers

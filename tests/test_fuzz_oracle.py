@@ -390,12 +390,18 @@ _EVENTS_FUZZED = (
     "late_arrival_census",
     "user_journey_strings",
     "value_equiwidth_histogram",
-    # round-11: the streaming oracle upgrades (exactly-once tx landing)
-    # — fuzzing exercises the watermark emission boundary and the
-    # last-wins batch fold on random second-offset streams
+    # round-11: the streaming oracle upgrades — fuzzing exercises the
+    # watermark emission boundaries (tumbling/session/outer-join),
+    # the last-wins batch fold, the doubled-input dedup, and the MQ
+    # roundtrip codec on random second-offset streams
     "streaming_topic_frequencies",
     "streaming_windowed_counts",
     "streaming_keep_last_state",
+    "streaming_exact_dedup",
+    "streaming_stream_stream_join",
+    "streaming_session_windows",
+    "streaming_left_outer_attribution",
+    "mq_pipeline_roundtrip",
 )
 
 

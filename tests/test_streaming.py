@@ -185,25 +185,17 @@ def test_streaming_debounce_matches_batch(spark):
 # stream == batch (here) and batch == DuckDB (driver/oracle gate).
 
 TWIN_OF = {
-    # streaming_topic_frequencies, streaming_windowed_counts, and
-    # streaming_keep_last_state left this set in round 11: they carry
-    # full oracles via the exactly-once tx landing (VERDICT r10 #1),
-    # self-certifying like streaming_tx_exactly_once_census. Their
-    # inline stream==batch tests above remain as fast regressions.
+    # The round-11 oracle sweep moved every other streaming query to
+    # full self-certifying oracles (tx landing / twin-oracle adoption /
+    # closed-form emission rules — see queries/streaming_ops.py). The
+    # twin tests below remain as fast inline regressions with literal
+    # twin names. The ONE genuinely rows-only holdout:
+    # streaming_debounce — its greedy kept-row chain differs from the
+    # batch twin's lag() semantics in general (they coincide only when
+    # no same-key burst straddles a kept/suppressed boundary), so
+    # adopting the twin oracle would be unsound; the parity test runs
+    # both at a gap wide enough to exercise suppression.
     "streaming_debounce": "debounce_events_1s",
-    "streaming_session_windows": "user_session_stats",
-    "streaming_exact_dedup": "group_count_by_type",
-    "streaming_stream_stream_join": "attribution_window_join",
-    "mq_pipeline_roundtrip": "group_count_by_type",
-    "streaming_cdc_apply": "cdc_apply_net_state",
-    "streaming_left_outer_attribution": "unattributed_clicks_census",
-    "streaming_retractable_agg": "retractable_agg_view_census",
-    "streaming_ks_drift": "ks_distance_order_values",
-    "streaming_cms_heavy_hitters": "cms_heavy_hitters",
-    "streaming_lc_distinct": "lc_distinct_bitmap_census",
-    # streaming_tx_change_feed left the rows-only set in the round-8
-    # continuation: it now carries the batch twin's oracle DIRECTLY
-    # (self-certifying, like streaming_tx_exactly_once_census)
 }
 
 
@@ -246,7 +238,7 @@ def test_twin_exact_dedup(spark):
     got = {(r.event_type, r.n) for r in
            _declared("streaming_exact_dedup")(spark, SF_SMOKE).collect()}
     want = {(r.event_type, r.n) for r in
-            _declared(TWIN_OF["streaming_exact_dedup"])(spark, SF_SMOKE).collect()}
+            _declared("group_count_by_type")(spark, SF_SMOKE).collect()}
     assert got == want
 
 
@@ -254,7 +246,7 @@ def test_twin_mq_roundtrip(spark):
     got = {(r.event_type, r.n) for r in
            _declared("mq_pipeline_roundtrip")(spark, SF_SMOKE).collect()}
     want = {(r.event_type, r.n) for r in
-            _declared(TWIN_OF["mq_pipeline_roundtrip"])(spark, SF_SMOKE).collect()}
+            _declared("group_count_by_type")(spark, SF_SMOKE).collect()}
     assert got == want
 
 
@@ -270,7 +262,7 @@ def test_twin_session_windows(spark):
     got = {tuple(r) for r in
            _declared("streaming_session_windows")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_session_windows"])(
+            _declared("user_session_stats")(
                 spark, SF_SMOKE).collect()}
     # append mode emits only watermark-closed sessions: ⊆ and ≥90%
     assert got <= want
@@ -316,7 +308,7 @@ def test_twin_stream_stream_join(spark):
     }
     want = {
         (r.event_id, r.n_clicks, r.last_click_ts_us)
-        for r in _declared(TWIN_OF["streaming_stream_stream_join"])(
+        for r in _declared("attribution_window_join")(
             spark, SF_SMOKE).collect()
         if r.n_clicks > 0
     }
@@ -380,7 +372,7 @@ def test_twin_cdc_apply(spark):
     got = {tuple(r) for r in
            _declared("streaming_cdc_apply")(spark, SF_SMOKE).collect()}
     want = {(r.user_id, r.value, r.event_type, r.last_op) for r in
-            _declared(TWIN_OF["streaming_cdc_apply"])(
+            _declared("cdc_apply_net_state")(
                 spark, SF_SMOKE).collect()}
     assert got == want
 
@@ -401,7 +393,7 @@ def test_twin_left_outer_attribution(spark):
            _declared("streaming_left_outer_attribution")(
                spark, SF_SMOKE).collect()}
     want = {r.user_id: (r.n_clicks, r.n_attributed) for r in
-            _declared(TWIN_OF["streaming_left_outer_attribution"])(
+            _declared("unattributed_clicks_census")(
                 spark, SF_SMOKE).collect()}
     assert set(got) <= set(want)
     for u, (nc, na) in got.items():
@@ -437,7 +429,7 @@ def test_twin_retractable_agg(spark):
     got = {tuple(r) for r in
            _declared("streaming_retractable_agg")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_retractable_agg"])(
+            _declared("retractable_agg_view_census")(
                 spark, SF_SMOKE).collect()}
     assert got == want
 
@@ -449,7 +441,7 @@ def test_twin_ks_drift(spark):
     got = {tuple(r) for r in
            _declared("streaming_ks_drift")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_ks_drift"])(
+            _declared("ks_distance_order_values")(
                 spark, SF_SMOKE).collect()}
     assert got == want
 
@@ -460,7 +452,7 @@ def test_twin_cms_heavy_hitters(spark):
     got = {tuple(r) for r in
            _declared("streaming_cms_heavy_hitters")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_cms_heavy_hitters"])(
+            _declared("cms_heavy_hitters")(
                 spark, SF_SMOKE).collect()}
     assert got == want
 
@@ -471,7 +463,7 @@ def test_twin_lc_distinct(spark):
     got = {tuple(r) for r in
            _declared("streaming_lc_distinct")(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_lc_distinct"])(
+            _declared("lc_distinct_bitmap_census")(
                 spark, SF_SMOKE).collect()}
     assert got == want
 
