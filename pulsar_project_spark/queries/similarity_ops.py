@@ -1047,22 +1047,24 @@ def q_tx_ann_index_maintenance_census(spark: SparkSession,
     ).select("vec_id", "embedding")
     r3 = F.pmod(F.col("vec_id"), F.lit(3))
 
-    # 1. initial corpus: two commits
-    tx_append(emb.filter(r3 == 0), vec_tbl)
-    tx_append(emb.filter(r3 == 1), vec_tbl)
+    # 1. initial corpus: two commits (n_files=4: the staging write
+    # otherwise inherits the scan's partitioning — dozens of tiny
+    # files per commit that every later read/merge re-lists)
+    tx_append(emb.filter(r3 == 0), vec_tbl, n_files=4)
+    tx_append(emb.filter(r3 == 1), vec_tbl, n_files=4)
     v_built = tx_latest_version(vec_tbl)
 
     # 2. build + persist the index (frozen quantizer)
     snap0 = tx_read(spark, vec_tbl)
     assign0, cent = kmeans_fit(snap0, k=_ANN_K, iters=1, require_k=False)
-    tx_append(cent, cent_tbl)
+    tx_append(cent, cent_tbl, n_files=1)
     index0 = assign0.select("vec_id", "label").join(
         pq_encode(snap0), "vec_id")
     tx_append(index0.select("vec_id", "label", "subspace", "code"),
-              idx_tbl)
+              idx_tbl, n_files=4)
 
     # 3. the base table moves on
-    tx_append(emb.filter(r3 == 2), vec_tbl)
+    tx_append(emb.filter(r3 == 2), vec_tbl, n_files=4)
     tx_delete_range(spark, vec_tbl, "vec_id", _ANN_DEL_LO, _ANN_DEL_HI)
 
     # 4. incremental maintenance off the change feed
@@ -1084,16 +1086,20 @@ def q_tx_ann_index_maintenance_census(spark: SparkSession,
         inc = kmeans_assign_to(ins, frozen).select("vec_id", "label").join(
             pq_encode(ins), "vec_id")
         tx_append(inc.select("vec_id", "label", "subspace", "code"),
-                  idx_tbl)
+                  idx_tbl, n_files=4)
 
     # 5. verification arm: rebuild from the final snapshot, same
-    #    frozen centroids — incremental must equal rebuilt EXACTLY
+    #    frozen centroids — incremental must equal rebuilt EXACTLY.
+    #    Both relations feed three consumers (two exceptAll directions
+    #    + the census), so materialize each once (the reps/kmeans
+    #    lineage rule) instead of re-running decode+assign per use.
     maintained = tx_read(spark, idx_tbl).select(
-        "vec_id", "label", "subspace", "code")
+        "vec_id", "label", "subspace", "code").localCheckpoint(eager=True)
     final = tx_read(spark, vec_tbl)
-    rebuilt = kmeans_assign_to(final, frozen).select("vec_id", "label") \
-        .join(pq_encode(final), "vec_id") \
-        .select("vec_id", "label", "subspace", "code")
+    rebuilt = (kmeans_assign_to(final, frozen).select("vec_id", "label")
+               .join(pq_encode(final), "vec_id")
+               .select("vec_id", "label", "subspace", "code")
+               .localCheckpoint(eager=True))
     if (maintained.exceptAll(rebuilt).count() != 0
             or rebuilt.exceptAll(maintained).count() != 0):
         raise AssertionError(
