@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--gate", action="store_true",
                     help="probe HOT_FLOORS.json queries; fail on drift")
+    ap.add_argument("--no-floors", action="store_true",
+                    help="skip floor lookup in ad-hoc mode (used by the "
+                         "--gate subprocess, which applies floors itself)")
     args = ap.parse_args()
 
     if args.gate:
@@ -58,7 +61,7 @@ def main() -> int:
         for name in sorted(floors):
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "-n", str(args.n), "--sf", sf, name],
+                 "-n", str(args.n), "--sf", sf, "--no-floors", name],
                 capture_output=True, text=True, timeout=900)
             line = next((ln for ln in res.stdout.splitlines()
                          if ln.startswith(f"{name}: min=")), None)
@@ -82,18 +85,22 @@ def main() -> int:
     if not args.names:
         ap.error("names required unless --gate")
     # ad-hoc probes of floor-listed queries report drift too (same
-    # floors as --gate; non-listed names just print their timings)
+    # floors as --gate; non-listed names just print their timings).
+    # --no-floors (the gate's subprocess mode) skips this — the gate
+    # parent applies the floors itself.
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        with open(os.path.join(root, "HOT_FLOORS.json")) as fh:
-            _cfg = json.load(fh)
-        floors = _cfg.get("floors", {})
-        tolerance = float(_cfg.get("tolerance", 1.3))
-    except FileNotFoundError:
-        floors = {}
-        tolerance = 1.3
+    floors = {}
+    tolerance = 1.3
+    if not args.no_floors:
+        try:
+            with open(os.path.join(root, "HOT_FLOORS.json")) as fh:
+                _cfg = json.load(fh)
+            floors = _cfg.get("floors", {})
+            tolerance = float(_cfg.get("tolerance", 1.3))
+        except FileNotFoundError:
+            pass
 
     from pulsar_project_spark.session import get_spark
     from pulsar_project_spark.sources.tables import TABLE_NAMES, load_table
