@@ -298,8 +298,18 @@ WITH c AS (
   FROM events WHERE event_type = 'purchase'
     AND user_id IS NOT NULL AND ts IS NOT NULL
 ), wm AS (
-  SELECT (least((SELECT max(cts) // 1000 FROM c),
-                (SELECT max(pts) // 1000 FROM p)) - 600000) * 1000 AS w
+  -- the global watermark is the MIN over both sides' nodes; a side
+  -- that never saw a row keeps its node at the epoch, so the global
+  -- watermark cannot advance and NO unmatched row ever closes.
+  -- DuckDB's least() SKIPS NULLs (it would return the surviving
+  -- side's max), so the empty-side case must pin w to NULL
+  -- explicitly — found by the round-11 full-suite hypothesis run on
+  -- a purchase-free corpus.
+  SELECT CASE WHEN (SELECT count(*) FROM p) = 0
+              OR (SELECT count(*) FROM c) = 0 THEN NULL
+         ELSE (least((SELECT max(cts) // 1000 FROM c),
+                     (SELECT max(pts) // 1000 FROM p)) - 600000) * 1000
+         END AS w
 ), attr AS (
   SELECT c.user_id, c.click_id, c.cts,
          max(CASE WHEN p.purchase_id IS NOT NULL THEN 1 ELSE 0 END)

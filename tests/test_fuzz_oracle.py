@@ -23,7 +23,7 @@ import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pulsar_project_spark.registry import ORACLES, QUERIES
@@ -434,6 +434,16 @@ def _write_events(rows) -> str:
 
 
 @given(rows=_events_strategy)
+# round-11 regression, pinned forever: a PURCHASE-FREE corpus — the
+# left-outer oracle must freeze the global watermark when either join
+# side is empty (Spark's empty-side node never advances; DuckDB's
+# least() skips NULL and would let unmatched clicks close).
+@example(rows=[(1, 383110, "signup", 32423, 38),
+               (1, 185859, "view", 28468, "7.5.3"),
+               (1, 771869, "click", 10254, 23),
+               (3, 397597, "signup", 44609, 97),
+               (1, 883567, "click", 0, ""),
+               (0, 0, "view", 0, 0)])
 @settings(
     max_examples=6,
     deadline=None,
