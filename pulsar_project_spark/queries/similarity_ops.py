@@ -928,7 +928,11 @@ _ANN_DEL_LO, _ANN_DEL_HI = 100, 250   # the COW delete window on vec_id
 _ANN_K = 8
 
 
-def _ann_index_sql() -> str:
+def _ann_census_sql(cent_where: str, live_where: str) -> str:
+    """The per-(label, subspace) IVF-PQ index census in closed form,
+    parameterized by the frozen-quantizer training membership and the
+    final live membership — shared by the change-feed maintenance
+    capstone and the streaming ingestion capstone."""
     from pulsar_project_spark.operators.kmeans import QUANT
 
     dist = ("list_reduce(list_transform(generate_series(1, 64), "
@@ -942,19 +946,17 @@ WITH vecs AS (
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ),
 cent AS (
-  -- the FROZEN coarse quantizer: trained on the initial membership
-  -- (vec_id pmod 3 != 2 — the two pre-index appends), k lowest ids
+  -- the FROZEN coarse quantizer: k lowest ids of the training set
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS label,
          qv AS qc
   FROM (SELECT vec_id, qv FROM vecs
-        WHERE ((vec_id % 3 + 3) % 3) <> 2
+        WHERE {cent_where}
         ORDER BY vec_id LIMIT {_ANN_K})
 ),
 live AS (
-  -- final base-table membership: all three appends minus the COW
-  -- delete window — a pure function of the data
+  -- final indexed membership — a pure function of the data
   SELECT vec_id, embedding, qv FROM vecs
-  WHERE NOT (vec_id BETWEEN {_ANN_DEL_LO} AND {_ANN_DEL_HI})
+  WHERE {live_where}
 ),
 scored AS (
   SELECT live.vec_id, cent.label, {dist} AS sq_dist FROM live, cent
@@ -975,6 +977,14 @@ SELECT a.label, c.subspace,
 FROM assign a JOIN codes c USING (vec_id)
 GROUP BY 1, 2
 """
+
+
+def _ann_index_sql() -> str:
+    # maintenance capstone: quantizer trained on the two pre-index
+    # appends (pmod 3 != 2); live = all appends minus the COW delete
+    return _ann_census_sql(
+        cent_where="((vec_id % 3 + 3) % 3) <> 2",
+        live_where=f"NOT (vec_id BETWEEN {_ANN_DEL_LO} AND {_ANN_DEL_HI})")
 
 
 @declare("tx_ann_index_maintenance_census", oracle=_ann_index_sql())

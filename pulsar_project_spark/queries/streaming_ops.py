@@ -617,3 +617,34 @@ def q_streaming_tx_tracked_sink_census(spark: SparkSession,
     )
 
     return run_streaming_tx_tracked_sink(spark, sf_dir)
+
+
+def _ann_ingest_sql() -> str:
+    # quantizer trained offline on the FULL corpus (k lowest ids);
+    # live = everything — the ingest path adds, never removes
+    from pulsar_project_spark.queries.similarity_ops import _ann_census_sql
+    return _ann_census_sql(cent_where="TRUE", live_where="TRUE")
+
+
+@declare("streaming_ann_ingest_census", oracle=_ann_ingest_sql())
+def q_streaming_ann_ingest_census(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL-ORACLE streaming ANN ingestion (round-11 composition
+    capstone): the embedding store's WRITE PATH as a genuine
+    multi-batch stream — vectors arrive file-by-file
+    (maxFilesPerTrigger=1 over a 4-file range-split staging), each
+    micro-batch is assigned against the offline-frozen coarse
+    quantizer and PQ-encoded, and the index rows land exactly-once in
+    a tx table (txn-keyed commits; restart + forced-replay gated).
+    Sound for a hash oracle under ANY batch split: assign+encode is a
+    pure per-vector function of the frozen quantizer, and the landed
+    set is the batch union — so the census is closed-form over the
+    raw parquet. Composes the round-11 maintenance capstone
+    (`tx_ann_index_maintenance_census`, batch change-feed) with the
+    streaming surface: together they are the full lifecycle of a
+    100 TB embedding store — stream-ingest, incrementally maintain,
+    never rebuild except to verify."""
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_ann_ingest,
+    )
+    return run_streaming_ann_ingest(spark, sf_dir)

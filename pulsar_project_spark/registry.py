@@ -78,6 +78,10 @@ NEW_R11: tuple[str, ...] = (
     # round-11 capstone: ANN index persisted as tx tables, maintained
     # incrementally off the change feed (VERDICT r10 order #8)
     "tx_ann_index_maintenance_census",
+    # round-11 composition capstone: the embedding store's write path
+    # as a genuine multi-batch stream (frozen quantizer, exactly-once
+    # txn landing) — full oracle, batch-split-independent
+    "streaming_ann_ingest_census",
 )
 
 # VERDICT r10 order #2: rows-only queries that have NEVER received any
@@ -119,7 +123,6 @@ STALE_REFRESH_R11: tuple[str, ...] = (
     "split_assignment_counts", "star_revenue_region_segment_month",
     "token_cooccurrence_top20", "unpivot_event_matrix",
     "value_histogram_by_type", "vocab_min_max_df",
-    "arg_schema_casting",
 )
 
 CORE_FIRST: tuple[str, ...] = (

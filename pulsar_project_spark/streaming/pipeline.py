@@ -1561,3 +1561,114 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
         .filter(F.col("n_events") > 0)
     )
     return census.unionByName(ids)
+
+
+def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
+                             n_source_files: int = 4) -> DataFrame:
+    """STREAMING ANN INGESTION — the embedding store's write path as a
+    genuine multi-batch stream: the vector corpus arrives file-by-file
+    (``maxFilesPerTrigger=1`` over a {n}-file staging of the
+    embeddings parquet), each micro-batch is assigned against an
+    OFFLINE-FROZEN coarse quantizer (``kmeans_assign_to``, no
+    retraining) and PQ-encoded, and the (vec_id, label, subspace,
+    code) rows land in the index tx table via txn-keyed
+    ``tx_append_txn`` — exactly-once gated the standard way (restart
+    against the checkpoint must commit nothing; batch 0's commit
+    force-replayed must deduplicate).
+
+    Soundness of the full oracle: per-vector assign+encode is a pure
+    function of (vector, frozen quantizer), and the landed set is the
+    union of batches — so the final index is independent of HOW the
+    stream was batched, and the per-(label, subspace) census is a
+    closed-form function of the raw parquet. This is the composition
+    the maintenance capstone (`tx_ann_index_maintenance_census`)
+    leaves open: there the feed is batch `tx_table_changes`; here it
+    is a live Structured Streaming ingestion."""
+    import hashlib
+    import shutil
+
+    from pulsar_project_spark.operators.kmeans import (
+        kmeans_assign_to,
+        kmeans_fit,
+    )
+    from pulsar_project_spark.operators.pq import pq_encode
+    from pulsar_project_spark.sources.tables import load_table
+    from pulsar_project_spark.sources.txlog import (
+        tx_append,
+        tx_append_txn,
+        tx_init,
+        tx_read,
+        tx_snapshot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select("vec_id", "embedding")
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_rt_{os.getpid()}", "ann_stream")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    idx_tbl = os.path.join(base, "index")
+    cent_tbl = os.path.join(base, "centroids")
+    ckpt = os.path.join(base, "ckpt")
+    for t in (idx_tbl, cent_tbl):
+        tx_init(t)
+
+    # offline quantizer training (the production shape: train once on
+    # a snapshot, freeze, ingest against it) — persisted as a tx table
+    _, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
+    tx_append(cent, cent_tbl, n_files=1)
+    frozen = tx_read(spark, cent_tbl).localCheckpoint(eager=True)
+
+    # multi-file staging keyed by source path: stable across calls so
+    # checkpoints survive re-runs (the events_stream staging rule),
+    # range-split so every file is a deterministic slice
+    path = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"emb_multi_{n_source_files}_{digest}")
+    if not os.path.isdir(stage) or not os.listdir(stage):
+        (spark.read.parquet(path)
+         .repartitionByRange(n_source_files, "vec_id")
+         .write.mode("overwrite").parquet(stage))
+    schema = spark.read.parquet(stage).schema
+    src = (spark.readStream.schema(schema).format("parquet")
+           .option("maxFilesPerTrigger", 1).load(stage))
+    vec_stream = src.filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select("vec_id", "embedding")
+
+    app = "ann_ingest"
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        part = (kmeans_assign_to(bdf, frozen).select("vec_id", "label")
+                .join(pq_encode(bdf), "vec_id")
+                .select("vec_id", "label", "subspace", "code"))
+        tx_append_txn(part, idx_tbl, app=app, batch=batch_id, n_files=1)
+
+    def drain_once() -> None:
+        q = (
+            vec_stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _state_partitions(spark):
+        drain_once()
+        drain_once()  # restart, same checkpoint: must commit nothing
+    v = tx_snapshot(idx_tbl)["version"]
+    if tx_snapshot(idx_tbl)["files"]:
+        tx_append_txn(tx_read(spark, idx_tbl), idx_tbl, app=app,
+                      batch=0, n_files=1)
+        if tx_snapshot(idx_tbl)["version"] != v:
+            raise AssertionError("replayed batch 0 was not deduplicated")
+
+    return (tx_read(spark, idx_tbl)
+            .groupBy("label", "subspace")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("code").cast("bigint").alias("sum_code"),
+                 F.sum("vec_id").cast("bigint").alias("sum_vec_id")))

@@ -198,6 +198,7 @@ _REPRESENTATIVE = (
     "multimodal_corpus_pipeline",       # decode+dedup+split on 0 assets
     "cjk_token_counts",                 # RE2 token replay on 0 docs
     "tx_ann_index_maintenance_census",  # feed-maintained index on 0 vectors
+    "streaming_ann_ingest_census",      # stream-ingested index, 0 vectors
     # (join_cardinality_forecast is a GLOBAL aggregate: on empty input
     # it correctly returns one NULL/0 row in BOTH engines — like the
     # funnel, it doesn't belong in a zero-rows-out gate)
