@@ -987,9 +987,8 @@ def _ann_index_sql() -> str:
         live_where=f"NOT (vec_id BETWEEN {_ANN_DEL_LO} AND {_ANN_DEL_HI})")
 
 
-@declare("tx_ann_index_maintenance_census", oracle=_ann_index_sql())
-def q_tx_ann_index_maintenance_census(spark: SparkSession,
-                                      sf_dir: str) -> DataFrame:
+def run_ann_index_maintenance(spark: SparkSession, sf_dir: str,
+                              verify_rebuild: bool = False) -> DataFrame:
     """ANN INDEX AS A TRANSACTIONAL TABLE, MAINTAINED OFF THE CHANGE
     FEED (VERDICT r10 order #8) — the composition of the two flagship
     families, and the production shape for an embedding store at
@@ -1009,20 +1008,22 @@ def q_tx_ann_index_maintenance_census(spark: SparkSession,
        inserts against the frozen quantizer (``kmeans_assign_to`` —
        no retraining), tx-appends them, and keyed-deletes the net
        removals via ``tx_merge(delete_matched=True)``;
-    5. the runner REBUILDS the index from the final snapshot with the
-       same frozen centroids and asserts incremental == rebuilt
-       exactly (both directions of exceptAll empty) — then returns the
-       per-(label, subspace) census of the MAINTAINED index table,
-       which the oracle recomputes from the raw parquet in closed
-       form. A stale code, a lost insert, a surviving deleted vector,
-       or a drifted centroid breaks either the assert or the hash.
+    5. under ``verify_rebuild=True`` (tests/test_ivf.py, VERDICT r11
+       order #1) the runner REBUILDS the index from the final snapshot
+       with the same frozen centroids and asserts incremental ==
+       rebuilt exactly (both directions of exceptAll empty). It then
+       returns the per-(label, subspace) census of the MAINTAINED
+       index table, which the oracle recomputes from the raw parquet
+       in closed form — so the declared query skips the rebuild and a
+       stale code, a lost insert, a surviving deleted vector, or a
+       drifted centroid still breaks the hash.
 
     Scale shape: the feed costs what the changes cost (manifest diff,
     touched files only); assign+encode run on the insert delta only
     (8-row centroid broadcast, map-side encode); the keyed delete
     rewrites only manifest-bounds-affected index files. Rebuild —
     the thing this pattern lets you STOP doing per update — appears
-    here solely as the verification arm."""
+    here solely as the test-side verification arm."""
     import os
     import shutil
     import tempfile
@@ -1098,24 +1099,41 @@ def q_tx_ann_index_maintenance_census(spark: SparkSession,
         tx_append(inc.select("vec_id", "label", "subspace", "code"),
                   idx_tbl, n_files=4)
 
-    # 5. verification arm: rebuild from the final snapshot, same
-    #    frozen centroids — incremental must equal rebuilt EXACTLY.
-    #    Both relations feed three consumers (two exceptAll directions
-    #    + the census), so materialize each once (the reps/kmeans
-    #    lineage rule) instead of re-running decode+assign per use.
     maintained = tx_read(spark, idx_tbl).select(
-        "vec_id", "label", "subspace", "code").localCheckpoint(eager=True)
-    final = tx_read(spark, vec_tbl)
-    rebuilt = (kmeans_assign_to(final, frozen).select("vec_id", "label")
-               .join(pq_encode(final), "vec_id")
-               .select("vec_id", "label", "subspace", "code")
-               .localCheckpoint(eager=True))
-    if (maintained.exceptAll(rebuilt).count() != 0
-            or rebuilt.exceptAll(maintained).count() != 0):
-        raise AssertionError(
-            "incrementally maintained ANN index != rebuilt index")
+        "vec_id", "label", "subspace", "code")
+    if verify_rebuild:
+        # 5. verification arm (test-side): rebuild from the final
+        #    snapshot, same frozen centroids — incremental must equal
+        #    rebuilt EXACTLY. Both relations feed three consumers (two
+        #    exceptAll directions + the census), so materialize each
+        #    once (the reps/kmeans lineage rule) instead of re-running
+        #    decode+assign per use.
+        maintained = maintained.localCheckpoint(eager=True)
+        final = tx_read(spark, vec_tbl)
+        rebuilt = (kmeans_assign_to(final, frozen)
+                   .select("vec_id", "label")
+                   .join(pq_encode(final), "vec_id")
+                   .select("vec_id", "label", "subspace", "code")
+                   .localCheckpoint(eager=True))
+        if (maintained.exceptAll(rebuilt).count() != 0
+                or rebuilt.exceptAll(maintained).count() != 0):
+            raise AssertionError(
+                "incrementally maintained ANN index != rebuilt index")
 
     return (maintained.groupBy("label", "subspace")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.sum("code").cast("bigint").alias("sum_code"),
                  F.sum("vec_id").cast("bigint").alias("sum_vec_id")))
+
+
+@declare("tx_ann_index_maintenance_census", oracle=_ann_index_sql())
+def q_tx_ann_index_maintenance_census(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Declared-query face of ``run_ann_index_maintenance`` (docstring
+    there): full lifecycle — land corpus in tx commits, build+persist
+    the IVF-PQ index, mutate the base table, maintain the index off
+    the change feed — returning the maintained-index census the oracle
+    recomputes in closed form. The rebuild-equivalence verification
+    arm runs in tests/test_ivf.py (``verify_rebuild=True``), not per
+    execution (VERDICT r11 order #1)."""
+    return run_ann_index_maintenance(spark, sf_dir)

@@ -65,11 +65,12 @@ def q_streaming_topic_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame
     VERDICT r10 order #1): update-mode agg keyed (topic, day) with a
     watermark (reference topic upsert + frequency++, memory.py:315-344),
     every micro-batch's running totals landed in a TRANSACTIONAL table
-    via txn-keyed ``tx_append_txn``, the stream restarted against its
-    checkpoint (must commit nothing) and batch 0 force-replayed (must
-    deduplicate) before the last-wins rollup is read — so the per-topic
-    census hashes against DuckDB over the original parquet, and a lost
-    batch, doubled batch, or watermark drop breaks the driver gate."""
+    via txn-keyed ``tx_append_txn`` before the last-wins rollup is read
+    — so the per-topic census hashes against DuckDB over the original
+    parquet, and a lost batch, doubled batch, or watermark drop breaks
+    the driver gate. The restart + forced-replay certification arms run
+    in tests/test_streaming.py (``gate=True``), not per execution
+    (VERDICT r11 order #1)."""
     return run_topic_frequencies(spark, sf_dir)
 
 
@@ -92,7 +93,9 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-ORACLE watermarked tumbling windows (upgraded from
     rows-only, VERDICT r10 order #1): append mode emits each
     watermark-closed window exactly once into a txn-landed tx table
-    (restart + forced-replay gated). The oracle states the emission
+    (restart + forced-replay certification arms in
+    tests/test_streaming.py via ``gate=True`` — VERDICT r11 order #1;
+    the declared query drains once). The oracle states the emission
     rule in closed form: a 1-hour window emits iff its end is at or
     before (max event time − 10-minute delay) — the final watermark of
     a drained bounded stream (boundary pinned empirically: end == wm
@@ -126,7 +129,9 @@ def q_streaming_keep_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r10 order #1): ``applyInPandasWithState`` per-user last-N
     tail (records[-n:], memory.py:125, as managed streaming state),
     per-batch state landed in a txn-keyed tx table, last-wins per user
-    by batch id after the restart + forced-replay gates. The oracle is
+    by batch id (restart + forced-replay certification arms in
+    tests/test_streaming.py via ``gate=True`` — VERDICT r11 order #1).
+    The oracle is
     the closed-form tail: within the single data batch the operator
     sorts by (ts_us, event_id), so the landed tail equals the global
     top-5-by-(ts_us, event_id) in ascending order and n_seen equals
@@ -635,7 +640,9 @@ def q_streaming_ann_ingest_census(spark: SparkSession,
     (maxFilesPerTrigger=1 over a 4-file range-split staging), each
     micro-batch is assigned against the offline-frozen coarse
     quantizer and PQ-encoded, and the index rows land exactly-once in
-    a tx table (txn-keyed commits; restart + forced-replay gated).
+    a tx table (txn-keyed commits; restart + forced-replay
+    certification arms in tests/test_streaming.py via ``gate=True`` —
+    VERDICT r11 order #1).
     Sound for a hash oracle under ANY batch split: assign+encode is a
     pure per-vector function of the frozen quantizer, and the landed
     set is the batch union — so the census is closed-form over the

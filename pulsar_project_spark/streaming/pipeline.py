@@ -118,15 +118,22 @@ def _drain(sdf: DataFrame, checkpoint: str | None = None, mode: str = "append",
 
 
 def _tx_landed_update_stream(sdf: DataFrame, base: str, app: str,
-                             spark: SparkSession) -> DataFrame:
+                             spark: SparkSession,
+                             gate: bool = False) -> DataFrame:
     """Drive an UPDATE-mode streaming DataFrame to completion, landing
     every micro-batch's emission (running totals per key, stamped with
     its batch id) into a transactional table via idempotent
-    ``tx_append_txn`` keyed (app, batchId) — then make exactly-once a
-    GATE, not a claim: restart the stream against the same checkpoint
-    (no new files → the table version must not move) and force-replay
-    batch 0's commit under its txn id (must deduplicate). Returns the
-    landed table; the caller resolves last-wins per key by batch_id.
+    ``tx_append_txn`` keyed (app, batchId). Returns the landed table;
+    the caller resolves last-wins per key by batch_id.
+
+    ``gate=True`` additionally makes exactly-once a GATE, not a claim:
+    restart the stream against the same checkpoint (no new files → the
+    table version must not move, asserted) and force-replay batch 0's
+    commit under its txn id (must deduplicate, asserted). The gate arms
+    run in tests/test_streaming.py (VERDICT r11 order #1) — the
+    declared queries drain ONCE; their oracles still catch a lost or
+    doubled batch (the landed census hashes against the raw parquet),
+    the gate certifies the restart/replay machinery itself.
 
     This is the ``run_streaming_tx_sink`` recipe generalized to
     update-mode aggregations: running totals make the last-wins read
@@ -159,10 +166,15 @@ def _tx_landed_update_stream(sdf: DataFrame, base: str, app: str,
 
     with _state_partitions(spark):
         drain_once()
-        drain_once()  # restart, same checkpoint: must commit nothing
-    v = tx_snapshot(table)["version"]
-    if tx_snapshot(table)["files"]:
+        if gate:
+            v = tx_snapshot(table)["version"]
+            drain_once()  # restart, same checkpoint: must commit nothing
+            if tx_snapshot(table)["version"] != v:
+                raise AssertionError(
+                    "checkpoint restart re-committed a batch")
+    if gate and tx_snapshot(table)["files"]:
         # executor-crash replay: re-deliver under batch 0's txn id
+        v = tx_snapshot(table)["version"]
         tx_append_txn(tx_read(spark, table), table, app=app, batch=0,
                       n_files=1)
         if tx_snapshot(table)["version"] != v:
@@ -172,7 +184,8 @@ def _tx_landed_update_stream(sdf: DataFrame, base: str, app: str,
 
 def run_topic_frequencies(spark: SparkSession, sf_dir: str,
                           state_dir: str | None = None,
-                          watermark: str = "1 hour") -> DataFrame:
+                          watermark: str = "1 hour",
+                          gate: bool = False) -> DataFrame:
     """Streaming topic-frequency state (reference upsert+frequency++,
     ``memory.py:319-323``), scale-safe formulation with an
     EXACTLY-ONCE tx landing (full hash oracle since round 11):
@@ -202,7 +215,8 @@ def run_topic_frequencies(spark: SparkSession, sf_dir: str,
                 F.unix_micros(F.col("w.start")).alias("day_start_us"),
                 "frequency", "last_updated_us")
     )
-    landed = _tx_landed_update_stream(agg, base, "topic_freq", spark)
+    landed = _tx_landed_update_stream(agg, base, "topic_freq", spark,
+                                      gate=gate)
     w = Window.partitionBy("topic", "day_start_us").orderBy(
         F.desc("batch_id"))
     latest = (landed.withColumn("_rn", F.row_number().over(w))
@@ -217,18 +231,20 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
                         window: str = "1 hour",
                         watermark: str = "10 minutes",
                         sink_dir: str | None = None,
-                        checkpoint: str | None = None) -> DataFrame:
+                        checkpoint: str | None = None,
+                        gate: bool = False) -> DataFrame:
     """Event-time tumbling-window rates with a watermark — the
     late-data-tolerant aggregation the reference lacks. Append mode:
     only watermark-finalized windows are emitted.
 
-    Exactly-once is GATED, not assumed (round-11 oracle upgrade): each
-    batch's finalized windows land in a transactional table via
-    txn-keyed ``tx_append_txn``; the run restarts the stream against
-    the same checkpoint (no new files → the table version must not
-    move) and force-replays batch 0's commit (must deduplicate).
-    Append mode emits each closed window exactly once, so the landed
-    table IS the result — a lost or doubled batch breaks the driver
+    Exactly-once is GATED, not assumed: each batch's finalized windows
+    land in a transactional table via txn-keyed ``tx_append_txn``; with
+    ``gate=True`` (tests/test_streaming.py, VERDICT r11 order #1) the
+    run restarts the stream against the same checkpoint (no new files →
+    the table version must not move, asserted) and force-replays batch
+    0's commit (must deduplicate). The declared query drains once —
+    append mode emits each closed window exactly once, so the landed
+    table IS the result, and a lost or doubled batch breaks the driver
     hash against the oracle's closed-form emission rule
     (win_end <= max event time - watermark delay).
 
@@ -277,9 +293,14 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
 
     with _state_partitions(ev.sparkSession):
         drain_once()
-        drain_once()  # restart, same checkpoint: must commit nothing
-    v = tx_snapshot(table)["version"]
-    if tx_snapshot(table)["files"]:
+        if gate:
+            v = tx_snapshot(table)["version"]
+            drain_once()  # restart, same checkpoint: must commit nothing
+            if tx_snapshot(table)["version"] != v:
+                raise AssertionError(
+                    "checkpoint restart re-committed a batch")
+    if gate and tx_snapshot(table)["files"]:
+        v = tx_snapshot(table)["version"]
         tx_append_txn(tx_read(spark, table), table, app="windowed_counts",
                       batch=0, n_files=1)
         if tx_snapshot(table)["version"] != v:
@@ -375,7 +396,8 @@ _TAIL_OUT = StructType([
 ])
 
 
-def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5,
+                        gate: bool = False) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     ring buffer of the last N event ids (the reference's ``records[-n:]``
     tail as *streaming state* instead of a batch window). State value is
@@ -414,7 +436,8 @@ def run_keep_last_state(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
     out = ev.groupBy("user_id").applyInPandasWithState(
         update, _TAIL_OUT, _TAIL_STATE, "Update", GroupStateTimeout.NoTimeout
     )
-    landed = _tx_landed_update_stream(out, base, "keep_last", spark)
+    landed = _tx_landed_update_stream(out, base, "keep_last", spark,
+                                      gate=gate)
     w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
     return (landed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -1564,7 +1587,8 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
 
 
 def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
-                             n_source_files: int = 4) -> DataFrame:
+                             n_source_files: int = 4,
+                             gate: bool = False) -> DataFrame:
     """STREAMING ANN INGESTION — the embedding store's write path as a
     genuine multi-batch stream: the vector corpus arrives file-by-file
     (``maxFilesPerTrigger=1`` over a {n}-file staging of the
@@ -1572,9 +1596,12 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     OFFLINE-FROZEN coarse quantizer (``kmeans_assign_to``, no
     retraining) and PQ-encoded, and the (vec_id, label, subspace,
     code) rows land in the index tx table via txn-keyed
-    ``tx_append_txn`` — exactly-once gated the standard way (restart
-    against the checkpoint must commit nothing; batch 0's commit
-    force-replayed must deduplicate).
+    ``tx_append_txn`` — exactly-once gated the standard way under
+    ``gate=True`` (tests/test_streaming.py, VERDICT r11 order #1:
+    restart against the checkpoint must commit nothing, asserted;
+    batch 0's commit force-replayed must deduplicate, asserted). The
+    declared query drains once; the census oracle still breaks on any
+    lost or doubled batch.
 
     Soundness of the full oracle: per-vector assign+encode is a pure
     function of (vector, frozen quantizer), and the landed set is the
@@ -1621,11 +1648,16 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     tx_append(cent, cent_tbl, n_files=1)
     frozen = tx_read(spark, cent_tbl).localCheckpoint(eager=True)
 
-    # multi-file staging keyed by source path: stable across calls so
-    # checkpoints survive re-runs (the events_stream staging rule),
-    # range-split so every file is a deterministic slice
+    # multi-file staging keyed by source path + source stat: stable
+    # across calls so checkpoints survive re-runs (the events_stream
+    # staging rule) yet invalidated the moment the parquet is
+    # regenerated in place (mtime_ns/size change the key — otherwise
+    # the stream would ingest a stale copy while the oracle reads the
+    # fresh file), range-split so every file is a deterministic slice
     path = os.path.abspath(f"{sf_dir}/embeddings.parquet")
-    digest = hashlib.md5(path.encode()).hexdigest()[:12]
+    st = os.stat(path)
+    digest = hashlib.md5(
+        f"{path}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(),
                          f"emb_multi_{n_source_files}_{digest}")
     if not os.path.isdir(stage) or not os.listdir(stage):
@@ -1659,9 +1691,14 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
 
     with _state_partitions(spark):
         drain_once()
-        drain_once()  # restart, same checkpoint: must commit nothing
-    v = tx_snapshot(idx_tbl)["version"]
-    if tx_snapshot(idx_tbl)["files"]:
+        if gate:
+            v = tx_snapshot(idx_tbl)["version"]
+            drain_once()  # restart, same checkpoint: must commit nothing
+            if tx_snapshot(idx_tbl)["version"] != v:
+                raise AssertionError(
+                    "checkpoint restart re-committed a batch")
+    if gate and tx_snapshot(idx_tbl)["files"]:
+        v = tx_snapshot(idx_tbl)["version"]
         tx_append_txn(tx_read(spark, idx_tbl), idx_tbl, app=app,
                       batch=0, n_files=1)
         if tx_snapshot(idx_tbl)["version"] != v:

@@ -76,3 +76,24 @@ def test_semdedup_max_cluster_guard_bounds_degenerate_corpus(spark):
     default = semdedup_prune(emb, threshold=0.9)
     assert default.filter("pruned = 1").count() == 39
     assert default.filter("pruned = 0").count() == 1
+
+
+def test_ann_index_maintenance_rebuild_equivalence(spark):
+    # VERDICT r11 order #1: the rebuild-equivalence verification arm of
+    # the ANN maintenance capstone runs HERE, not inside the declared
+    # query. verify_rebuild=True rebuilds the index from the final
+    # snapshot with the same frozen centroids and raises AssertionError
+    # inside the runner if incremental != rebuilt (both exceptAll
+    # directions); the returned census must equal the ungated one.
+    from pulsar_project_spark.queries.similarity_ops import (
+        run_ann_index_maintenance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # collect each result BEFORE the next call: the runner stages its
+    # tx tables under a per-pid dir it clears at entry
+    gated = {tuple(r) for r in run_ann_index_maintenance(
+        spark, SF_SMOKE, verify_rebuild=True).collect()}
+    plain = {tuple(r) for r in run_ann_index_maintenance(
+        spark, SF_SMOKE).collect()}
+    assert gated == plain

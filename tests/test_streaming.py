@@ -477,3 +477,65 @@ def test_twin_tx_change_feed(spark):
     want = {tuple(r) for r in
             _declared("tx_change_feed_census")(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once certification gates (VERDICT r11 order #1): the restart +
+# forced-replay arms moved OUT of the declared-query path into these tests.
+# Each gate drains, snapshots the tx version, restarts against the same
+# checkpoint (must commit nothing — asserted INSIDE the runner between the
+# drains, ADVICE r11 #1), then force-replays batch 0's commit under its txn
+# id (must deduplicate). The runners raise AssertionError on any violation,
+# so a plain call IS the assertion; each gate also re-checks the result
+# against its batch twin so the gated path returns the same answer.
+# ---------------------------------------------------------------------------
+
+
+def test_topic_frequencies_exactly_once_gate(spark):
+    from pulsar_project_spark.sources.tables import load_events
+    from pulsar_project_spark.streaming import run_topic_frequencies
+
+    got = run_topic_frequencies(spark, SF_SMOKE, gate=True)
+    want = (
+        load_events(spark, SF_SMOKE)
+        .filter(F.col("ts_us").isNotNull())
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(F.count("*").alias("frequency"),
+             F.max("ts_us").alias("last_updated_us"))
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()}
+
+
+def test_windowed_counts_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming import run_windowed_counts
+
+    gated = run_windowed_counts(spark, SF_SMOKE, gate=True)
+    plain = run_windowed_counts(spark, SF_SMOKE, gate=False)
+    cols = ["win_start_us", "event_type", "n"]
+    assert {tuple(r) for r in gated.select(cols).collect()} == {
+        tuple(r) for r in plain.select(cols).collect()}
+
+
+def test_keep_last_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming import run_keep_last_state
+
+    gated = run_keep_last_state(spark, SF_SMOKE, gate=True)
+    plain = run_keep_last_state(spark, SF_SMOKE, gate=False)
+    assert {tuple(r) for r in gated.collect()} == {
+        tuple(r) for r in plain.collect()}
+
+
+def test_ann_ingest_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_ann_ingest,
+    )
+
+    # collect each result BEFORE the next call: the runner stages its
+    # tx tables under a per-pid dir it clears at entry, so a lazy
+    # DataFrame from call 1 dangles once call 2 starts
+    gated = {tuple(r) for r in
+             run_streaming_ann_ingest(spark, SF_SMOKE, gate=True).collect()}
+    plain = {tuple(r) for r in
+             run_streaming_ann_ingest(spark, SF_SMOKE, gate=False).collect()}
+    assert gated == plain
