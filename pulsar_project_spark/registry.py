@@ -115,8 +115,9 @@ RECERTS_R11: tuple[str, ...] = (
     "pq_code_assignment", "cdc_apply_net_state",
 )
 
-# Stalest-green refresh: the full remaining round-3-verdict cohort
-# (10 queries) plus the oldest round-4 entry, alphabetical.
+# Stalest-green refresh: the full remaining round-3-verdict cohort,
+# alphabetical — exactly the 10 names below (ADVICE r11 #4: the earlier
+# comment claimed an 11th round-4 entry that was never in the block).
 STALE_REFRESH_R11: tuple[str, ...] = (
     "repetition_top_bigram", "revenue_rollup_region_nation",
     "rolling_fingerprint", "sequence_packing_bins",
@@ -125,15 +126,22 @@ STALE_REFRESH_R11: tuple[str, ...] = (
     "value_histogram_by_type", "vocab_min_max_df",
 )
 
-CORE_FIRST: tuple[str, ...] = (
-    # canary: flagship, green r1-r10 — if THIS flips, the harness broke
+_CORE_BLOCKS: tuple[str, ...] = (
+    # canary: flagship, green r1-r11 — if THIS flips, the harness broke
     "simple_rag_topk",
     *NEVER_CHECKED_R11,
     *NEW_R11,
     *ROWS_ONLY_R11,
     *RECERTS_R11,
     *STALE_REFRESH_R11,
-)[:50]
+)
+# ADVICE r11 #4: the [:50] trim used to silently drop overflow (and
+# silently under-fill on a miscounted block) — the window must sum to
+# EXACTLY the driver's 50 slots, loudly.
+assert len(_CORE_BLOCKS) == 50, (
+    f"CORE_FIRST blocks sum to {len(_CORE_BLOCKS)}, want exactly 50")
+assert len(set(_CORE_BLOCKS)) == 50, "duplicate name across core blocks"
+CORE_FIRST: tuple[str, ...] = _CORE_BLOCKS
 
 
 def _reorder_core_first() -> None:

@@ -539,3 +539,37 @@ def test_ann_ingest_exactly_once_gate(spark):
     plain = {tuple(r) for r in
              run_streaming_ann_ingest(spark, SF_SMOKE, gate=False).collect()}
     assert gated == plain
+
+
+def test_streaming_dedup_collapses_null_event_time_rows(spark):
+    # ADVICE r11 #3: the streaming_exact_dedup oracle omits a ts filter
+    # on the claim that NULL-event-time rows are still deduplicated.
+    # Pin it: a doubled input containing a NULL-ts row must collapse to
+    # one copy per event_id — dropDuplicatesWithinWatermark keys its
+    # state on the id; a NULL event time doesn't bypass the state probe
+    # within the batch. If this ever regressed (both copies surviving),
+    # the census would double-count NULL-ts rows on a dirty corpus.
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="nullts_src_")
+    df = spark.createDataFrame(
+        [(1, "click", 1_000_000_000),
+         (2, "click", 2_000_000_000),
+         (3, "view", None)],
+        "event_id long, event_type string, ts_us long")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ev = (spark.readStream.schema(schema).format("parquet").load(src)
+          .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))))
+    dup = ev.unionByName(ev)
+    ded = (dup.withWatermark("event_time", "10 minutes")
+           .dropDuplicatesWithinWatermark(["event_id"]))
+    sink = tempfile.mkdtemp(prefix="nullts_out_")
+    q = (ded.writeStream.outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .format("parquet").option("path", sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert out.filter("ts_us IS NULL").count() == 1
