@@ -43,16 +43,51 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("stratified_sample_by_type")
+# Seeded stratified sampling, round-12 oracle upgrade (VERDICT r11
+# order #5): ``sampleBy(fractions, seed)``'s RNG stream is partition-
+# dependent and engine-private, so the seeded contract is re-expressed
+# as SALTED-hash membership — md5('<seed>:' || event_id) hex prefix
+# under a per-stratum threshold. The seed becomes the salt: different
+# seeds give (statistically) independent samples, each a pure function
+# of (data, seed) — identical on 1 executor or 1000, replayable in any
+# engine with md5. The unsalted twin ``hash_stratified_sample`` below
+# pins the same mechanism at different rates.
+_STRAT_SEED = 42
+_STRAT_RATES = {
+    "view": "1999",      # ~10%
+    "click": "1999",     # ~10%
+    "signup": "8000",    # 50%
+    "error": "ffffz",    # keep all ('ffffz' > any 4-hex prefix)
+    "purchase": "ffffz",  # keep all
+}
+
+_STRAT_SAMPLE_SQL = (
+    "SELECT event_id, user_id, event_type, value FROM events WHERE "
+    f"substr(md5('{_STRAT_SEED}:' || CAST(event_id AS VARCHAR)), 1, 4) "
+    "< CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN '{th}'" for t, th in _STRAT_RATES.items())
+    + " ELSE '0000' END"
+)
+
+
+@declare("stratified_sample_by_type", oracle=_STRAT_SAMPLE_SQL)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sample (sampleBy): downsample noisy strata,
-    keep rare ones whole — the training-data rebalancing pass. Seeded →
-    deterministic per engine version, but RNG is engine-private →
-    rows-only; the test pins per-stratum proportions."""
+    """Seeded stratified sample: downsample noisy strata, keep rare
+    ones whole — the training-data rebalancing pass. FULL-ORACLE since
+    round 12: seeded membership is a salted md5 prefix threshold (see
+    ``_STRAT_RATES``), so WHICH rows survive is reproducible forever —
+    the property ``sampleBy``'s partition-dependent RNG cannot give,
+    and the one that matters when the sample defines a training set.
+    Plan: single scan, codegen'd CASE + substring compare, no
+    shuffle."""
     ev = load_events(spark, sf_dir)
-    fractions = {"view": 0.1, "click": 0.1, "error": 1.0,
-                 "purchase": 1.0, "signup": 0.5}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(f"{_STRAT_SEED}:"),
+                       F.col("event_id").cast("string"))), 1, 4)
+    thresh = F.lit("0000")
+    for t, th in _STRAT_RATES.items():
+        thresh = F.when(F.col("event_type") == t, F.lit(th)).otherwise(thresh)
+    return ev.filter(prefix < thresh).select(
         "event_id", "user_id", "event_type", "value"
     )
 

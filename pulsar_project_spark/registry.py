@@ -43,97 +43,78 @@ def declare(name: str, oracle: str | None = None):
 # the composition, reading ONLY driver artifacts from rounds BEFORE the
 # round each block asserts (the round-5 version read the unstamped glob
 # and went red the moment CORRECTNESS_r05.json landed — VERDICT r5 #1).
-NEVER_CHECKED_R11: tuple[str, ...] = (
-    # empty: every oracle-backed query declared before round 11 has a
-    # cumulative driver-green verdict (CORRECTNESS_r01..r10 union:
-    # 264/264 oracle-backed green); the round-11 oracle UPGRADES
-    # (previously rows-only) sit in NEW_R11 instead.
+NEVER_CHECKED_R12: tuple[str, ...] = (
+    # empty: every oracle-backed query declared before round 12 has a
+    # cumulative driver-green verdict (CORRECTNESS_r01..r11 union:
+    # 281/281 oracle-backed green); the round-12 oracle UPGRADES
+    # (previously rows-only) sit in NEW_R12 instead.
 )
 
-NEW_R11: tuple[str, ...] = (
-    # round-11 oracle upgrades, tier 1: the exactly-once tx-landing
-    # pattern applied to the rows-only streaming tail (VERDICT r10 #1)
-    "streaming_topic_frequencies",
-    "streaming_windowed_counts",
-    "streaming_keep_last_state",
-    # tier 2: batch-split-independent folds adopt their batch twins'
-    # oracles (additive / linear-sketch / bit_or / max-struct)
-    "streaming_retractable_agg", "streaming_ks_drift",
-    "streaming_cms_heavy_hitters", "streaming_lc_distinct",
-    "streaming_cdc_apply",
-    # tier 3: single-batch-exact pipelines with direct census oracles
-    "streaming_exact_dedup", "streaming_stream_stream_join",
-    "mq_pipeline_roundtrip",
-    # tier 4: closed-form watermark emission rules (boundaries pinned
-    # empirically: session end <= ms-floored wm emits; unmatched click
-    # NULL row emits iff cts + horizon strictly < global wm)
-    "streaming_session_windows", "streaming_left_outer_attribution",
-    # round-11 capstone: decode → byte-stats quality → perceptual
-    # dedup → split as ONE plan (VERDICT r10 order #4)
-    "multimodal_corpus_pipeline",
-    # round-11 oracle upgrade: the CJK tokenizer's RE2 replay (VERDICT
-    # r10 order #7) — the one reference-defect deviation (SURVEY §7.3)
-    # now carries a hash certificate
-    "cjk_token_counts",
-    # round-11 capstone: ANN index persisted as tx tables, maintained
-    # incrementally off the change feed (VERDICT r10 order #8)
-    "tx_ann_index_maintenance_census",
-    # round-11 composition capstone: the embedding store's write path
-    # as a genuine multi-batch stream (frozen quantizer, exactly-once
-    # txn landing) — full oracle, batch-split-independent
-    "streaming_ann_ingest_census",
+NEW_R12: tuple[str, ...] = (
+    # round-12 oracle upgrades of the rows-only tail (VERDICT r11
+    # order #5): seeded stratified sampling re-expressed as salted-hash
+    # membership (pure function of data+seed, replayable in DuckDB),
+    # and the greedy streaming debounce chain replayed as a recursive
+    # CTE (LATERAL frontier recursion — sequential state, full hash)
+    "stratified_sample_by_type",
+    "streaming_debounce",
 )
 
-# VERDICT r10 order #2: rows-only queries that have NEVER received any
-# driver verdict get window slots so the driver at least records
-# rows>0/err for them. After the round-11 oracle sweep these are the
-# ENTIRE remaining rows-only surface that lacks a verdict: genuinely
-# iterative (kmeans/IVF/BPE/react), sketch-internal (approx/HLL/KLL),
-# sampling, greedy-state (debounce), or lenient-parse semantics — each
-# twin-paired or replica-pinned in tests.
-ROWS_ONLY_R11: tuple[str, ...] = (
-    "react_loop_trace", "streaming_debounce", "lenient_json_parse",
-    "ivf_cosine_topk", "kmeans_clusters", "mmr_diverse_topk",
-    "bpe_learned_merges", "bpe_encode_token_census",
-    "approx_distinct_users", "value_percentiles_sketch",
-    "stratified_sample_by_type", "hll_rolling_distinct_users",
+# Rows-only window slots: NONE this round. After the round-11 rotation
+# every remaining rows-only query has a driver rows>0/`no_oracle`
+# record (CORRECTNESS_r11), and the round-12 upgrades above shrink the
+# rows-only surface to 10 — all twin-paired or replica-pinned; none
+# needs a (weaker) driver record again.
+ROWS_ONLY_R12: tuple[str, ...] = ()
+
+RECERTS_R12: tuple[str, ...] = (
+    # modules changed in round 12 after their round-11 verdict —
+    # streaming/pipeline.py + queries/streaming_ops.py (certification
+    # arms moved out of the declared path behind gate=True, VERDICT
+    # r11 order #1), queries/similarity_ops.py (rebuild-equivalence
+    # arm moved behind verify_rebuild=True), queries/sketch_ops.py
+    # (stratified-sample upgrade shares the module with the unsalted
+    # twin) — the queries on those paths:
+    "streaming_topic_frequencies", "streaming_windowed_counts",
+    "streaming_keep_last_state", "streaming_ann_ingest_census",
+    "tx_ann_index_maintenance_census", "hash_stratified_sample",
 )
 
-RECERTS_R11: tuple[str, ...] = (
-    # modules changed in round 11 after their round-10 verdict:
-    # queries/multimodal_ops.py (dHash banding 4x14 → 5x12, ADVICE),
-    # queries/capstones.py (trunc-div oracle guard), queries/io_ops.py
-    # (comment-only, cheap to re-cert), streaming/pipeline.py (the tx
-    # landing generalization), queries/similarity_ops.py (PQ SQL
-    # builder refactor — pq_code_assignment re-certs it),
-    # queries/cdc_ops.py (oracle hoisted to a named constant) — the
-    # queries on those paths:
-    "pgm_dhash_dedup_census", "pgm_dhash_near_clusters",
-    "context_assembly_snapshot", "task_update_snapshot",
-    "tx_generated_dml_census", "tx_generated_column_census",
-    "streaming_tx_exactly_once_census", "streaming_tx_mv_census",
-    "pq_code_assignment", "cdc_apply_net_state",
-)
-
-# Stalest-green refresh: the full remaining round-3-verdict cohort,
-# alphabetical — exactly the 10 names below (ADVICE r11 #4: the earlier
-# comment claimed an 11th round-4 entry that was never in the block).
-STALE_REFRESH_R11: tuple[str, ...] = (
-    "repetition_top_bigram", "revenue_rollup_region_nation",
-    "rolling_fingerprint", "sequence_packing_bins",
-    "split_assignment_counts", "star_revenue_region_segment_month",
-    "token_cooccurrence_top20", "unpivot_event_matrix",
-    "value_histogram_by_type", "vocab_min_max_df",
+# Stalest-green refresh: the full round-4-verdict cohort (the oldest
+# remaining after round 11 refreshed round 3) minus
+# hash_stratified_sample (above, re-certed as a changed-module rep),
+# plus the 5 alphabetically-first round-5 entries — 41 names.
+STALE_REFRESH_R12: tuple[str, ...] = (
+    "arg_schema_casting", "arg_whitelist_projection", "audio_chunk_plan",
+    "cumulative_new_users_by_day", "daily_user_series_gapfilled",
+    "debounce_events_1s", "equidepth_deciles_by_type",
+    "evict_min_per_type", "extension_lookup_default",
+    "fenced_json_roundtrip", "ivf_cell_assignment", "json_props_extract",
+    "keep_last_n_per_user", "keyword_score_scan",
+    "kv_lookup_miss_message", "lang_sampling_weights",
+    "langid_confusion_matrix", "latest_event_per_user",
+    "length_bucket_padding_stats", "median_order_cents_by_priority",
+    "memory_state_snapshot", "mergeable_state_rollup",
+    "microbatch_rollup", "mmr_rerank_exact",
+    "salted_segment_event_counts", "skew_key_census",
+    "snapshot_diff_counts", "tool_catalog_last_wins",
+    "tool_routing_first_match", "training_order_shuffle",
+    "udtf_json_path_stats", "user_event_gap_stats", "user_session_stats",
+    "user_value_ranks", "user_value_trend", "winsorize_tail_counts",
+    # round-5 head, alphabetical
+    "asof_last_purchase", "attribution_window_join",
+    "bloom_prefilter_census", "bpe_token_counts",
+    "byte_histogram_features",
 )
 
 _CORE_BLOCKS: tuple[str, ...] = (
     # canary: flagship, green r1-r11 — if THIS flips, the harness broke
     "simple_rag_topk",
-    *NEVER_CHECKED_R11,
-    *NEW_R11,
-    *ROWS_ONLY_R11,
-    *RECERTS_R11,
-    *STALE_REFRESH_R11,
+    *NEVER_CHECKED_R12,
+    *NEW_R12,
+    *ROWS_ONLY_R12,
+    *RECERTS_R12,
+    *STALE_REFRESH_R12,
 )
 # ADVICE r11 #4: the [:50] trim used to silently drop overflow (and
 # silently under-fill on a miscounted block) — the window must sum to

@@ -45,6 +45,8 @@ _REPRESENTATIVE = (
     "json_path_stats_native",           # JSON census
     "udtf_json_path_stats",             # Python UDTF on 0 rows
     "hash_stratified_sample",           # deterministic sampling
+    "stratified_sample_by_type",        # salted seeded sampling (r12)
+    "streaming_debounce",               # greedy stateful chain, 0 rows
     "token_budget_mixture_sample",      # budget mix over 0 docs
     "repeated_ngram_span_census",       # window census over 0 docs
     "semdedup_embedding_prune",         # semantic dedup over 0 vectors

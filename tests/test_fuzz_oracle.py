@@ -402,6 +402,12 @@ _EVENTS_FUZZED = (
     "streaming_session_windows",
     "streaming_left_outer_attribution",
     "mq_pipeline_roundtrip",
+    # round-12: the rows-only shrink (VERDICT r11 order #5) — fuzz
+    # exercises the salted-hash per-stratum thresholds on tiny
+    # alphabets, and the greedy debounce chain's recursive-CTE replay
+    # under (ts, event_id) ties and same-key bursts straddling the gap
+    "stratified_sample_by_type",
+    "streaming_debounce",
 )
 
 

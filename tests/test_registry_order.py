@@ -25,18 +25,18 @@ import re
 import __spark_entry__ as e
 from pulsar_project_spark.registry import (
     CORE_FIRST,
-    NEVER_CHECKED_R11,
-    NEW_R11,
-    RECERTS_R11,
-    ROWS_ONLY_R11,
-    STALE_REFRESH_R11,
+    NEVER_CHECKED_R12,
+    NEW_R12,
+    RECERTS_R12,
+    ROWS_ONLY_R12,
+    STALE_REFRESH_R12,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The round whose rotation this file asserts. Bump together with the
 # registry's block constants each round.
-_ROUND = 11
+_ROUND = 12
 
 
 def _driver_green(before_round: int = _ROUND) -> set[str]:
@@ -68,15 +68,15 @@ def test_core_fifty_lead_the_registry():
 
 def test_core_fifty_all_have_oracles():
     # every driver-budget entry gets the STRONG check (hash vs DuckDB)
-    # — except the declared ROWS_ONLY_R11 block, whose POINT is to get
+    # — except the declared ROWS_ONLY_R12 block, whose POINT is to get
     # never-checked rows-only queries a driver rows>0 record (VERDICT
     # r10 order #2); those must NOT have oracles (else they'd belong
     # in NEW/NEVER_CHECKED instead).
     oracles = e.oracle_sql()
     missing = [n for n in CORE_FIRST
-               if n not in oracles and n not in ROWS_ONLY_R11]
+               if n not in oracles and n not in ROWS_ONLY_R12]
     assert not missing, f"core entries without oracles: {missing}"
-    mislabeled = [n for n in ROWS_ONLY_R11 if n in oracles]
+    mislabeled = [n for n in ROWS_ONLY_R12 if n in oracles]
     assert not mislabeled, f"rows-only slots with oracles: {mislabeled}"
 
 
@@ -95,9 +95,9 @@ def test_never_checked_block_is_exactly_the_gap():
     oracles = set(e.oracle_sql())
     gap = {
         n for n in e.queries()
-        if n in oracles and n not in green and n not in NEW_R11
+        if n in oracles and n not in green and n not in NEW_R12
     }
-    block = set(NEVER_CHECKED_R11)
+    block = set(NEVER_CHECKED_R12)
     assert block <= set(CORE_FIRST), "never-checked block lost its slots"
     missing = sorted(gap - block - set(CORE_FIRST))
     assert not missing, f"oracle-backed queries with no verdict and no slot: {missing}"
@@ -106,7 +106,7 @@ def test_never_checked_block_is_exactly_the_gap():
 
 
 def test_new_round_additions_get_slots():
-    for n in (*NEW_R11, *ROWS_ONLY_R11):
+    for n in (*NEW_R12, *ROWS_ONLY_R12):
         assert n in CORE_FIRST, f"round-{_ROUND} addition without a slot: {n}"
 
 
@@ -116,12 +116,12 @@ def test_remaining_slots_are_deliberate_recerts():
     green = _driver_green()
     strangers = [
         n for n in CORE_FIRST[1:]
-        if n not in NEVER_CHECKED_R11 and n not in NEW_R11
-        and n not in ROWS_ONLY_R11 and n not in green
+        if n not in NEVER_CHECKED_R12 and n not in NEW_R12
+        and n not in ROWS_ONLY_R12 and n not in green
     ]
     assert not strangers, f"unexplained core entries: {strangers}"
     # and the declared re-cert / stale blocks really are re-certs
-    for n in (*RECERTS_R11, *STALE_REFRESH_R11):
+    for n in (*RECERTS_R12, *STALE_REFRESH_R12):
         assert n in green, f"declared re-cert was never driver-green: {n}"
 
 
@@ -192,7 +192,7 @@ def test_entry_first_import_still_yields_core_order():
         from pulsar_project_spark.registry import CORE_FIRST
         assert names[:50] == list(CORE_FIRST), names[:5]
         # ORACLES holds only oracle-backed names: the rows-only window
-        # slots (ROWS_ONLY_R11) are absent by design, so compare the
+        # slots (ROWS_ONLY_R12) are absent by design, so compare the
         # oracle ordering against CORE_FIRST restricted to its keys.
         core_oracled = [n for n in CORE_FIRST if n in set(onames)]
         assert onames[:len(core_oracled)] == core_oracled, onames[:5]

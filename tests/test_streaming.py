@@ -184,18 +184,15 @@ def test_streaming_debounce_matches_batch(spark):
 # verdict on the batch twin transitively covers the streaming path:
 # stream == batch (here) and batch == DuckDB (driver/oracle gate).
 
-TWIN_OF = {
-    # The round-11 oracle sweep moved every other streaming query to
-    # full self-certifying oracles (tx landing / twin-oracle adoption /
-    # closed-form emission rules — see queries/streaming_ops.py). The
-    # twin tests below remain as fast inline regressions with literal
-    # twin names. The ONE genuinely rows-only holdout:
-    # streaming_debounce — its greedy kept-row chain differs from the
-    # batch twin's lag() semantics in general (they coincide only when
-    # no same-key burst straddles a kept/suppressed boundary), so
-    # adopting the twin oracle would be unsound; the parity test runs
-    # both at a gap wide enough to exercise suppression.
-    "streaming_debounce": "debounce_events_1s",
+TWIN_OF: dict[str, str] = {
+    # EMPTY since round 12: the round-11 oracle sweep moved every other
+    # streaming query to full self-certifying oracles (tx landing /
+    # twin-oracle adoption / closed-form emission rules), and round 12
+    # closed the last holdout — streaming_debounce's greedy kept-row
+    # chain now carries its own recursive-CTE oracle (its lag()-rule
+    # batch twin is a DIFFERENT function at the declared 2-day gap, so
+    # twin adoption was never an option). The twin tests below remain
+    # as fast inline regressions with literal twin names.
 }
 
 
@@ -251,11 +248,41 @@ def test_twin_mq_roundtrip(spark):
 
 
 def test_twin_debounce(spark):
+    # round 12: the declared query runs the GREEDY chain at a 2-day gap
+    # (own recursive-CTE oracle); regression-pin it against the same
+    # pandas greedy replica the runner-level parity test uses, and pin
+    # that it genuinely DIFFERS from the lag-rule batch twin here.
+    import collections
+
+    from pulsar_project_spark.queries.streaming_ops import _DEBOUNCE_GAP_US
+    from pulsar_project_spark.sources.tables import load_events
+
     got = {tuple(r) for r in
            _declared("streaming_debounce")(spark, SF_SMOKE).collect()}
-    want = {tuple(r) for r in
-            _declared(TWIN_OF["streaming_debounce"])(spark, SF_SMOKE).collect()}
+    ev = (load_events(spark, SF_SMOKE)
+          .select("user_id", "event_type", "event_id", "ts_us")
+          .toPandas()
+          .sort_values(["user_id", "event_type", "ts_us", "event_id"]))
+    kept = collections.Counter()
+    dropped = collections.Counter()
+    last = {}
+    for r in ev.itertuples():
+        k = (r.user_id, r.event_type)
+        if k not in last or r.ts_us - last[k] > _DEBOUNCE_GAP_US:
+            kept[r.event_type] += 1
+            last[k] = r.ts_us
+        else:
+            dropped[r.event_type] += 1
+    want = {(t, kept[t] + dropped[t], kept[t], dropped[t])
+            for t in set(kept) | set(dropped)}
     assert got == want
+    assert any(d for (_, _, _, d) in got), "no suppression exercised"
+    lag_kept = {(r.event_type, r.n_kept) for r in
+                _declared("debounce_events_1s")(spark, SF_SMOKE)
+                .collect()}
+    # greedy != lag at this gap (debounce_events_1s runs at 1 s AND the
+    # lag rule; assert the censuses differ so the oracle isn't trivial)
+    assert {(t, k) for (t, _, k, _) in got} != lag_kept
 
 
 def test_twin_session_windows(spark):
