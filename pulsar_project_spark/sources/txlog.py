@@ -225,15 +225,29 @@ def _commit(table: str, expected_parent: int | None,
 
 
 def _stage_dataframe(df: DataFrame, table: str,
-                     n_files: int | None = None) -> list[str]:
+                     n_files: int | None = None,
+                     shuffle: bool = False) -> list[str]:
     """Write ``df`` under ``_staging/<uuid>`` and move the produced
     parquet parts into the table root under fresh unique names. The
     moved files are INVISIBLE until a manifest references them, so a
     crash here leaks scratch bytes (reclaimed by vacuum) but can never
-    corrupt a snapshot."""
+    corrupt a snapshot.
+
+    ``shuffle=True`` sizes the output with ``repartition`` instead of
+    ``coalesce`` — Delta's optimized-write shape. The difference is a
+    plan property, not a style choice: ``coalesce(1)`` merges the
+    UPSTREAM partitions into one task, so when the write's input is a
+    stateful operator, a pandas UDF, or any reduce-side compute, that
+    whole computation runs serially in the single merged task
+    (measured 3.5x on the keep-last stateful landing, round 12).
+    ``repartition`` inserts a shuffle AFTER the computation, keeping
+    it parallel and paying only a small-output exchange. Default stays
+    ``coalesce`` for plain-scan batch appends, where avoiding the
+    extra shuffle is the right trade."""
     sid = uuid.uuid4().hex
     staged = os.path.join(table, _STAGING_DIR, sid)
-    out = df.coalesce(n_files) if n_files else df
+    out = ((df.repartition(n_files) if shuffle else df.coalesce(n_files))
+           if n_files else df)
     out.write.mode("overwrite").parquet(staged)
     names = []
     parts = sorted(f for f in os.listdir(staged)
@@ -696,7 +710,8 @@ def tx_txn_version(table: str, app: str, batch: int) -> int | None:
 
 
 def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
-                  n_files: int | None = None, max_retries: int = 8) -> int:
+                  n_files: int | None = None, max_retries: int = 8,
+                  shuffle: bool = False) -> int:
     """IDEMPOTENT append keyed by writer-transaction id ``(app,
     batch)`` — the Delta `txn` pattern that makes a streaming
     foreachBatch sink exactly-once: Structured Streaming replays a
@@ -715,7 +730,7 @@ def tx_append_txn(df: DataFrame, table: str, app: str, batch: int,
     df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
-    new_files = _stage_dataframe(df, table, n_files)
+    new_files = _stage_dataframe(df, table, n_files, shuffle=shuffle)
     for _ in range(max_retries):
         done = tx_txn_version(table, app, batch)
         if done is not None:
@@ -3047,7 +3062,8 @@ def _apply_generated(df: DataFrame, table: str, gens: dict) -> DataFrame:
 
 def tx_append_tracked_txn(df: DataFrame, table: str, app: str, batch: int,
                           n_files: int | None = None,
-                          max_retries: int = 8) -> int:
+                          max_retries: int = 8,
+                          shuffle: bool = False) -> int:
     """EXACTLY-ONCE tracked append: ``tx_append_txn``'s idempotent
     (app, batch) writer-transaction key composed with row tracking —
     the streaming-sink form. A replayed micro-batch returns the
@@ -3065,7 +3081,7 @@ def tx_append_tracked_txn(df: DataFrame, table: str, app: str, batch: int,
     df = _apply_generated(df, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(df, table, validated)
-    new_files = _stage_dataframe(df, table, n_files)
+    new_files = _stage_dataframe(df, table, n_files, shuffle=shuffle)
     counts = {n: _parquet_num_rows(os.path.join(table, n))
               for n in new_files}
     for _ in range(max_retries):

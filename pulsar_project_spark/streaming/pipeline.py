@@ -151,8 +151,12 @@ def _tx_landed_update_stream(sdf: DataFrame, base: str, app: str,
     tx_init(table)
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
+        # shuffle=True: the micro-batch's input is reduce-side compute
+        # (stateful agg / applyInPandasWithState); coalesce(1) would
+        # serialize it into one task (3.5x on keep-last, round 12)
         tx_append_txn(bdf.withColumn("batch_id", F.lit(batch_id)),
-                      table, app=app, batch=batch_id, n_files=1)
+                      table, app=app, batch=batch_id, n_files=1,
+                      shuffle=True)
 
     def drain_once() -> None:
         q = (
@@ -279,7 +283,7 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         tx_append_txn(bdf, table, app="windowed_counts", batch=batch_id,
-                      n_files=1)
+                      n_files=1, shuffle=True)
 
     def drain_once() -> None:
         q = (
@@ -332,7 +336,8 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pulsar_project_spark.sources.sinks import merge_upsert
 
         merge_upsert(batch_df.sparkSession, sink_dir + "/counts", batch_df,
-                     key_cols=["event_type"], order_col="n")
+                     key_cols=["event_type"], order_col="n",
+                     cache_updates=True)
 
     with _state_partitions(spark):
         q = (
@@ -531,9 +536,12 @@ def run_streaming_debounce(spark: SparkSession, sf_dir: str,
         })
 
     sink_dir = tempfile.mkdtemp(prefix="debounce_")
+    # ts_us IS NOT NULL, mirrored in the declared query's oracle:
+    # debounce is defined on event time — a timeless event belongs to
+    # no gap chain (and NaN would poison the int64 fold below)
     ev = events_stream(spark, sf_dir).select(
         "user_id", "event_type", "event_id", "ts_us"
-    )
+    ).filter(F.col("ts_us").isNotNull())
     out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
         update,
         _DEBOUNCE_OUT,
@@ -550,7 +558,8 @@ def run_streaming_debounce(spark: SparkSession, sf_dir: str,
         from pulsar_project_spark.sources.sinks import merge_upsert
 
         merge_upsert(batch_df.sparkSession, sink_dir + "/keys", batch_df,
-                     key_cols=["user_id", "event_type"], order_col="n_kept")
+                     key_cols=["user_id", "event_type"], order_col="n_kept",
+                     cache_updates=True)
 
     with _state_partitions(spark):
         q = (
@@ -832,6 +841,9 @@ def run_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
+        # coalesce (default) is right for a pass-through landing: the
+        # upstream is a trivial projection, so narrowing 8 scan tasks
+        # to 4 writers costs less than a full-batch exchange would
         tx_append_txn(bdf, table, app=app, batch=batch_id, n_files=4)
 
     def drain_once() -> None:
@@ -1292,6 +1304,9 @@ def run_streaming_tx_change_feed(spark: SparkSession,
             F.sum(F.abs(F.col("_net")) * F.col("value_cents"))
             .cast("bigint").alias("total_cents"),
         )
+        # coalesce (default) is right here: ``partial`` is a tiny
+        # grouped-agg result — only the trivial reduce side merges into
+        # one task; the feed scan + partial agg stay map-side parallel
         tx_append_txn(partial, state, app="cdf_fold", batch=batch_id,
                       n_files=1)
 
@@ -1455,6 +1470,7 @@ def run_streaming_tx_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_net") * F.col("val_cents")).cast("bigint")
             .alias("cents"),
         )
+        # coalesce (default): tiny grouped-agg partial, trivial reduce
         tx_append_txn(partial, state, app="cdf_mv", batch=batch_id,
                       n_files=1)
 
@@ -1528,6 +1544,7 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
     )
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
+        # coalesce (default): pass-through landing, trivial upstream
         tx_append_tracked_txn(bdf, table, app=app, batch=batch_id,
                               n_files=4)
 
@@ -1674,10 +1691,20 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     app = "ann_ingest"
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
-        part = (kmeans_assign_to(bdf, frozen).select("vec_id", "label")
-                .join(pq_encode(bdf), "vec_id")
-                .select("vec_id", "label", "subspace", "code"))
-        tx_append_txn(part, idx_tbl, app=app, batch=batch_id, n_files=1)
+        # bdf feeds BOTH the assign and the encode branch: persist so
+        # the micro-batch source is materialized once, not re-executed
+        # per branch (the foreachBatch re-execution rule); shuffle=True
+        # so the single-file landing doesn't narrow assign+encode into
+        # one task
+        bdf = bdf.persist()
+        try:
+            part = (kmeans_assign_to(bdf, frozen).select("vec_id", "label")
+                    .join(pq_encode(bdf), "vec_id")
+                    .select("vec_id", "label", "subspace", "code"))
+            tx_append_txn(part, idx_tbl, app=app, batch=batch_id,
+                          n_files=1, shuffle=True)
+        finally:
+            bdf.unpersist()
 
     def drain_once() -> None:
         q = (

@@ -57,8 +57,8 @@ def main() -> int:
         floors = cfg["floors"]
         tolerance = float(cfg.get("tolerance", 1.3))
         sf = cfg.get("sf", args.sf)
-        failed = []
-        for name in sorted(floors):
+
+        def probe_once(name: str) -> float | None:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "-n", str(args.n), "--sf", sf, "--no-floors", name],
@@ -67,12 +67,32 @@ def main() -> int:
                          if ln.startswith(f"{name}: min=")), None)
             if res.returncode != 0 or line is None:
                 print(f"{name}: probe failed\n{res.stderr[-1500:]}")
+                return None
+            print(line, end="")
+            return float(line.split("min=")[1].split("s")[0])
+
+        failed = []
+        for name in sorted(floors):
+            hot = probe_once(name)
+            limit = floors[name] * tolerance
+            if hot is not None and hot > limit:
+                # This host steals CPU in bursts (co-tenant load,
+                # measured round 12: an identical fresh-session probe
+                # of a 0.46 s query returned 0.46 / 0.62 / 1.25 across
+                # one hour with zero plan change). A REAL plan
+                # regression reproduces; an ambient burst does not —
+                # so drift must be confirmed by a second fresh session
+                # before it fails the gate, and the verdict is the min
+                # across both probes.
+                print(f" floor={floors[name]:.2f} limit={limit:.2f} "
+                      "DRIFT? confirming in a second fresh session")
+                hot2 = probe_once(name)
+                hot = min(h for h in (hot, hot2) if h is not None)
+            if hot is None:
                 failed.append(name)
                 continue
-            hot = float(line.split("min=")[1].split("s")[0])
-            limit = floors[name] * tolerance
             ok = hot <= limit
-            print(f"{line} floor={floors[name]:.2f} "
+            print(f" floor={floors[name]:.2f} "
                   f"limit={limit:.2f} {'OK' if ok else 'DRIFT'}")
             if not ok:
                 failed.append(name)
