@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_project_spark.operators.kmeans import _quantize, _sq_dist, kmeans_fit
+from pulsar_project_spark.operators.kmeans import (
+    _fold_centroids,
+    _quantize,
+    _sq_dist,
+    kmeans_fit,
+)
 from pulsar_project_spark.operators.similarity import cosine, with_norm
 
 
@@ -44,16 +49,24 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 
     # Probe list: each query's nprobe nearest centroids (integer
     # distance in the same quantized space the cells were built in).
+    # Map-side top-nprobe (round 12): fold the k centroids into one
+    # broadcast array row and slice the sorted (cdist, label) struct
+    # array — BIGINT distances total-order, so the slice IS the
+    # window's row_number <= nprobe under ORDER BY cdist, label, with
+    # no per-query exchange.
     q = _quantize(emb.filter(F.col(id_col) < n_queries), id_col, vec_col)
-    probed = q.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col).alias("query_id"), "label",
-        _sq_dist(F.col("qv"), F.col("qc")).alias("cdist"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("label"))
+    nearest = F.slice(F.array_sort(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sq_dist(F.col("qv"), c["qc"]).alias("cdist"),
+            c["label"].alias("label"),
+        ),
+    )), 1, nprobe)
     probes = (
-        probed.withColumn("__pr", F.row_number().over(wp))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "label")
+        q.crossJoin(F.broadcast(_fold_centroids(cent)))
+        .select(F.col(id_col).alias("query_id"),
+                F.explode(nearest).alias("p"))
+        .select("query_id", F.col("p.label").alias("label"))
     )
 
     # Candidates: every vector in a probed cell. The probe list is tiny

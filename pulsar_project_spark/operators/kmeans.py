@@ -10,11 +10,15 @@ order, or cluster size, and a numpy replica asserts equality in tests.
 (Float k-means differs in the last bits across reduction orders, which
 makes distributed runs non-reproducible — the classic trap.)
 
-Per iteration: one broadcast of k centroids (tiny), one narrow
-assignment pass (argmin over k via a window on (vec, dist)), one
-groupBy(label, pos) shuffle for the update — Lloyd's at 100 TB is
-exactly these three steps; ``localCheckpoint`` truncates plan lineage
-per round (see operators/clustering.py)."""
+Per iteration: one broadcast of k centroids (tiny), one MAP-SIDE
+assignment pass (argmin over k via a sorted struct array — round 12:
+the original crossJoin-k-rows + row_number window shuffled k rows per
+vector per iteration; folding the k centroids into ONE broadcast array
+row makes assignment a zero-shuffle projection with identical integer
+argmin + lowest-label tiebreak semantics), one groupBy(label, pos)
+shuffle for the update — Lloyd's at 100 TB is exactly these steps;
+``localCheckpoint`` truncates plan lineage per round (see
+operators/clustering.py)."""
 
 from __future__ import annotations
 
@@ -25,16 +29,54 @@ from pyspark.sql.window import Window
 QUANT = 1_000_000
 
 
-def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _quantize(emb: DataFrame, id_col: str, vec_col: str,
+              keep: tuple[str, ...] = ()) -> DataFrame:
     qv = F.transform(
         F.col(vec_col), lambda v: F.floor(v.cast("double") * QUANT).cast("bigint")
     )
-    return emb.select(F.col(id_col), qv.alias("qv"))
+    return emb.select(F.col(id_col), *[F.col(c) for c in keep],
+                      qv.alias("qv"))
 
 
 def _sq_dist(a, b):
     d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _fold_centroids(cent: DataFrame) -> DataFrame:
+    """The k centroid rows folded into ONE ``(cents
+    ARRAY<STRUCT<label,qc>>)`` row, sorted by label — the broadcastable
+    scalar form of the quantizer. ``collect_list`` order is partition-
+    dependent, so the fold sorts; labels are unique, making the sorted
+    array deterministic."""
+    return cent.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("label").cast("int").alias("label"), F.col("qc").alias("qc"),
+    ))).alias("__cents"))
+
+
+def _assign_nearest(q: DataFrame, cent: DataFrame,
+                    out_cols: list) -> DataFrame:
+    """Map-side nearest-centroid assignment: 1-row broadcast crossJoin
+    of the folded quantizer, then a per-row argmin by sorting the
+    k-element ``(sq_dist, label)`` struct array — BIGINT distances
+    total-order, so the lexicographic struct sort IS the window's
+    ``ORDER BY sq_dist ASC, label ASC`` pick-first, with no exchange.
+    Adds ``label`` and ``sq_dist`` columns; ``out_cols`` is the final
+    projection."""
+    best = F.array_sort(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sq_dist(F.col("qv"), c["qc"]).alias("d"),
+            c["label"].alias("label"),
+        ),
+    ))[0]
+    return (
+        q.crossJoin(F.broadcast(_fold_centroids(cent)))
+        .withColumn("__best", best)
+        .withColumn("label", F.col("__best")["label"])
+        .withColumn("sq_dist", F.col("__best")["d"])
+        .select(*out_cols)
+    )
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
@@ -64,15 +106,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
 
     assign = None
     for it in range(iters):
-        scored = q.crossJoin(F.broadcast(cent)).select(
-            id_col, "qv", "label", _sq_dist(F.col("qv"), F.col("qc")).alias("sq_dist")
-        )
-        w = Window.partitionBy(id_col).orderBy(F.asc("sq_dist"), F.asc("label"))
-        assign = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "qv", "label", "sq_dist")
-        )
+        assign = _assign_nearest(q, cent, [id_col, "qv", "label", "sq_dist"])
         if it == iters - 1:
             break  # returned centroids are the ones that PRODUCED assign
         # update: quantized mean per (label, dim) — floor(sum/count) in
@@ -96,22 +130,23 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
 
 def kmeans_assign_to(emb: DataFrame, cent: DataFrame,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     keep: tuple[str, ...] = ()) -> DataFrame:
     """Assign vectors to FROZEN centroids ``(label, qc)`` — the
     incremental-index maintenance primitive: new vectors join an
     existing coarse quantizer WITHOUT retraining (retraining on every
     append would re-shard the whole store; production IVF freezes the
     quantizer at train time and only re-trains offline). Same integer
     argmin + lowest-label tiebreak as ``kmeans_fit``'s assignment
-    step, so assign-then-union == union-then-assign exactly."""
-    q = _quantize(emb, id_col, vec_col)
-    scored = q.crossJoin(F.broadcast(cent)).select(
-        id_col, "label", _sq_dist(F.col("qv"), F.col("qc")).alias("sq_dist")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("sq_dist"), F.asc("label"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "label", "sq_dist"))
+    step, so assign-then-union == union-then-assign exactly.
+
+    ``keep`` carries extra input columns through the (map-side)
+    assignment — e.g. ``keep=("embedding",)`` lets a PQ encode follow
+    without re-joining on the id (round 12: the assign⋈encode join was
+    a per-micro-batch shuffle in the ANN ingest/maintenance paths)."""
+    q = _quantize(emb, id_col, vec_col, keep=keep)
+    return _assign_nearest(q, cent,
+                           [id_col, *keep, "label", "sq_dist"])
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,

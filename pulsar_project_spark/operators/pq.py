@@ -63,7 +63,8 @@ def _sq_dist(m: int, c: int):
     return out
 
 
-def pq_encode(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def pq_encode(vecs: DataFrame, id_col: str = "vec_id",
+              carry: tuple[str, ...] = ()) -> DataFrame:
     """(vec_id, subspace, code): nearest-centroid assignment per
     subspace — exact integer argmin with lowest-code tiebreak. One
     map-only projection + explode; no shuffle, no UDF: at 100 TB this
@@ -77,7 +78,11 @@ def pq_encode(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     distances with zip_with/aggregate, and argmins by sorting a K-row
     (dist, code) struct array — identical integer semantics (exceptAll
     parity both directions), ~3.5× faster, and each input element is
-    referenced exactly once."""
+    referenced exactly once.
+
+    ``carry`` keeps extra input columns through the explode (round 12:
+    lets a preceding map-side cell assignment ride the same projection
+    instead of re-joining on the id)."""
     qv = F.expr(pq_quantize_expr())
 
     def sub_struct(m: int):
@@ -104,10 +109,10 @@ def pq_encode(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
         )
 
     return (vecs.withColumn("__qv", qv)
-            .select(F.col(id_col),
+            .select(F.col(id_col), *[F.col(c) for c in carry],
                     F.explode(F.array(*[sub_struct(m) for m in range(PQ_M)]))
                     .alias("s"))
-            .select(id_col,
+            .select(id_col, *carry,
                     F.col("s.subspace").alias("subspace"),
                     F.col("s.code").alias("code")))
 
@@ -181,6 +186,38 @@ def _sv_dist(a, b):
     return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def _fold_codebook(codebook: DataFrame) -> DataFrame:
+    """``(m, cands ARRAY<STRUCT<c,qc>>)``: the per-subspace codebook
+    rows folded into one sorted array row per subspace, so the encode
+    join stays 1:1 (M broadcast rows) instead of multiplying every
+    subvector by K candidate rows and re-collapsing through a window
+    exchange (round 12 — see ``_assign_sv``)."""
+    return codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("c").cast("int").alias("c"), F.col("qc").alias("qc"),
+        ))).alias("__cands"))
+
+
+def _assign_sv(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Map-side per-(vector, subspace) argmin against a trained
+    codebook: broadcast the M folded rows, sort the K-element
+    ``(__d, c)`` struct array — BIGINT distances total-order, so the
+    lexicographic sort IS the window's ``ORDER BY __d ASC, c ASC``
+    pick-first with no exchange. Keeps ``sv`` (the training update
+    step needs it)."""
+    best = F.array_sort(F.transform(
+        F.col("__cands"),
+        lambda cc: F.struct(
+            _sv_dist(F.col("sv"), cc["qc"]).alias("__d"),
+            cc["c"].alias("c"),
+        ),
+    ))[0]
+    return (sub.join(F.broadcast(_fold_codebook(codebook)), "m")
+            .withColumn("__best", best)
+            .withColumn("c", F.col("__best")["c"])
+            .withColumn("__d", F.col("__best")["__d"]))
+
+
 def pq_train(vecs: DataFrame, rounds: int = 1,
              id_col: str = "vec_id") -> DataFrame:
     """Per-subspace Lloyd's: returns the trained codebook relation
@@ -193,9 +230,10 @@ def pq_train(vecs: DataFrame, rounds: int = 1,
     (true of every corpus here); duplicate ids would make the init
     join ambiguous.
 
-    Scale shape per round: one M*K-row broadcast, one narrow scored
-    pass, one (vec_id, m)-window argmin, one groupBy update over
-    (m, label, j) — M*K*SUB groups, trivially mergeable."""
+    Scale shape per round: one M-row folded-codebook broadcast, one
+    MAP-SIDE argmin pass (round 12 — previously a K-way row expansion
+    re-collapsed through a (vec_id, m)-window exchange), one groupBy
+    update over (m, label, j) — M*K*SUB groups, trivially mergeable."""
     from pyspark.sql.window import Window
 
     # duplicate ids would make the init join ambiguous AND diverge from
@@ -223,14 +261,8 @@ def pq_train(vecs: DataFrame, rounds: int = 1,
     cent = (sub.join(init, sub[id_col] == init["__cvid"])
             .select("m", "c", F.col("sv").alias("qc"))
             .localCheckpoint(eager=True))
-    w = Window.partitionBy(id_col, "m").orderBy(F.asc("__d"), F.asc("c"))
     for _ in range(rounds):
-        scored = sub.join(F.broadcast(cent), "m").select(
-            id_col, "m", "sv", "c",
-            _sv_dist(F.col("sv"), F.col("qc")).alias("__d"),
-        )
-        assign = (scored.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1))
+        assign = _assign_sv(sub, cent).select(id_col, "m", "sv", "c")
         upd = (
             assign.select("m", F.col("c").alias("label"),
                           F.posexplode("sv").alias("j", "x"))
@@ -252,17 +284,11 @@ def pq_encode_trained(vecs: DataFrame, codebook: DataFrame,
     """(vec_id, subspace, code) against a TRAINED codebook relation:
     the data-dependent twin of ``pq_encode`` — same argmin semantics,
     but the codebook arrives as a broadcast relation instead of
-    compile-time literals (one M*K-row broadcast join + per-(vector,
-    subspace) window argmin; still no wide shuffle of the store)."""
-    from pyspark.sql.window import Window
-
+    compile-time literals (one M-row folded broadcast join + MAP-SIDE
+    per-(vector, subspace) argmin — round 12: no window exchange, no
+    K-way row expansion; still no wide shuffle of the store)."""
     sub = _pq_subvectors(vecs, id_col)
-    scored = sub.join(F.broadcast(codebook), "m").select(
-        id_col, "m", "c", _sv_dist(F.col("sv"), F.col("qc")).alias("__d"),
-    )
-    w = Window.partitionBy(id_col, "m").orderBy(F.asc("__d"), F.asc("c"))
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+    return (_assign_sv(sub, codebook)
             .select(id_col, F.col("m").alias("subspace"),
                     F.col("c").cast("int").alias("code")))
 
