@@ -798,17 +798,21 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
     )
 
 
-def run_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_tx_sink(spark: SparkSession, sf_dir: str,
+                          gate: bool = False) -> DataFrame:
     """EXACTLY-ONCE streaming landing into the transactional table log
     (sources/txlog.py): each micro-batch commits as one idempotent
     ``tx_append_txn`` keyed by (app, batchId) — Structured Streaming
     replays a failed batch with the SAME batchId, and the txn id rides
     INSIDE the manifest so the replay check and the commit share one
-    atomic CAS. The run then (a) restarts the stream against the same
-    checkpoint (no new files -> zero new commits) and (b) force-replays
-    batch 0's commit — the no-op path a crashed-after-commit executor
-    exercises. The returned census hashes against the oracle over the
-    ORIGINAL parquet, so a duplicated or lost batch breaks the gate.
+    atomic CAS. With ``gate=True`` (tests/test_streaming.py; VERDICT
+    r11 order #1 applied round 12) the run additionally (a) restarts
+    the stream against the same checkpoint (no new files -> the table
+    version must not move, asserted) and (b) force-replays batch 0's
+    commit — the no-op path a crashed-after-commit executor exercises.
+    The declared query drains ONCE; its census still hashes against
+    the oracle over the ORIGINAL parquet, so a duplicated or lost
+    batch breaks the gate either way.
 
     Scale shape: the sink is a plain parquet write per batch plus one
     8-byte-scale manifest link; commit cost is independent of table
@@ -857,16 +861,22 @@ def run_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     drain_once()
-    drain_once()  # restart, same checkpoint: no new files, no commits
-    v_after_restart = tx_snapshot(table)["version"]
-    # executor-crash replay: re-deliver a commit under batch 0's txn id
-    # (the payload is irrelevant — the id already in the manifest chain
-    # MUST make the whole call a no-op before anything is referenced)
-    if tx_snapshot(table)["files"]:
-        replay_payload = tx_read(spark, table)
-        tx_append_txn(replay_payload, table, app=app, batch=0, n_files=1)
-        if tx_snapshot(table)["version"] != v_after_restart:
-            raise AssertionError("replayed batch 0 was not deduplicated")
+    if gate:
+        v_after_drain = tx_snapshot(table)["version"]
+        drain_once()  # restart, same checkpoint: no new files, no commits
+        v_after_restart = tx_snapshot(table)["version"]
+        if v_after_restart != v_after_drain:
+            raise AssertionError("restart drain committed new versions")
+        # executor-crash replay: re-deliver a commit under batch 0's txn
+        # id (the payload is irrelevant — the id already in the manifest
+        # chain MUST make the whole call a no-op)
+        if tx_snapshot(table)["files"]:
+            replay_payload = tx_read(spark, table)
+            tx_append_txn(replay_payload, table, app=app, batch=0,
+                          n_files=1)
+            if tx_snapshot(table)["version"] != v_after_restart:
+                raise AssertionError(
+                    "replayed batch 0 was not deduplicated")
 
     if not tx_snapshot(table)["files"]:
         return spark.createDataFrame([], StructType([
@@ -1237,8 +1247,8 @@ def run_streaming_lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_exact_distinct", "n_set_bits", "m_bits")
 
 
-def run_streaming_tx_change_feed(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def run_streaming_tx_change_feed(spark: SparkSession, sf_dir: str,
+                                 gate: bool = False) -> DataFrame:
     """Streaming twin of ``tx_change_feed_census``: the SAME commit
     history (two appends, a layout-only compaction, a DV delete, a COW
     delete) is consumed by TAILING the manifest chain through the
@@ -1248,9 +1258,12 @@ def run_streaming_tx_change_feed(spark: SparkSession,
     change rows. Each batch nets its weighted rows per commit and folds
     the per-(side, type) partial census into a STATE tx table via
     ``tx_append_txn`` keyed by the batch id — the landing is
-    exactly-once under restart (drained twice against one checkpoint)
-    by the same manifest-CAS argument the round-7 sink certified. The
-    final read aggregates the landed partials; equality with the
+    exactly-once under restart by the same manifest-CAS argument the
+    round-7 sink certified; ``gate=True`` (tests/test_streaming.py;
+    VERDICT r11 order #1 applied round 12) proves it by draining a
+    second time against the same checkpoint and asserting the table
+    version did not move. The declared query drains ONCE. The final
+    read aggregates the landed partials; equality with the
     oracle-backed batch twin is pinned in tests/test_streaming.py,
     closing the chain stream-feed == batch-feed == DuckDB."""
     import shutil
@@ -1321,7 +1334,11 @@ def run_streaming_tx_change_feed(spark: SparkSession,
         q.awaitTermination()
 
     drain_once()
-    drain_once()  # restart against the same checkpoint: zero new commits
+    if gate:
+        v_after_drain = tx_snapshot(state)["version"]
+        drain_once()  # restart, same checkpoint: zero new commits
+        if tx_snapshot(state)["version"] != v_after_drain:
+            raise AssertionError("restart drain committed new versions")
     if not tx_snapshot(state)["files"]:
         from pyspark.sql.types import (
             LongType, StringType, StructField, StructType,
@@ -1404,15 +1421,18 @@ def _build_mv_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def run_streaming_tx_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_tx_mv(spark: SparkSession, sf_dir: str,
+                        gate: bool = False) -> DataFrame:
     """STREAMING MATERIALIZED VIEW off the change data feed — the IVM
     capstone (VERDICT r8 order #6): the ``tx_change_feed`` source tails
     a commit history spanning every commit class (append / compaction /
     DV delete / COW delete / RENAME / COW update), each micro-batch
     nets its weighted rows per commit and folds a SIGNED per-type
     partial (insert +, delete −) into a maintained aggregate tx table
-    via exactly-once ``tx_append_txn`` — drained twice against one
-    checkpoint to prove the restart commits nothing. The final view
+    via exactly-once ``tx_append_txn`` — with ``gate=True``
+    (tests/test_streaming.py; VERDICT r11 order #1 applied round 12)
+    drained twice against one checkpoint, asserting the restart
+    commits nothing; the declared query drains ONCE. The final view
     (sum of partials, zero-count groups dropped) must hash-match the
     oracle's direct census of the LIVE rows replayed from raw events:
     the DBSP identity ``view(table) == fold(changes(table))`` certified
@@ -1485,7 +1505,11 @@ def run_streaming_tx_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     drain_once()
-    drain_once()  # restart against the same checkpoint: zero new commits
+    if gate:
+        v_after_drain = tx_snapshot(state)["version"]
+        drain_once()  # restart, same checkpoint: zero new commits
+        if tx_snapshot(state)["version"] != v_after_drain:
+            raise AssertionError("restart drain committed new versions")
     if not tx_snapshot(state)["files"]:
         from pyspark.sql.types import (
             LongType, StringType, StructField, StructType,
@@ -1503,8 +1527,8 @@ def run_streaming_tx_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_streaming_tx_tracked_sink(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
+def run_streaming_tx_tracked_sink(spark: SparkSession, sf_dir: str,
+                                  gate: bool = False) -> DataFrame:
     """EXACTLY-ONCE streaming landing into a ROW-TRACKED tx table
     (``tx_append_tracked_txn``): each micro-batch's rows get durable
     ids from their very first commit, the replay of a committed batch
@@ -1515,7 +1539,10 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
     {0..n-1}, so count = n, sum(_rid) = n(n-1)/2 and max(_rid) = n-1.
     A doubled batch inflates the sum; a lost one truncates it; an
     id-burning replay shifts the max — any of the three breaks the
-    oracle hash. (At extreme scale the n^2/2 sum would outgrow int64
+    oracle hash. The restart + forced-replay arms run under
+    ``gate=True`` (tests/test_streaming.py; VERDICT r11 order #1
+    applied round 12); the declared query drains ONCE — the id algebra
+    above keeps exactly-once hash-checkable without them. (At extreme scale the n^2/2 sum would outgrow int64
     around 4e9 rows — production would fold ids modulo a prime; the
     census documents the exact form the oracle replays.)"""
     import shutil
@@ -1559,20 +1586,27 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
         q.awaitTermination()
 
     drain_once()
-    drain_once()  # restart, same checkpoint: no new files, no commits
-    snap = tx_snapshot(table)
-    v_after, hwm_after = snap["version"], snap.get("row_hwm", 0)
-    if snap["files"]:
-        # executor-crash replay under batch 0's txn id: must be a no-op
-        # for BOTH the file list and the id high-water-mark
-        replay_payload = tx_read_tracked(spark, table).drop("_rid")
-        tx_append_tracked_txn(replay_payload, table, app=app, batch=0,
-                              n_files=1)
-        snap2 = tx_snapshot(table)
-        if snap2["version"] != v_after:
-            raise AssertionError("replayed batch 0 was not deduplicated")
-        if snap2.get("row_hwm", 0) != hwm_after:
-            raise AssertionError("replayed batch 0 burned id range")
+    if gate:
+        snap0 = tx_snapshot(table)
+        drain_once()  # restart, same checkpoint: no new files, no commits
+        snap = tx_snapshot(table)
+        v_after, hwm_after = snap["version"], snap.get("row_hwm", 0)
+        if v_after != snap0["version"]:
+            raise AssertionError("restart drain committed new versions")
+        if hwm_after != snap0.get("row_hwm", 0):
+            raise AssertionError("restart drain burned id range")
+        if snap["files"]:
+            # executor-crash replay under batch 0's txn id: must be a
+            # no-op for BOTH the file list and the id high-water-mark
+            replay_payload = tx_read_tracked(spark, table).drop("_rid")
+            tx_append_tracked_txn(replay_payload, table, app=app, batch=0,
+                                  n_files=1)
+            snap2 = tx_snapshot(table)
+            if snap2["version"] != v_after:
+                raise AssertionError(
+                    "replayed batch 0 was not deduplicated")
+            if snap2.get("row_hwm", 0) != hwm_after:
+                raise AssertionError("replayed batch 0 burned id range")
 
     empty = StructType([
         StructField("event_type", StringType()),
@@ -1605,7 +1639,8 @@ def run_streaming_tx_tracked_sink(spark: SparkSession,
 
 def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
                              n_source_files: int = 4,
-                             gate: bool = False) -> DataFrame:
+                             gate: bool = False,
+                             max_files_per_trigger: int = 2) -> DataFrame:
     """STREAMING ANN INGESTION — the embedding store's write path as a
     genuine multi-batch stream: the vector corpus arrives file-by-file
     (``maxFilesPerTrigger=1`` over a {n}-file staging of the
@@ -1683,7 +1718,7 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
          .write.mode("overwrite").parquet(stage))
     schema = spark.read.parquet(stage).schema
     src = (spark.readStream.schema(schema).format("parquet")
-           .option("maxFilesPerTrigger", 1).load(stage))
+           .option("maxFilesPerTrigger", max_files_per_trigger).load(stage))
     vec_stream = src.filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     ).select("vec_id", "embedding")
@@ -1691,20 +1726,19 @@ def run_streaming_ann_ingest(spark: SparkSession, sf_dir: str,
     app = "ann_ingest"
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
-        # bdf feeds BOTH the assign and the encode branch: persist so
-        # the micro-batch source is materialized once, not re-executed
-        # per branch (the foreachBatch re-execution rule); shuffle=True
-        # so the single-file landing doesn't narrow assign+encode into
-        # one task
-        bdf = bdf.persist()
-        try:
-            part = (kmeans_assign_to(bdf, frozen).select("vec_id", "label")
-                    .join(pq_encode(bdf), "vec_id")
-                    .select("vec_id", "label", "subspace", "code"))
-            tx_append_txn(part, idx_tbl, app=app, batch=batch_id,
-                          n_files=1, shuffle=True)
-        finally:
-            bdf.unpersist()
+        # ONE map-side pass (round 12): the frozen-quantizer assignment
+        # is a broadcast argmin that carries `embedding` through, and
+        # pq_encode rides the same projection carrying `label` — the
+        # old assign⋈encode join shuffled every micro-batch (and needed
+        # a persist because bdf fed two branches); shuffle=True so the
+        # single-file landing doesn't narrow the encode into one task
+        part = pq_encode(
+            kmeans_assign_to(bdf, frozen, keep=("embedding",))
+            .select("vec_id", "embedding", "label"),
+            carry=("label",),
+        ).select("vec_id", "label", "subspace", "code")
+        tx_append_txn(part, idx_tbl, app=app, batch=batch_id,
+                      n_files=1, shuffle=True)
 
     def drain_once() -> None:
         q = (

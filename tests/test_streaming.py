@@ -553,6 +553,54 @@ def test_keep_last_exactly_once_gate(spark):
         tuple(r) for r in plain.collect()}
 
 
+def test_tx_sink_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming.pipeline import run_streaming_tx_sink
+
+    gated = {tuple(r) for r in
+             run_streaming_tx_sink(spark, SF_SMOKE, gate=True).collect()}
+    plain = {tuple(r) for r in
+             run_streaming_tx_sink(spark, SF_SMOKE, gate=False).collect()}
+    assert gated == plain
+
+
+def test_tx_change_feed_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_tx_change_feed,
+    )
+
+    gated = {tuple(r) for r in
+             run_streaming_tx_change_feed(spark, SF_SMOKE,
+                                          gate=True).collect()}
+    plain = {tuple(r) for r in
+             run_streaming_tx_change_feed(spark, SF_SMOKE,
+                                          gate=False).collect()}
+    assert gated == plain
+
+
+def test_tx_mv_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming.pipeline import run_streaming_tx_mv
+
+    gated = {tuple(r) for r in
+             run_streaming_tx_mv(spark, SF_SMOKE, gate=True).collect()}
+    plain = {tuple(r) for r in
+             run_streaming_tx_mv(spark, SF_SMOKE, gate=False).collect()}
+    assert gated == plain
+
+
+def test_tx_tracked_sink_exactly_once_gate(spark):
+    from pulsar_project_spark.streaming.pipeline import (
+        run_streaming_tx_tracked_sink,
+    )
+
+    gated = {tuple(r) for r in
+             run_streaming_tx_tracked_sink(spark, SF_SMOKE,
+                                           gate=True).collect()}
+    plain = {tuple(r) for r in
+             run_streaming_tx_tracked_sink(spark, SF_SMOKE,
+                                           gate=False).collect()}
+    assert gated == plain
+
+
 def test_ann_ingest_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_ann_ingest,
@@ -560,9 +608,14 @@ def test_ann_ingest_exactly_once_gate(spark):
 
     # collect each result BEFORE the next call: the runner stages its
     # tx tables under a per-pid dir it clears at entry, so a lazy
-    # DataFrame from call 1 dangles once call 2 starts
+    # DataFrame from call 1 dangles once call 2 starts. The gated run
+    # forces 1 file per trigger (4 micro-batches, the strongest
+    # exactly-once exercise); the plain run uses the declared default
+    # (2 files per trigger, round 12) — equality certifies the
+    # batch-split independence the trigger sizing rests on.
     gated = {tuple(r) for r in
-             run_streaming_ann_ingest(spark, SF_SMOKE, gate=True).collect()}
+             run_streaming_ann_ingest(spark, SF_SMOKE, gate=True,
+                                      max_files_per_trigger=1).collect()}
     plain = {tuple(r) for r in
              run_streaming_ann_ingest(spark, SF_SMOKE, gate=False).collect()}
     assert gated == plain
