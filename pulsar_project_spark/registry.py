@@ -76,20 +76,28 @@ RECERTS_R12: tuple[str, ...] = (
     # sources/sinks.py (the shuffle staging option; cached foreachBatch
     # merge), queries/similarity_ops.py (rebuild-equivalence arm moved
     # behind verify_rebuild=True), queries/sketch_ops.py (stratified-
-    # sample upgrade shares the module with the unsalted twin) — the
-    # queries on those paths:
+    # sample upgrade shares the module with the unsalted twin),
+    # operators/{kmeans,ivf,pq}.py (map-side broadcast argmin replacing
+    # the crossJoin+window per-row argmin — every trained-codebook /
+    # IVF query's plan changed, guide §2.4) — the queries on those
+    # paths:
     "streaming_topic_frequencies", "streaming_windowed_counts",
     "streaming_keep_last_state", "streaming_ann_ingest_census",
     "tx_ann_index_maintenance_census", "hash_stratified_sample",
     "streaming_exact_dedup", "streaming_tx_exactly_once_census",
     "streaming_tx_mv_census", "streaming_tx_tracked_sink_census",
     "streaming_tx_change_feed",
+    "pq_trained_code_assignment", "pq_trained_adc_topk",
+    "ivfpq_adc_topk", "ivfpq_rerank_topk", "pq_code_assignment",
+    "pq_adc_topk",
 )
 
-# Stalest-green refresh: the full round-4-verdict cohort (the oldest
+# Stalest-green refresh: the round-4-verdict cohort (the oldest
 # remaining after round 11 refreshed round 3) minus
-# hash_stratified_sample (above, re-certed as a changed-module rep) —
-# 36 names.
+# hash_stratified_sample (above, re-certed as a changed-module rep) and
+# minus the 6 tail names displaced by the round-12 operator re-certs
+# (the pq/ivfpq block above — changed plans outrank stale greens; the
+# displaced 6 roll to round 13) — 30 names.
 STALE_REFRESH_R12: tuple[str, ...] = (
     "arg_schema_casting", "arg_whitelist_projection", "audio_chunk_plan",
     "cumulative_new_users_by_day", "daily_user_series_gapfilled",
@@ -105,8 +113,6 @@ STALE_REFRESH_R12: tuple[str, ...] = (
     "salted_segment_event_counts", "skew_key_census",
     "snapshot_diff_counts", "tool_catalog_last_wins",
     "tool_routing_first_match", "training_order_shuffle",
-    "udtf_json_path_stats", "user_event_gap_stats", "user_session_stats",
-    "user_value_ranks", "user_value_trend", "winsorize_tail_counts",
 )
 
 _CORE_BLOCKS: tuple[str, ...] = (
