@@ -508,10 +508,14 @@ def run_streaming_debounce(spark: SparkSession, sf_dir: str,
     path is the tested one.
 
     Scale shape: state is 8 bytes/key, keys shard across the shuffle;
-    rows are folded per key per micro-batch with an in-batch (ts,
-    event_id) sort. Emission is per-key running counts in update mode,
-    merged idempotently into the serving table per batch."""
+    rows are folded per key per micro-batch with an in-batch ts sort
+    (equal-ts rows are interchangeable for the fold, so ts alone
+    suffices and event_id never crosses the Python boundary).
+    Emission is per-key running counts in update mode, merged
+    idempotently into the serving table per batch."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import numpy as np
 
     def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -521,9 +525,15 @@ def run_streaming_debounce(spark: SparkSession, sf_dir: str,
         if state.exists:
             last_us, kept, dropped = state.get
             last = int(last_us) if last_us is not None else None
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["ts_us", "event_id"], kind="stable")
-        for ts in rows["ts_us"].astype("int64"):
+        # The fold depends ONLY on the sorted ts multiset: rows with
+        # equal ts are interchangeable (each is beyond/within the gap
+        # of `last` identically, and `last` lands on the same ts), so
+        # a plain np.sort of the int64 ts column replaces the old
+        # whole-DataFrame (ts, event_id) stable sort — round 12,
+        # guide §4.2 (vectorize inside the boundary).
+        frames = list(pdfs)
+        rows = frames[0] if len(frames) == 1 else pd.concat(frames)
+        for ts in np.sort(rows["ts_us"].to_numpy(dtype="int64")):
             if last is None or ts - last > gap_us:
                 kept += 1
                 last = int(ts)
@@ -538,9 +548,11 @@ def run_streaming_debounce(spark: SparkSession, sf_dir: str,
     sink_dir = tempfile.mkdtemp(prefix="debounce_")
     # ts_us IS NOT NULL, mirrored in the declared query's oracle:
     # debounce is defined on event time — a timeless event belongs to
-    # no gap chain (and NaN would poison the int64 fold below)
+    # no gap chain (and NaN would poison the int64 fold below).
+    # event_id is NOT shipped: the fold never reads it (see update),
+    # so it stays out of the Arrow boundary entirely (guide §4.1).
     ev = events_stream(spark, sf_dir).select(
-        "user_id", "event_type", "event_id", "ts_us"
+        "user_id", "event_type", "ts_us"
     ).filter(F.col("ts_us").isNotNull())
     out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
         update,
