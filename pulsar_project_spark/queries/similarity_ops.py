@@ -1065,12 +1065,20 @@ def run_ann_index_maintenance(spark: SparkSession, sf_dir: str,
     tx_append(emb.filter(r3 == 1), vec_tbl, n_files=4)
     v_built = tx_latest_version(vec_tbl)
 
-    # 2. build + persist the index (frozen quantizer)
+    # 2. build + persist the index (frozen quantizer). iters=1 means
+    # kmeans_fit's assignment IS assignment against the returned
+    # centroids, so the build reuses the maintenance primitive in ONE
+    # map-side pass: broadcast argmin carrying the embedding through,
+    # pq_encode riding the same projection carrying the label — the
+    # old assign⋈encode join shuffled the whole snapshot (round 12,
+    # same shape as the streaming ANN ingest landing).
     snap0 = tx_read(spark, vec_tbl)
-    assign0, cent = kmeans_fit(snap0, k=_ANN_K, iters=1, require_k=False)
+    _, cent = kmeans_fit(snap0, k=_ANN_K, iters=1, require_k=False)
     tx_append(cent, cent_tbl, n_files=1)
-    index0 = assign0.select("vec_id", "label").join(
-        pq_encode(snap0), "vec_id")
+    index0 = pq_encode(
+        kmeans_assign_to(snap0, cent, keep=("embedding",))
+        .select("vec_id", "embedding", "label"),
+        carry=("label",))
     tx_append(index0.select("vec_id", "label", "subspace", "code"),
               idx_tbl, n_files=4)
 
@@ -1094,8 +1102,10 @@ def run_ann_index_maintenance(spark: SparkSession, sf_dir: str,
         tx_merge(spark, idx_tbl, dele, "vec_id",
                  delete_matched=True, insert_not_matched=False)
     if not ins.isEmpty():
-        inc = kmeans_assign_to(ins, frozen).select("vec_id", "label").join(
-            pq_encode(ins), "vec_id")
+        inc = pq_encode(
+            kmeans_assign_to(ins, frozen, keep=("embedding",))
+            .select("vec_id", "embedding", "label"),
+            carry=("label",))
         tx_append(inc.select("vec_id", "label", "subspace", "code"),
                   idx_tbl, n_files=4)
 
@@ -1110,9 +1120,10 @@ def run_ann_index_maintenance(spark: SparkSession, sf_dir: str,
         #    decode+assign per use.
         maintained = maintained.localCheckpoint(eager=True)
         final = tx_read(spark, vec_tbl)
-        rebuilt = (kmeans_assign_to(final, frozen)
-                   .select("vec_id", "label")
-                   .join(pq_encode(final), "vec_id")
+        rebuilt = (pq_encode(
+                       kmeans_assign_to(final, frozen, keep=("embedding",))
+                       .select("vec_id", "embedding", "label"),
+                       carry=("label",))
                    .select("vec_id", "label", "subspace", "code")
                    .localCheckpoint(eager=True))
         if (maintained.exceptAll(rebuilt).count() != 0
