@@ -41,9 +41,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Propagate over the EDGE SUBGRAPH only (round 12): a node with no
+    # edges can never change its label, so seeding the iteration with
+    # the whole corpus made every round's join, groupBy and checkpoint
+    # carry corpus-sized dead weight. Labels iterate over the distinct
+    # edge endpoints (the oracle's `walk` CTE walks exactly this set);
+    # isolated nodes rejoin as singletons in the final projection.
+    # (the aliases mint fresh attribute ids — localCheckpoint preserves
+    # exprIds, so a plain `both.select("n")` seed would make the round's
+    # both⋈labels join an ambiguous self-join)
+    labels = (
+        both.select(F.col("n").alias("__seed"))
+        .distinct()
+        .select(F.col("__seed").alias("n"), F.col("__seed").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     # Convergence witness: the count of rows whose label shrank this
     # round — works for ANY orderable label type (a Σlabel witness would
@@ -80,4 +92,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             "rounds — raise max_rounds (component diameter exceeds it); "
             "returning partial labels would silently split clusters"
         )
-    return labels.select(F.col("n").alias(node_col), F.col("label").alias("component"))
+    # Isolated nodes (no candidate pair) are singleton components
+    # labeled by themselves — the left join + coalesce mirrors the
+    # oracle's `documents LEFT JOIN comp` tail exactly.
+    comp = labels.select(F.col("n").alias("__cc_n"),
+                         F.col("label").alias("__cc_label"))
+    return (
+        nodes.select(F.col(node_col).alias("n"))
+        .join(comp, F.col("n") == F.col("__cc_n"), "left")
+        .select(
+            F.col("n").alias(node_col),
+            F.coalesce(F.col("__cc_label"), F.col("n")).alias("component"),
+        )
+    )
