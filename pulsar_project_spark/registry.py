@@ -79,8 +79,10 @@ RECERTS_R12: tuple[str, ...] = (
     # sample upgrade shares the module with the unsalted twin),
     # operators/{kmeans,ivf,pq}.py (map-side broadcast argmin replacing
     # the crossJoin+window per-row argmin — every trained-codebook /
-    # IVF query's plan changed, guide §2.4) — the queries on those
-    # paths:
+    # IVF query's plan changed, guide §2.4), and operators/clustering.py
+    # (label propagation over the edge subgraph only — all three
+    # clustering queries' final join shape changed, guide §2.2) — the
+    # queries on those paths:
     "streaming_topic_frequencies", "streaming_windowed_counts",
     "streaming_keep_last_state", "streaming_ann_ingest_census",
     "tx_ann_index_maintenance_census", "hash_stratified_sample",
@@ -90,14 +92,16 @@ RECERTS_R12: tuple[str, ...] = (
     "pq_trained_code_assignment", "pq_trained_adc_topk",
     "ivfpq_adc_topk", "ivfpq_rerank_topk", "pq_code_assignment",
     "pq_adc_topk",
+    "neardup_components", "cluster_best_representative",
+    "neardup_cluster_size_histogram",
 )
 
 # Stalest-green refresh: the round-4-verdict cohort (the oldest
 # remaining after round 11 refreshed round 3) minus
 # hash_stratified_sample (above, re-certed as a changed-module rep) and
-# minus the 6 tail names displaced by the round-12 operator re-certs
-# (the pq/ivfpq block above — changed plans outrank stale greens; the
-# displaced 6 roll to round 13) — 30 names.
+# minus the 9 tail names displaced by the round-12 operator re-certs
+# (the pq/ivfpq block and the clustering trio above — changed plans
+# outrank stale greens; the displaced 9 roll to round 13) — 27 names.
 STALE_REFRESH_R12: tuple[str, ...] = (
     "arg_schema_casting", "arg_whitelist_projection", "audio_chunk_plan",
     "cumulative_new_users_by_day", "daily_user_series_gapfilled",
@@ -111,8 +115,7 @@ STALE_REFRESH_R12: tuple[str, ...] = (
     "memory_state_snapshot", "mergeable_state_rollup",
     "microbatch_rollup", "mmr_rerank_exact",
     "salted_segment_event_counts", "skew_key_census",
-    "snapshot_diff_counts", "tool_catalog_last_wins",
-    "tool_routing_first_match", "training_order_shuffle",
+    "snapshot_diff_counts",
 )
 
 _CORE_BLOCKS: tuple[str, ...] = (
