@@ -712,21 +712,10 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k of the cells and 8 bytes per surviving vector.
 
     Scale shape: cells and codes are both precomputed relations at
-    scale; the query-time work is an 8-row probe sort, a broadcast
-    probe filter on the cell label (the partition-pruning axis), and a
-    32-row LUT broadcast onto the surviving codes. Round 12: the probe
-    filter moved BEFORE the encode — assignment is the map-side
-    broadcast argmin (kmeans_fit iters=1 assigns against exactly the
-    centroids it returns), the 3-row probe set broadcast-joins on the
-    label in the same projection, and only surviving vectors pay for
-    PQ encoding. The old shape encoded the whole corpus and pruned it
-    afterwards with a vec_id semi join — one full-corpus encode and
-    one full-width exchange that 5/8 of the rows never needed."""
-    from pulsar_project_spark.operators.kmeans import (
-        _sq_dist,
-        kmeans_assign_to,
-        kmeans_fit,
-    )
+    scale; the query-time work is an 8-row probe sort, one semi join
+    on the cell label (the partition-pruning axis), and a 32-row LUT
+    broadcast onto the surviving codes."""
+    from pulsar_project_spark.operators.kmeans import kmeans_fit, _sq_dist
     from pulsar_project_spark.operators.pq import (
         PQ_DIM,
         PQ_SCALE,
@@ -737,7 +726,7 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
-    _, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
+    cells, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
     qq = F.array(*[
         F.lit((((i * 5) % 7) - 3) * 1_000_000).cast("bigint")
         for i in range(PQ_DIM)
@@ -748,11 +737,10 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVFPQ_NPROBE)
         .select("label")
     )
+    cand = cells.join(F.broadcast(probes), "label").select("vec_id")
     query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
-    probed = (kmeans_assign_to(emb, cent, keep=("embedding",))
-              .join(F.broadcast(probes), "label")
-              .select("vec_id", "embedding"))
-    return pq_adc_topk(pq_encode(probed), query_q, k=10)
+    codes = pq_encode(emb).join(cand, "vec_id", "left_semi")
+    return pq_adc_topk(codes, query_q, k=10)
 
 
 _IVFPQ_SHORTLIST = 100
@@ -809,11 +797,7 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive exactness is paid on 100 rows, not the corpus. That
     shortlist-then-rerank economics is the entire reason ANN systems
     carry two representations of the same data."""
-    from pulsar_project_spark.operators.kmeans import (
-        _sq_dist,
-        kmeans_assign_to,
-        kmeans_fit,
-    )
+    from pulsar_project_spark.operators.kmeans import kmeans_fit, _sq_dist
     from pulsar_project_spark.operators.pq import (
         PQ_DIM,
         PQ_SCALE,
@@ -824,7 +808,7 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
-    _, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
+    cells, cent = kmeans_fit(emb, k=8, iters=1, require_k=False)
     qq = F.array(*[
         F.lit((((i * 5) % 7) - 3) * 1_000_000).cast("bigint")
         for i in range(PQ_DIM)
@@ -835,14 +819,11 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVFPQ_NPROBE)
         .select("label")
     )
+    cand = cells.join(F.broadcast(probes), "label").select("vec_id")
     query_q = [(((i * 5) % 7) - 3) * PQ_SCALE for i in range(PQ_DIM)]
-    # probe filter BEFORE the encode (round 12, same rationale as
-    # ivfpq_adc_topk above): only probed-cell vectors pay for encoding
-    probed = (kmeans_assign_to(emb, cent, keep=("embedding",))
-              .join(F.broadcast(probes), "label")
-              .select("vec_id", "embedding"))
-    shortlist = pq_adc_topk(pq_encode(probed), query_q,
-                            k=_IVFPQ_SHORTLIST).select("vec_id")
+    codes = pq_encode(emb).join(cand, "vec_id", "left_semi")
+    shortlist = pq_adc_topk(codes, query_q, k=_IVFPQ_SHORTLIST) \
+        .select("vec_id")
     reranked = (
         emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
         .select(
