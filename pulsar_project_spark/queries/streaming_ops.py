@@ -191,12 +191,14 @@ def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-ORACLE stateful streaming debounce (round-12 upgrade from
     rows-only, VERDICT r11 order #5): applyInPandasWithState same-key
     suppression — an event within the gap of the previously KEPT event
-    of its (user, type) is dropped; one BIGINT of state per live key.
-    The greedy chain is genuine sequential state (NOT the lag() rule:
-    suppressed rows don't reset the clock), and the oracle replays it
-    exactly as a recursive CTE over the raw parquet. Sound for a hash:
-    the single staged source file makes batch 0 the only data batch,
-    so the in-batch (ts_us, event_id)-sorted pandas fold IS the global
+    of its (user, type) chain is dropped; state is the per-type
+    (last_kept, counts) triples of each live user, sharded by user
+    (one group call folds all of a user's chains — round 12,
+    guide §4.1). The greedy chain is genuine sequential state (NOT the
+    lag() rule: suppressed rows don't reset the clock), and the oracle
+    replays it exactly as a recursive CTE over the raw parquet. Sound
+    for a hash: the single staged source file makes batch 0 the only
+    data batch, so the in-batch per-chain sorted-ts fold IS the global
     greedy chain per key. Run at a 2-day gap — the setting where
     suppression fires and greedy != lag on this corpus (see
     ``_DEBOUNCE_GAP_US``); the 1-second production default is covered

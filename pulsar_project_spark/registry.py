@@ -81,8 +81,11 @@ RECERTS_R12: tuple[str, ...] = (
     # the crossJoin+window per-row argmin — every trained-codebook /
     # IVF query's plan changed, guide §2.4), and operators/clustering.py
     # (label propagation over the edge subgraph only — all three
-    # clustering queries' final join shape changed, guide §2.2) — the
-    # queries on those paths:
+    # clustering queries' final join shape changed, guide §2.2), and
+    # the round-12 continuation session's trailing-no-data-batch skip
+    # (inner stream-stream join joins topic_freq/exact_dedup — already
+    # listed — as a changed drain) — the queries on those paths:
+    "streaming_stream_stream_join",
     "streaming_topic_frequencies", "streaming_windowed_counts",
     "streaming_keep_last_state", "streaming_ann_ingest_census",
     "tx_ann_index_maintenance_census", "hash_stratified_sample",
@@ -99,9 +102,11 @@ RECERTS_R12: tuple[str, ...] = (
 # Stalest-green refresh: the round-4-verdict cohort (the oldest
 # remaining after round 11 refreshed round 3) minus
 # hash_stratified_sample (above, re-certed as a changed-module rep) and
-# minus the 9 tail names displaced by the round-12 operator re-certs
-# (the pq/ivfpq block and the clustering trio above — changed plans
-# outrank stale greens; the displaced 9 roll to round 13) — 27 names.
+# minus the 10 tail names displaced by the round-12 operator re-certs
+# (the pq/ivfpq block, the clustering trio, and the stream-stream-join
+# drain change above — changed plans outrank stale greens; the
+# displaced names, snapshot_diff_counts last, roll to round 13) —
+# 26 names.
 STALE_REFRESH_R12: tuple[str, ...] = (
     "arg_schema_casting", "arg_whitelist_projection", "audio_chunk_plan",
     "cumulative_new_users_by_day", "daily_user_series_gapfilled",
@@ -115,7 +120,6 @@ STALE_REFRESH_R12: tuple[str, ...] = (
     "memory_state_snapshot", "mergeable_state_rollup",
     "microbatch_rollup", "mmr_rerank_exact",
     "salted_segment_event_counts", "skew_key_census",
-    "snapshot_diff_counts",
 )
 
 _CORE_BLOCKS: tuple[str, ...] = (

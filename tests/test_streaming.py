@@ -653,3 +653,92 @@ def test_streaming_dedup_collapses_null_event_time_rows(spark):
     out = spark.read.parquet(sink)
     assert out.count() == 3
     assert out.filter("ts_us IS NULL").count() == 1
+
+
+def test_streaming_debounce_multi_batch_state(spark, tmp_path):
+    """Round-12 user-keyed fold: per-type chains packed into ONE JSON
+    state value per user. A user seen in MULTIPLE micro-batches must
+    resume every chain exactly (state round-trip), including the
+    NULL-type chain and a NULL-user group — and the 2-batch result
+    must equal the 1-batch run of the same corpus (split independence
+    when later files carry later timestamps per chain)."""
+    import glob
+    import os
+    import shutil
+
+    from pulsar_project_spark.streaming.pipeline import run_streaming_debounce
+
+    us = F.timestamp_micros
+    rows_a = [  # batch 0 (older mtime)
+        (1, 1, "x", 100), (2, 1, "x", 105), (3, 1, "x", 120),
+        (4, 1, None, 100),
+        (5, None, "x", 50),
+        (6, 2, "y", 200), (7, 2, "y", 200),
+    ]
+    rows_b = [  # batch 1: same chains continue
+        (8, 1, "x", 125), (9, 1, "x", 140),
+        (10, 1, None, 104),
+        (11, None, "x", 70),
+        (12, 2, "y", 205), (13, 2, "y", 215),
+    ]
+    sf = str(tmp_path / "sf")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    for i, rows in enumerate((rows_a, rows_b)):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, t long"
+        ).select("event_id", us("t").alias("ts"), "user_id", "event_type",
+                 F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+        tmp_out = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = os.path.join(ev_dir, f"part-{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # A older than B
+
+    # greedy rule at gap=10us, strict >: per chain
+    #   u1/x   100k 105d 120k 125d 140k   u1/NULL 100k 104d
+    #   uN/x   50k 70k                    u2/y    200k 200d 205d 215k
+    want = {("x", 7, 5, 2), (None, 2, 1, 1), ("y", 4, 2, 2)}
+
+    two = run_streaming_debounce(spark, sf, gap_us=10,
+                                 max_files_per_trigger=1)
+    got_two = {(r.event_type, r.n_total, r.n_kept, r.n_debounced)
+               for r in two.collect()}
+    assert got_two == want
+
+    one = run_streaming_debounce(spark, sf, gap_us=10)
+    got_one = {(r.event_type, r.n_total, r.n_kept, r.n_debounced)
+               for r in one.collect()}
+    assert got_one == want
+
+
+def test_no_data_batch_result_invariant(spark, monkeypatch):
+    """The three drains that skip the trailing no-data micro-batch
+    (round 12: inner stream-stream join, watermarked update-mode dedup
+    and topic frequencies) must produce ROW-IDENTICAL results with the
+    batch forced back on — the skip is a cost change, never a result
+    change (their watermarks bound state; no emission is
+    watermark-gated)."""
+    from contextlib import nullcontext
+
+    import pulsar_project_spark.streaming.pipeline as P
+
+    def results():
+        return {
+            "ssj": sorted(map(tuple,
+                              P.run_stream_stream_join(spark, SF_SMOKE)
+                              .collect())),
+            "dedup": sorted(map(tuple,
+                                P.run_streaming_dedup(spark, SF_SMOKE)
+                                .collect())),
+            "topics": sorted(map(tuple,
+                                 P.run_topic_frequencies(spark, SF_SMOKE)
+                                 .collect())),
+        }
+
+    skipped = results()
+    monkeypatch.setattr(P, "_skip_trailing_no_data_batch",
+                        lambda _spark: nullcontext())
+    kept = results()
+    assert skipped == kept
