@@ -174,8 +174,10 @@ def main() -> None:
     # the parquet inputs (nothing is reused), costs roughly the true
     # hot cost of the top-25 (~60-90 s), and can only tighten a number
     # (min) — a retry that itself lands in a burst changes nothing.
+    reprobed: list[str] = []
     if _STEADY:
-        for name in sorted(timings, key=lambda n: -timings[n])[:25]:
+        reprobed = sorted(timings, key=lambda n: -timings[n])[:25]
+        for name in reprobed:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
@@ -197,8 +199,12 @@ def main() -> None:
     )
     repo = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo, detail_name)
+    # per-query sample counts are otherwise invisible downstream
+    # (ADVICE r12 #2): record WHICH timings carry the min-of-3
+    # re-probe so drift adjudication can tell the estimators apart.
+    # Additions-only — no timing semantics change (VERDICT r12 #2).
     detail = {"sf": sf, "n_queries": len(timings), "total_sec": total,
-              "queries": timings}
+              "queries": timings, "reprobed_min_of_3": sorted(reprobed)}
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     # ALSO write a round-stamped copy (VERDICT r10 "What's wrong" #2:

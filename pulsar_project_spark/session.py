@@ -53,6 +53,24 @@ def get_spark(app_name: str = "pulsar_project_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Write-path fixed overhead (round 13, guide §1.2/§6): every tx
+        # staging write and streaming foreachBatch landing pays the
+        # Hadoop commit protocol per commit. Three legitimate trims,
+        # measured together at -19% per small parquet write (interleaved
+        # A/B, BENCH_NOTES r13): (a) no _SUCCESS marker — nothing here
+        # consumes it (the tx manifest IS the commit record; Delta and
+        # Iceberg ship with it off for the same reason); (b) commit
+        # algorithm v2 — task output promoted at task commit, no second
+        # job-commit rename fan-out (safe: every staging dir is
+        # single-writer by construction, uuid-scoped); (c) raw local FS
+        # — skips .crc sidecar write+read per file; on a real cluster
+        # the object-store FS applies and this key is a no-op.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".marksuccessfuljobs", "false")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1222,8 +1222,11 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
     loudly, the ``pq_train`` precedent)."""
     from pyspark.sql import functions as F
 
-    n_rows, n_keys = updates.agg(
-        F.count(F.lit(1)), F.countDistinct(key_col)).first()
+    # one pass computes cardinality AND key bounds (round 13: these were
+    # two separate driver actions, i.e. two full executions of `updates`)
+    n_rows, n_keys, ulo, uhi = updates.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col),
+        F.min(key_col), F.max(key_col)).first()
     if n_rows != n_keys:
         raise ValueError(
             f"tx_merge_upsert: need unique {key_col}s in updates "
@@ -1237,7 +1240,6 @@ def tx_merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
     updates = _apply_generated(updates, table, gens)
     validated = tx_constraints(table)
     _enforce_constraints(updates, table, validated)
-    ulo, uhi = updates.agg(F.min(key_col), F.max(key_col)).first()
     nulo, nuhi = _stat_value(ulo), _stat_value(uhi)
     for _ in range(max_retries):
         snap = tx_snapshot(table)

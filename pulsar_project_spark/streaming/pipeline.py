@@ -73,15 +73,26 @@ def events_stream(spark: SparkSession, sf_dir: str,
         # parquet part individually — the file stream does NOT descend
         # into a symlinked subdirectory (probed round 12), and per-file
         # links are what let maxFilesPerTrigger split batches
-        for part in sorted(os.listdir(path)):
-            if part.endswith(".parquet"):
-                link = os.path.join(stage, part)
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(os.path.abspath(path), part),
-                               link)
+        # prune links whose target is gone (a cleaned-up tmp corpus that
+        # hashes to the same stage dir would otherwise leave dangling or
+        # stale links tripping later reads — ADVICE r12), then (re)link
+        # with lexists: os.path.exists is False for a DANGLING symlink,
+        # so exists-guarded symlink would raise FileExistsError
+        wanted = {p for p in os.listdir(path) if p.endswith(".parquet")}
+        for existing in os.listdir(stage):
+            lk = os.path.join(stage, existing)
+            if existing not in wanted or not os.path.exists(lk):
+                os.unlink(lk)
+        for part in sorted(wanted):
+            link = os.path.join(stage, part)
+            if not os.path.lexists(link):
+                os.symlink(os.path.join(os.path.abspath(path), part),
+                           link)
     else:
         link = os.path.join(stage, "events.parquet")
-        if not os.path.exists(link):
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.unlink(link)  # dangling link from a deleted prior target
+        if not os.path.lexists(link):
             os.symlink(os.path.abspath(path), link)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
