@@ -85,33 +85,41 @@ def pq_encode(vecs: DataFrame, id_col: str = "vec_id",
     instead of re-joining on the id)."""
     qv = F.expr(pq_quantize_expr())
 
-    def sub_struct(m: int):
-        sv = F.slice(F.col("__qv"), m * PQ_SUB + 1, PQ_SUB)
+    # The expression is assembled as ONE SQL string parsed JVM-side
+    # (round 13): the previous Column-API form created 96 Python
+    # lambdas (8 subspaces x 4 centroids x zip_with/aggregate), each a
+    # py4j callback round-trip, costing ~1.4 s of pure DRIVER time per
+    # call — paid per micro-batch in the streaming ANN ingest and per
+    # call site across the pq/ivfpq family. The parsed tree is the
+    # same expression (same plan, byte-identical output; exceptAll
+    # parity pinned in tests/test_pq.py).
+    def sub_struct(m: int) -> str:
         dists = []
         for c in range(PQ_K):
-            cent = F.array(*[
-                F.lit(pq_codebook(m, c, j)).cast("bigint")
+            cent = ",".join(
+                f"CAST({pq_codebook(m, c, j)} AS BIGINT)"
                 for j in range(PQ_SUB)
-            ])
-            dists.append(F.aggregate(
-                F.zip_with(sv, cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"), lambda acc, v: acc + v,
-            ))
-        pairs = F.array(*[
-            F.struct(dists[c].alias("d"), F.lit(c).cast("int").alias("c"))
-            for c in range(PQ_K)
-        ])
+            )
+            dists.append(
+                f"aggregate(zip_with(slice(__qv, {m * PQ_SUB + 1}, "
+                f"{PQ_SUB}), array({cent}), (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
         # struct array sorts lexicographically: (dist, code) ascending
         # IS the argmin with lowest-code tiebreak
-        code = F.array_sort(pairs)[0]["c"]
-        return F.struct(
-            F.lit(m).cast("int").alias("subspace"), code.alias("code")
+        pairs = ",".join(
+            f"struct({d} AS d, CAST({c} AS INT) AS c)"
+            for c, d in enumerate(dists)
         )
+        return (f"struct(CAST({m} AS INT) AS subspace, "
+                f"array_sort(array({pairs}))[0].c AS code)")
 
+    exploded = F.expr(
+        "explode(array(" + ",".join(sub_struct(m) for m in range(PQ_M)) + "))"
+    )
     return (vecs.withColumn("__qv", qv)
             .select(F.col(id_col), *[F.col(c) for c in carry],
-                    F.explode(F.array(*[sub_struct(m) for m in range(PQ_M)]))
-                    .alias("s"))
+                    exploded.alias("s"))
             .select(id_col, *carry,
                     F.col("s.subspace").alias("subspace"),
                     F.col("s.code").alias("code")))
