@@ -16,6 +16,7 @@ checkpoints is the deliberate replacement, not a translation).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,6 +35,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Session-scoped LAZY-PLAN cache (round 13, guide §1.2): building a
+# parquet-backed DataFrame costs ~100 ms of DRIVER metadata work per
+# call (DataFrameReader py4j round trips, file listing, footer schema
+# inference) — paid on every query construction, 2x per query in the
+# steady bench, ~1-3 tables per query. The cache memoizes the immutable
+# LOGICAL PLAN object per (session, realpath, mtime_ns, size): no rows,
+# no results — every action on the cached DataFrame re-scans the
+# parquet exactly as a fresh read would (this is the same class of
+# driver-side metadata reuse as Spark's own per-session
+# FileStatusCache, extended to the DataFrame wrapper). The mtime/size
+# key invalidates on corpus regeneration; the WeakKeyDictionary ties
+# entry lifetime to the owning session so a stopped session can never
+# serve a stale plan to its successor.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
+
+def _cached_plan(spark: SparkSession, path: str, tag: str, build):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return build()  # absent/racing path: never cache
+    key = (tag, os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = build()
+        per_session[key] = df
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,7 +87,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts_us_expr. Runtime-settable, idempotent (true is the 4.x
         # default, but a driver session may have flipped it).
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    return spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    return _cached_plan(spark, path, "table",
+                        lambda: spark.read.parquet(path))
 
 
 def ts_us_expr(df: DataFrame, col: str = "ts"):
@@ -99,8 +133,18 @@ def ts_us_expr(df: DataFrame, col: str = "ts"):
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with the canonical time column ``ts_us`` (BIGINT epoch
     microseconds) — see :func:`ts_us_expr` for the normalization."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", ts_us_expr(ev)).drop("ts")
+    # the two events read confs are side effects some callers rely on;
+    # set them on the hit path too (load_table only runs on miss)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        return ev.withColumn("ts_us", ts_us_expr(ev)).drop("ts")
+    # same lazy-plan memo as load_table: the ts_us projection is a pure
+    # function of the cached base plan (key invalidates with the file)
+    return _cached_plan(spark, table_path(sf_dir, "events"),
+                        "events+ts_us", build)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -117,8 +161,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import os
 
     dfs: dict[str, DataFrame] = {}
+    state = []
     for name in TABLE_NAMES:
         if os.path.exists(table_path(sf_dir, name)):
             dfs[name] = load_table(spark, sf_dir, name)
-            dfs[name].createOrReplaceTempView(name)
+            st = os.stat(table_path(sf_dir, name))
+            state.append((name, st.st_mtime_ns, st.st_size))
+    # re-registering the identical view set is ~10 py4j round trips
+    # (~250 ms) per call; skip when THIS function's last registration on
+    # this session covered the same (sf_dir, corpus-state). Any change —
+    # different sf_dir, regenerated file, added/removed table — differs
+    # in the key and re-registers. Nothing else in this package creates
+    # temp views under these names.
+    key = (os.path.realpath(sf_dir), tuple(state))
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    if per_session.get("__views__") != key:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+        per_session["__views__"] = key
     return dfs
