@@ -55,13 +55,12 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     # window's row_number <= nprobe under ORDER BY cdist, label, with
     # no per-query exchange.
     q = _quantize(emb.filter(F.col(id_col) < n_queries), id_col, vec_col)
-    nearest = F.slice(F.array_sort(F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            _sq_dist(F.col("qv"), c["qc"]).alias("cdist"),
-            c["label"].alias("label"),
-        ),
-    )), 1, nprobe)
+    from pulsar_project_spark.operators.kmeans import _SQ_DIST_SQL
+    nearest = F.expr(
+        "slice(array_sort(transform(__cents, c -> struct("
+        + _SQ_DIST_SQL.format(a="qv", b="c.qc")
+        + f" as cdist, c.label as label))), 1, {int(nprobe)})"
+    )
     probes = (
         q.crossJoin(F.broadcast(_fold_centroids(cent)))
         .select(F.col(id_col).alias("query_id"),

@@ -29,13 +29,25 @@ from pyspark.sql.window import Window
 QUANT = 1_000_000
 
 
+# Expressions below are SQL strings parsed JVM-side, not Column-API
+# lambda compositions (round 13): every Python lambda in a HOF costs a
+# py4j callback round trip at DataFrame-construction time, and these
+# run per call site (per Lloyd round, per micro-batch in streaming).
+# The parsed trees are the identical expressions — same plan, same
+# bytes out (numpy replica + oracle parity unchanged).
+
 def _quantize(emb: DataFrame, id_col: str, vec_col: str,
               keep: tuple[str, ...] = ()) -> DataFrame:
-    qv = F.transform(
-        F.col(vec_col), lambda v: F.floor(v.cast("double") * QUANT).cast("bigint")
+    qv = F.expr(
+        f"transform({vec_col}, v -> "
+        f"cast(floor(cast(v as double) * {QUANT}) as bigint))"
     )
     return emb.select(F.col(id_col), *[F.col(c) for c in keep],
                       qv.alias("qv"))
+
+
+_SQ_DIST_SQL = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
 
 
 def _sq_dist(a, b):
@@ -63,19 +75,19 @@ def _assign_nearest(q: DataFrame, cent: DataFrame,
     ``ORDER BY sq_dist ASC, label ASC`` pick-first, with no exchange.
     Adds ``label`` and ``sq_dist`` columns; ``out_cols`` is the final
     projection."""
-    best = F.array_sort(F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            _sq_dist(F.col("qv"), c["qc"]).alias("d"),
-            c["label"].alias("label"),
-        ),
-    ))[0]
+    best = F.expr(
+        "array_sort(transform(__cents, c -> struct("
+        + _SQ_DIST_SQL.format(a="qv", b="c.qc")
+        + " as d, c.label as label)))[0]"
+    )
+    # one withColumn + one select (was four chained transformations —
+    # each DataFrame method analyzes the whole growing tree eagerly)
+    proj = {"label": F.col("__best")["label"].alias("label"),
+            "sq_dist": F.col("__best")["d"].alias("sq_dist")}
     return (
         q.crossJoin(F.broadcast(_fold_centroids(cent)))
         .withColumn("__best", best)
-        .withColumn("label", F.col("__best")["label"])
-        .withColumn("sq_dist", F.col("__best")["d"])
-        .select(*out_cols)
+        .select(*[proj.get(c, F.col(c)) for c in out_cols])
     )
 
 
@@ -121,7 +133,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
             .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select(
                 "label",
-                F.transform(F.col("pc"), lambda s: s["c"]).alias("qc"),
+                F.expr("transform(pc, s -> s.c)").alias("qc"),
             )
             .localCheckpoint(eager=True)
         )

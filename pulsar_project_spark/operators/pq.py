@@ -177,16 +177,21 @@ def _pq_subvectors(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(vec_id, m, sv ARRAY<BIGINT>): the quantized subvector relation
     — one row per (vector, subspace), the unit Lloyd's operates on."""
     qv = F.expr(pq_quantize_expr())
-    subs = F.array(*[
-        F.struct(
-            F.lit(m).cast("int").alias("m"),
-            F.slice(F.col("__qv"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
-        )
+    subs = F.expr("array(" + ",".join(
+        f"struct(CAST({m} AS INT) AS m, "
+        f"slice(__qv, {m * PQ_SUB + 1}, {PQ_SUB}) AS sv)"
         for m in range(PQ_M)
-    ])
+    ) + ")")
     return (vecs.withColumn("__qv", qv)
             .select(F.col(id_col), F.explode(subs).alias("s"))
             .select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
+
+
+# SQL-string distance (round 13, the pq_encode rationale): Python-lambda
+# HOFs pay a py4j callback per construction; the parsed tree is the
+# same expression.
+_SV_DIST_SQL = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
 
 
 def _sv_dist(a, b):
@@ -213,17 +218,15 @@ def _assign_sv(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     lexicographic sort IS the window's ``ORDER BY __d ASC, c ASC``
     pick-first with no exchange. Keeps ``sv`` (the training update
     step needs it)."""
-    best = F.array_sort(F.transform(
-        F.col("__cands"),
-        lambda cc: F.struct(
-            _sv_dist(F.col("sv"), cc["qc"]).alias("__d"),
-            cc["c"].alias("c"),
-        ),
-    ))[0]
+    best = F.expr(
+        "array_sort(transform(__cands, cc -> struct("
+        + _SV_DIST_SQL.format(a="sv", b="cc.qc")
+        + " as __d, cc.c as c)))[0]"
+    )
     return (sub.join(F.broadcast(_fold_codebook(codebook)), "m")
             .withColumn("__best", best)
-            .withColumn("c", F.col("__best")["c"])
-            .withColumn("__d", F.col("__best")["__d"]))
+            .withColumns({"c": F.col("__best")["c"],
+                          "__d": F.col("__best")["__d"]}))
 
 
 def pq_train(vecs: DataFrame, rounds: int = 1,
@@ -281,7 +284,7 @@ def pq_train(vecs: DataFrame, rounds: int = 1,
             upd.groupBy("m", F.col("label").alias("c"))
             .agg(F.sort_array(F.collect_list(F.struct("j", "qcj"))).alias("jc"))
             .select("m", "c",
-                    F.transform(F.col("jc"), lambda s: s["qcj"]).alias("qc"))
+                    F.expr("transform(jc, s -> s.qcj)").alias("qc"))
             .localCheckpoint(eager=True)
         )
     return cent
@@ -316,7 +319,7 @@ def pq_adc_topk_trained(codes: DataFrame, codebook: DataFrame,
     )
     lut = codebook.join(F.broadcast(qsub), "m").select(
         F.col("m").alias("subspace"), F.col("c").alias("code"),
-        _sv_dist(F.col("qsub"), F.col("qc")).alias("sq_dist"),
+        F.expr(_SV_DIST_SQL.format(a="qsub", b="qc")).alias("sq_dist"),
     )
     return (
         codes.join(F.broadcast(lut), ["subspace", "code"])
