@@ -209,16 +209,22 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
     for rank in range(1, n_merges + 1):
         pairs = vocab.select(
             "freq",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("syms"), 1,
-                            F.greatest(F.size("syms") - 1, F.lit(0))),
-                    F.slice(F.col("syms"), 2,
-                            F.greatest(F.size("syms") - 1, F.lit(0))),
-                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
-                )
-            ).alias("p"),
+            # SQL-string HOFs (round 13): Python-lambda HOFs pay a py4j
+            # callback per construction, per training round
+            F.explode(F.expr(
+                "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                " slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                " (l, r) -> struct(l as l, r as r))")).alias("p"),
         )
+        # best stays LAZY (round 13): it was localCheckpoint(eager)ed,
+        # one extra driver action + materialization per round. As the
+        # broadcast side of the fold below it is built inline in the
+        # vocab checkpoint's action (one pairs-agg over the ~vocab-sized
+        # table — map-side combinable, cheap); the argmax is
+        # deterministic (total-order tiebreak), so the final merge-table
+        # union re-deriving each round's best off that round's
+        # CHECKPOINTED vocab yields identical rows. Measured interleaved
+        # (5 alternations): med 2.84 -> 2.40 s, parity exceptAll 0/0.
         best = (
             pairs.groupBy("p").agg(F.sum("freq").alias("weight"))
             .orderBy(F.col("weight").desc(), F.col("p.l").asc(),
@@ -228,7 +234,6 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
                 F.col("p.l").alias("__l"), F.col("p.r").alias("__r"),
                 F.concat("p.l", "p.r").alias("__m"),
             )
-            .localCheckpoint(eager=True)
         )
         merge_rows.append(best.select(
             F.lit(rank).cast("bigint").alias("rank"),
@@ -236,20 +241,15 @@ def learn_bpe_merges(docs, n_merges: int = 8, id_col: str = "doc_id",
             F.col("__m").alias("merged"),
         ))
         # greedy non-overlapping left-to-right merge inside each word;
-        # F.get is NULL-safe out of bounds (ANSI-proof on empty acc)
+        # get() is NULL-safe out of bounds (ANSI-proof on empty acc)
         vocab = vocab.crossJoin(F.broadcast(best)).select(
             "freq",
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.get(acc, F.size(acc) - 1) == F.col("__l"))
-                    & (s == F.col("__r")),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.col("__m"))),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>),"
+                " (acc, s) -> CASE WHEN size(acc) > 0"
+                " AND get(acc, size(acc) - 1) = __l AND s = __r"
+                " THEN concat(slice(acc, 1, size(acc) - 1), array(__m))"
+                " ELSE concat(acc, array(s)) END)").alias("syms"),
         ).localCheckpoint(eager=True)
 
     out = merge_rows[0]

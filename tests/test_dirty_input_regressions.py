@@ -24,6 +24,7 @@ import os
 import tempfile
 
 import duckdb
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -237,6 +238,7 @@ def test_cdc_snapshot_half_median_cut_matches_oracle(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.gate  # full-family sweep: certification arm
 def test_documents_family_matches_oracle_on_mixed_sign_ids(spark):
     import random
 
@@ -270,6 +272,7 @@ def test_documents_family_matches_oracle_on_mixed_sign_ids(spark):
         con.close()
 
 
+@pytest.mark.gate  # full-family sweep: certification arm
 def test_events_family_matches_oracle_on_mixed_sign_ids(spark):
     import random
     import shutil

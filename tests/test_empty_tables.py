@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from pulsar_project_spark.registry import QUERIES
+from tests.conftest import canary_params
 from pulsar_project_spark.sources.tables import TABLE_NAMES
 
 _REPRESENTATIVE = (
@@ -223,7 +224,7 @@ def empty_sf_dir() -> str:
     return d
 
 
-@pytest.mark.parametrize("name", _REPRESENTATIVE)
+@pytest.mark.parametrize("name", canary_params(_REPRESENTATIVE))
 def test_runs_and_returns_zero_rows_on_empty_tables(name, spark, empty_sf_dir):
     assert QUERIES[name](spark, empty_sf_dir).count() == 0
 

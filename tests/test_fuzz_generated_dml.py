@@ -20,6 +20,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
+# hypothesis fuzz sweeps: minutes-long by design — certification arm,
+# deselected from the driver-budget default suite (pytest.ini)
+pytestmark = pytest.mark.gate
+
+
 from pulsar_project_spark.sources.txlog import (
     tx_append,
     tx_append_clustered,

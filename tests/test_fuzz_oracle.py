@@ -28,6 +28,13 @@ from hypothesis import strategies as st
 
 from pulsar_project_spark.registry import ORACLES, QUERIES
 
+import pytest
+
+# hypothesis fuzz sweeps: minutes-long by design — certification arm,
+# deselected from the driver-budget default suite (pytest.ini)
+pytestmark = pytest.mark.gate
+
+
 # Vocabulary engineered for collisions: the flagship/BM25 query terms
 # (so scores are frequently nonzero and tied), stopwords (dropped by
 # both tokenizers), punctuation-bearing variants (exercises

@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from pulsar_project_spark.registry import ORACLES, QUERIES
+from tests.conftest import canary_params
 
 _ALLOWED_DIVERGENT = {"udtf_json_path_stats"}
 _BASE_US = 1_704_067_200_000_000
@@ -114,7 +115,7 @@ def null_duck(null_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", _NAMES)
+@pytest.mark.parametrize("name", canary_params(_NAMES))
 def test_matches_oracle_on_null_riddled_corpus(name, spark, null_sf_dir,
                                                null_duck):
     got = _key(QUERIES[name](spark, null_sf_dir).collect())

@@ -10,12 +10,12 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as e
-from tests.conftest import SF_CORRECT, assert_matches_oracle
+from tests.conftest import SF_CORRECT, assert_matches_oracle, canary_params
 
 _NAMES = sorted(e.queries())
 
 
-@pytest.mark.parametrize("name", _NAMES)
+@pytest.mark.parametrize("name", canary_params(_NAMES))
 def test_declared_query(name, spark, duck):
     if name in e.oracle_sql():
         assert_matches_oracle(spark, duck, name)

@@ -5,6 +5,7 @@ stream → batch → DuckDB is closed."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -518,6 +519,7 @@ def test_twin_tx_change_feed(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_topic_frequencies_exactly_once_gate(spark):
     from pulsar_project_spark.sources.tables import load_events
     from pulsar_project_spark.streaming import run_topic_frequencies
@@ -534,6 +536,7 @@ def test_topic_frequencies_exactly_once_gate(spark):
         tuple(r) for r in want.collect()}
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_windowed_counts_exactly_once_gate(spark):
     from pulsar_project_spark.streaming import run_windowed_counts
 
@@ -544,6 +547,7 @@ def test_windowed_counts_exactly_once_gate(spark):
         tuple(r) for r in plain.select(cols).collect()}
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_keep_last_exactly_once_gate(spark):
     from pulsar_project_spark.streaming import run_keep_last_state
 
@@ -553,6 +557,7 @@ def test_keep_last_exactly_once_gate(spark):
         tuple(r) for r in plain.collect()}
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_tx_sink_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import run_streaming_tx_sink
 
@@ -563,6 +568,7 @@ def test_tx_sink_exactly_once_gate(spark):
     assert gated == plain
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_tx_change_feed_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_tx_change_feed,
@@ -577,6 +583,7 @@ def test_tx_change_feed_exactly_once_gate(spark):
     assert gated == plain
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_tx_mv_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import run_streaming_tx_mv
 
@@ -587,6 +594,7 @@ def test_tx_mv_exactly_once_gate(spark):
     assert gated == plain
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_tx_tracked_sink_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_tx_tracked_sink,
@@ -601,6 +609,7 @@ def test_tx_tracked_sink_exactly_once_gate(spark):
     assert gated == plain
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_ann_ingest_exactly_once_gate(spark):
     from pulsar_project_spark.streaming.pipeline import (
         run_streaming_ann_ingest,
@@ -655,6 +664,7 @@ def test_streaming_dedup_collapses_null_event_time_rows(spark):
     assert out.filter("ts_us IS NULL").count() == 1
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_streaming_debounce_multi_batch_state(spark, tmp_path):
     """Round-12 user-keyed fold: per-type chains packed into ONE JSON
     state value per user. A user seen in MULTIPLE micro-batches must
@@ -713,6 +723,7 @@ def test_streaming_debounce_multi_batch_state(spark, tmp_path):
     assert got_one == want
 
 
+@pytest.mark.gate  # exactly-once/restart certification arm
 def test_no_data_batch_result_invariant(spark, monkeypatch):
     """The three drains that skip the trailing no-data micro-batch
     (round 12: inner stream-stream join, watermarked update-mode dedup

@@ -35,6 +35,11 @@ sys.path.insert(0, {repo!r})
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pulsar_project_spark.sources.txlog import (
+
+import pytest
+
+# real-multiprocess CAS race certification: heavy by design
+pytestmark = pytest.mark.gate
     TxConflict, _commit, tx_snapshot,
 )
 
