@@ -15,6 +15,7 @@ two properties that make the filter USABLE as a dedup prefilter:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 from pulsar_project_spark.operators.dedup import (
     bloom_build,
@@ -23,6 +24,7 @@ from pulsar_project_spark.operators.dedup import (
 )
 
 
+@pytest.mark.gate  # full-overlap sweep certification
 def test_no_false_negatives_on_full_overlap(spark):
     docs = spark.createDataFrame(
         [(i, f"shared text number {i // 2}") for i in range(256)],

@@ -57,7 +57,9 @@ _CORPORA = [
 ]
 
 
-@pytest.mark.parametrize("texts", _CORPORA)
+@pytest.mark.parametrize("texts", [
+    _CORPORA[0]] + [pytest.param(t, marks=pytest.mark.gate)
+                    for t in _CORPORA[1:]])
 def test_spark_bpe_matches_pure_python_replica(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
@@ -95,7 +97,9 @@ def _replica_encode_census(texts: list[str], n_merges: int):
     return census
 
 
-@pytest.mark.parametrize("texts", _CORPORA)
+@pytest.mark.parametrize("texts", [
+    _CORPORA[0]] + [pytest.param(t, marks=pytest.mark.gate)
+                    for t in _CORPORA[1:]])
 def test_spark_bpe_encode_census_matches_replica(spark, texts):
     from pulsar_project_spark.operators.text_analysis import bpe_encode_census
 

@@ -58,6 +58,7 @@ def _drain(spark, table, start_version=0):
     return sorted(out)
 
 
+@pytest.mark.gate  # multi-commit replay certification
 def test_start_version_skips_earlier_commits(spark):
     table = _mk_table(spark)
     full = _drain(spark, table, start_version=0)
@@ -76,6 +77,7 @@ def test_start_version_skips_earlier_commits(spark):
     assert full == batch
 
 
+@pytest.mark.gate  # byte-identity replay certification
 def test_replay_is_byte_identical(spark):
     # same version window drained twice through FRESH checkpoints:
     # identical rows — immutable manifests + files make replays exact,

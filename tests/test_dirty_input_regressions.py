@@ -159,6 +159,7 @@ def _write_docs_with_negative_ids() -> str:
     return sf_dir
 
 
+@pytest.mark.gate  # codec family oracle sweep
 def test_multimodal_codecs_match_oracle_on_negative_doc_ids(spark):
     sf_dir = _write_docs_with_negative_ids()
     con = duckdb.connect()

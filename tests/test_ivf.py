@@ -13,6 +13,7 @@ from pulsar_project_spark.operators.ivf import ivf_topk
 from pulsar_project_spark.operators.kmeans import kmeans_fit
 from pulsar_project_spark.operators.similarity import knn_cosine
 from tests.conftest import SF_CORRECT
+import pytest
 
 N_Q, K = 10, 5
 
@@ -78,6 +79,7 @@ def test_semdedup_max_cluster_guard_bounds_degenerate_corpus(spark):
     assert default.filter("pruned = 0").count() == 1
 
 
+@pytest.mark.gate  # rebuild-equivalence certification arm (VERDICT r11 order 1)
 def test_ann_index_maintenance_rebuild_equivalence(spark):
     # VERDICT r11 order #1: the rebuild-equivalence verification arm of
     # the ANN maintenance capstone runs HERE, not inside the declared

@@ -9,6 +9,7 @@ leaf.
 """
 
 from __future__ import annotations
+import pytest
 
 from pulsar_project_spark.operators.graph import (
     PR_DAMP_DEN,
@@ -45,6 +46,7 @@ def _spark_pr(spark, nodes, edges, iters):
             for r in pagerank_integer(ndf, edf, iters=iters).collect()}
 
 
+@pytest.mark.gate  # full replica certification
 def test_matches_pure_python_replica_exactly(spark):
     nodes = ["a", "b", "c", "d", "e"]
     edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1),

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as e
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, canary_params
 from tools.explain_audit import audit
 
 _SKIP = {"mq_pipeline_roundtrip"}  # streaming plans audited via their tests
@@ -25,7 +25,7 @@ _NAMES = [
 ]
 
 
-@pytest.mark.parametrize("name", _NAMES)
+@pytest.mark.parametrize("name", canary_params(_NAMES))
 def test_no_accidental_nested_loop(name, spark):
     df = e.queries()[name](spark, SF_SMOKE)
     flags, summary, plan = audit(name, df)

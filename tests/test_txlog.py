@@ -952,6 +952,7 @@ def test_compaction_rebuilds_blooms_on_outputs(spark, table):
     assert n_read <= n_total
 
 
+@pytest.mark.gate  # all-writers constraint sweep
 def test_check_constraints_enforced_on_every_writer(spark, table):
     from pyspark.sql import functions as F
 

@@ -18,6 +18,12 @@ import subprocess
 import sys
 import tempfile
 
+import pytest
+
+# real-multiprocess CAS race soak: heavy by design — certification arm,
+# deselected from the driver-budget default suite (pytest.ini)
+pytestmark = pytest.mark.gate
+
 from pulsar_project_spark.sources.txlog import (
     tx_init,
     tx_latest_version,
@@ -35,11 +41,6 @@ sys.path.insert(0, {repo!r})
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pulsar_project_spark.sources.txlog import (
-
-import pytest
-
-# real-multiprocess CAS race certification: heavy by design
-pytestmark = pytest.mark.gate
     TxConflict, _commit, tx_snapshot,
 )
 
